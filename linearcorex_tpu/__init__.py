@@ -1,0 +1,20 @@
+"""linearcorex_tpu — a TPU-native rebuild of Linear CorEx.
+
+Re-implements the full capability surface of gregversteeg/LinearCorex
+(latent factor models maximizing total correlation explained; see SURVEY.md)
+as an idiomatic JAX/XLA/Pallas library: the annealed fixed-point fit compiles
+to a single device program, moments ride the MXU, restarts/model-selection
+vmap, and large problems shard over device meshes.
+
+Usage (reference-compatible, `import linearcorex_tpu as lc`):
+
+    c = lc.Corex(n_hidden=8).fit(x)
+    y = c.transform(x)
+    c.tc, c.tcs, c.mis, c.clusters
+"""
+
+from linearcorex_tpu.config import CorexConfig, PreprocessConfig
+from linearcorex_tpu.models.corex import Corex
+
+__version__ = "0.1.0"
+__all__ = ["Corex", "CorexConfig", "PreprocessConfig", "__version__"]

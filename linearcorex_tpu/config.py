@@ -1,0 +1,79 @@
+"""Static configuration for the TPU Linear CorEx solver.
+
+The reference configures everything through `Corex.__init__` kwargs
+(`[U] linearcorex/linearcorex.py :: Corex.__init__`; SURVEY.md §5 "Config").
+Here those kwargs become a frozen dataclass: it is hashable, so it can be a
+`static_argnum` of jitted solvers, and every numeric field that participates
+in tracing stays out of the Python-level control flow.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class CorexConfig:
+    """Hyperparameters of one Linear CorEx solve (jit-static).
+
+    Mirrors the reference constructor surface (SURVEY.md §1 L5):
+    n_hidden, max_iter, tol, anneal, discourage_overlap, y_scale plus
+    TPU-specific knobs the reference lacks (dtype, moment strategy).
+    """
+
+    n_hidden: int = 10
+    max_iter: int = 10000
+    tol: float = 1e-5
+    anneal: bool = True
+    discourage_overlap: bool = True
+    y_scale: float = 1.0
+
+    # --- TPU-native knobs (no reference analog) ---
+    # Compute dtype: float32 on TPU; float64 for oracle-parity runs on CPU.
+    dtype: str = "float32"
+    # Moment strategy: 'samples' = X^T(XW^T)/n (never materializes p x p,
+    # memory O(np+pm)); 'gram' = precompute Sigma = X^T X / n once and use
+    # Sigma W^T per iteration (wins when n > p/2 and p x p fits in HBM);
+    # 'auto' picks per shapes.
+    moment_strategy: str = "auto"
+    gram_max_p: int = 20000
+    # Deterministic adaptive-GD solver constants (mirrored by the oracle).
+    lr_init: float = 0.05
+    lr_growth: float = 1.1
+    lr_cap: float = 2.0
+    lr_halve: float = 0.5
+    lr_min: float = 1e-14
+    rho_clip: float = 1.0 - 1e-6
+    # Record the TC trajectory per (stage, iteration). Costs a
+    # (n_stages x max_iter) carry; disable for large batched sweeps.
+    record_history: bool = True
+
+    def anneal_schedule(self) -> Tuple[float, ...]:
+        """Annealing eps schedule (SURVEY.md §2.4): geometric 0.6**k ending
+        in exact 0; only for the multi-factor non-overlap solver."""
+        if self.anneal and self.n_hidden > 1 and self.discourage_overlap:
+            return tuple(0.6 ** k for k in range(1, 7)) + (0.0,)
+        return (0.0,)
+
+    def pick_strategy(self, n: int, p: int) -> str:
+        if self.moment_strategy != "auto":
+            return self.moment_strategy
+        if p <= self.gram_max_p and 2 * n >= p:
+            return "gram"
+        return "samples"
+
+
+@dataclasses.dataclass(frozen=True)
+class PreprocessConfig:
+    """Preprocessing options (SURVEY.md §2.2): gaussianize mode + missing
+    value sentinel. Parity anchor `[U] :: Corex.preprocess`."""
+
+    gaussianize: str = "standard"
+    missing_values: Optional[float] = None
+
+    def __post_init__(self):
+        if self.gaussianize not in ("none", "standard", "outliers",
+                                    "empirical"):
+            raise ValueError(
+                f"unknown gaussianize mode: {self.gaussianize!r}")

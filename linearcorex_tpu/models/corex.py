@@ -1,0 +1,236 @@
+"""The `Corex` estimator — sklearn-style surface over the pure TPU solver.
+
+This is layer L5 of the reference (`[U] linearcorex/linearcorex.py :: class
+Corex`, SURVEY.md §1): a thin stateful wrapper holding hyperparameters and
+learned state (ws, moments, theta) over pure jitted functions. The public
+surface matches the reference contract (BASELINE.json north star):
+`fit / transform / fit_transform / predict / get_covariance` and properties
+`tc / tcs / mis / clusters / history`.
+
+Differences by design (TPU-native):
+- The whole annealed fit is ONE compiled XLA program with a single host sync
+  (SURVEY.md §7.3 item 0); `verbose` reporting comes from the returned
+  diagnostics arrays, not per-iteration prints.
+- Results stay on device; properties return JAX arrays (cheap to convert
+  with `np.asarray` when wanted — device→host copies are the slow path on
+  this attachment, BASELINE.md §2).
+- `gpu=` is accepted for API compatibility and ignored: there is exactly one
+  backend (XLA), no flag-switched duplicate math (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearcorex_tpu.config import CorexConfig, PreprocessConfig
+from linearcorex_tpu.core.solver import FitDiagnostics, fit_core, sort_by_tcs
+from linearcorex_tpu.ops import moments as M
+from linearcorex_tpu.ops import preprocessing as P
+
+__all__ = ["Corex"]
+
+
+def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
+    """Close the active objective/gradient over the data (samples or Gram)."""
+    if cfg.discourage_overlap:
+        if strategy == "gram":
+            return lambda ws, eps: M.ns_obj_grad_gram(
+                ws, data, eps, cfg.y_scale, cfg.rho_clip)
+        return lambda ws, eps: M.ns_obj_grad_samples(
+            ws, data, eps, cfg.y_scale, cfg.rho_clip)
+    if strategy == "gram":
+        return lambda ws, eps: M.overlap_obj_grad_gram(
+            ws, data, eps, cfg.y_scale)
+    return lambda ws, eps: M.overlap_obj_grad_samples(
+        ws, data, eps, cfg.y_scale)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
+    """The complete fit as one XLA program: annealed solve → final moments →
+    factor sort (SURVEY.md §3.1). Returns (ws, Moments, FitDiagnostics)."""
+    obj_grad = _make_obj_grad(data, cfg, strategy)
+    ws, diag = fit_core(obj_grad, w0, cfg)
+    zero = jnp.asarray(0.0, w0.dtype)
+    if strategy == "gram":
+        c_xy = M.cxy_gram(data, ws, zero)
+    else:
+        c_xy = M.cxy_samples(data, ws, zero)
+    mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+    ws_sorted, order = sort_by_tcs(ws, mom.tcs)
+    return ws_sorted, M.permute_moments(mom, order), diag
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _details_program(x, ws, theta, pre_cfg: PreprocessConfig,
+                     cfg: CorexConfig):
+    xp = P.preprocess(x, pre_cfg.gaussianize, theta, pre_cfg.missing_values)
+    y = M._mm(xp, ws.T)
+    c_xy = M.cxy_samples(xp, ws, jnp.asarray(0.0, ws.dtype))
+    return y, M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+
+
+class Corex:
+    """TPU-native Linear CorEx estimator (reference-compatible surface)."""
+
+    def __init__(self, n_hidden=10, max_iter=10000, tol=1e-5, anneal=True,
+                 missing_values=None, discourage_overlap=True,
+                 gaussianize="standard", gpu=None, y_scale=1.0,
+                 update_iter=10, pretrained_weights=None, verbose=False,
+                 seed=None, dtype="float32", moment_strategy="auto",
+                 record_history=True):
+        del gpu  # accepted for reference API parity; XLA is the one backend
+        self.config = CorexConfig(
+            n_hidden=n_hidden, max_iter=max_iter, tol=tol, anneal=anneal,
+            discourage_overlap=discourage_overlap, y_scale=y_scale,
+            dtype=dtype, moment_strategy=moment_strategy,
+            record_history=record_history)
+        self.pre_config = PreprocessConfig(gaussianize=gaussianize,
+                                           missing_values=missing_values)
+        self.update_iter = update_iter
+        self.verbose = verbose
+        self.seed = seed
+        self.m = n_hidden
+        self.ws: Optional[jax.Array] = None
+        if pretrained_weights is not None:
+            self.ws = jnp.asarray(pretrained_weights, dtype=self._dt)
+        self.theta: Optional[P.Theta] = None
+        self.moments: Optional[M.Moments] = None
+        self.diagnostics: Optional[FitDiagnostics] = None
+        self.nv: Optional[int] = None
+        self.n_samples: Optional[int] = None
+
+    # ------------------------------------------------------------------
+    @property
+    def _dt(self):
+        return jnp.dtype(self.config.dtype)
+
+    def _init_ws(self, p: int) -> np.ndarray:
+        """Seeded N(0, 1/sqrt(p)) init (`[U] :: Corex.fit` [MED]).
+
+        Uses NumPy's RandomState — not JAX's threefry — so that a given seed
+        produces the same starting point as the float64 oracle, making
+        seed-matched parity runs possible (SURVEY.md §7.3 item 3)."""
+        rng = np.random.RandomState(self.seed)
+        return rng.normal(loc=0.0, scale=1.0 / np.sqrt(p),
+                          size=(self.m, p))
+
+    def fit(self, x, init_ws=None):
+        x = jnp.asarray(x, dtype=self._dt)
+        self.n_samples, self.nv = x.shape
+        xp, self.theta = P.fit_preprocess(
+            x, self.pre_config.gaussianize, self.pre_config.missing_values)
+        if init_ws is not None:
+            w0 = jnp.asarray(init_ws, dtype=self._dt)
+        elif self.ws is not None:
+            w0 = self.ws  # pretrained warm start (SURVEY.md §5 checkpoint)
+        else:
+            w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
+        strategy = self.config.pick_strategy(self.n_samples, self.nv)
+        data = M.compute_gram(xp) if strategy == "gram" else xp
+        self.ws, self.moments, self.diagnostics = _fit_program(
+            data, w0, self.config, strategy)
+        if self.verbose:
+            it = np.asarray(self.diagnostics.iters_per_stage)
+            tc = np.asarray(self.diagnostics.tc_per_stage)
+            for s, (i, t) in enumerate(zip(it, tc)):
+                print(f"stage {s}: {i} iters, TC={t:.6f}")
+        return self
+
+    def fit_transform(self, x):
+        self.fit(x)
+        return self.transform(x)
+
+    # ------------------------------------------------------------------
+    def transform(self, x, details=False):
+        """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`)."""
+        x = jnp.asarray(x, dtype=self._dt)
+        if details:
+            y, mom = _details_program(x, self.ws, self.theta,
+                                      self.pre_config, self.config)
+            return y, mom.asdict()
+        xp = P.preprocess(x, self.pre_config.gaussianize, self.theta,
+                          self.pre_config.missing_values)
+        return M._mm(xp, self.ws.T)
+
+    def predict(self, y):
+        """Reconstruct variables from factors (`[U] :: Corex.predict`):
+        posterior-mean reconstruction, then invert preprocessing."""
+        y = jnp.asarray(y, dtype=self._dt)
+        if self.config.discourage_overlap:
+            r = M.reconstruction_weights(self.moments)
+            xhat = M._mm(y, r.T)
+        else:
+            coef = jnp.linalg.solve(self.moments.cy, self.moments.c_xy.T)
+            xhat = M._mm(y, coef)
+        return P.invert(xhat, self.theta)
+
+    def get_covariance(self):
+        """Dense p x p factor-model covariance estimate
+        (`[U] :: Corex.get_covariance`, SURVEY.md §3.4). For very large p
+        prefer `covariance_matvec`, which never materializes p x p."""
+        mom = self.moments
+        if self.config.discourage_overlap:
+            z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
+            cov = M._mm(z.T, z)
+        else:
+            sol = jnp.linalg.solve(mom.cy, mom.c_xy.T)
+            cov = M._mm(mom.c_xy, sol)
+        cov = cov - jnp.diag(jnp.diagonal(cov)) + jnp.eye(self.nv,
+                                                          dtype=self._dt)
+        std = self.theta.std
+        return std[:, jnp.newaxis] * std[jnp.newaxis, :] * cov
+
+    def covariance_matvec(self, v):
+        """Σ̂·v via two skinny GEMMs — the blocked/matvec form required at
+        p=100k where dense p x p is 40 GB (SURVEY.md §3.4 note)."""
+        mom = self.moments
+        v = jnp.asarray(v, dtype=self._dt)
+        std = self.theta.std
+        z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
+        sv = std * v
+        low = z.T @ (z @ sv)
+        diag_correction = (1.0 - jnp.sum(z * z, axis=0)) * sv
+        return std * (low + diag_correction)
+
+    # ------------------------------------------------------------------
+    @property
+    def tcs(self):
+        """Per-factor total correlation (sorted decreasing)."""
+        return self.moments.tcs
+
+    @property
+    def tc(self):
+        return float(jnp.sum(self.moments.tcs))
+
+    @property
+    def mis(self):
+        """MI matrix I(x_i; y_j), shape (m, p)."""
+        return self.moments.mi
+
+    @property
+    def clusters(self):
+        """Hard assignment of each variable to argmax_j I(x_i; y_j)."""
+        return jnp.argmax(self.moments.mi, axis=0)
+
+    @property
+    def history(self):
+        """Reference-style history dict reconstructed from the on-device
+        diagnostics (one host sync here, by explicit user request)."""
+        d = self.diagnostics
+        iters = np.asarray(d.iters_per_stage)
+        out = {"iters_per_stage": iters,
+               "TC": [], "eps": []}
+        schedule = self.config.anneal_schedule()
+        hist = np.asarray(d.tc_history)
+        for s, eps in enumerate(schedule):
+            k = int(iters[s])
+            if hist.shape[1]:
+                out["TC"].extend(hist[s, :k].tolist())
+                out["eps"].extend([eps] * k)
+        return out

@@ -1,0 +1,256 @@
+"""The Linear CorEx moment system as pure JAX functions (TPU compute path).
+
+This is layer L3 of the reference (`[U] linearcorex/linearcorex.py ::
+Corex._calculate_moments*`, SURVEY.md §2.3) re-designed TPU-first:
+
+- The p x p covariance is never materialized on the 'samples' path: the two
+  skinny GEMMs X·Wᵀ and Xᵀ·Y/n dominate and map directly onto the MXU.
+- A 'gram' path precomputes Sigma = XᵀX/n ONCE and replaces both per-iteration
+  GEMMs with a single Sigma·Wᵀ product — at the primary benchmark size
+  (p=10k, m=512, n=10k) that is ~20x fewer FLOPs per iteration than the
+  reference's two-GEMM structure. The reference cannot do this because its
+  fit loop is glued to the sample matrix; under jit the strategy is a static
+  choice.
+- All matmuls request an explicit accumulation dtype: >=float32 always (so a
+  bf16 fast path keeps fp32 moment precision), float64 preserved when running
+  oracle-parity checks.
+- Everything is shape-static and control-flow-free, so the whole fit compiles
+  to one XLA program (SURVEY.md §7.3 item 0: one host sync per fit).
+
+Annealing enters analytically (never sampled): the moment blend
+C_xy ← (1−eps²)·⟨x·y⟩ + eps²·Wᵀ (SURVEY.md §2.4, numerically verified).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_F32 = jnp.float32
+
+
+def _acc(t):
+    """MXU accumulation dtype: >=float32 always (bf16 inputs accumulate in
+    fp32), float64 preserved for oracle-parity runs."""
+    return jnp.promote_types(t, _F32)
+
+
+def _mm(a, b):
+    """Matmul with explicit accumulation dtype, cast back to operand dtype."""
+    return jnp.matmul(a, b, preferred_element_type=_acc(a.dtype)).astype(
+        jnp.promote_types(a.dtype, b.dtype))
+
+
+class Moments(NamedTuple):
+    """Moment pytree — field names map 1:1 to the reference's moment dict
+    keys (SURVEY.md §2.3): c_xy="X_i Y_j", cy="cy", z2="Y_j^2", ry="ry",
+    rho="rho", invrho="invrho", rhoinvrho="rhoinvrho", qij="Qij", si="Si",
+    qi="Qi", vi="X_i^2 | Y", mi="MI", tcs="TCs", tc="TC"."""
+
+    c_xy: jax.Array     # p x m
+    cy: jax.Array       # m x m
+    z2: jax.Array       # m
+    ry: jax.Array       # m x m
+    rho: jax.Array      # m x p
+    invrho: jax.Array   # m x p
+    rhoinvrho: jax.Array  # m x p
+    qij: jax.Array      # m x p
+    si: jax.Array       # p
+    qi: jax.Array       # p
+    vi: jax.Array       # p   <x_i^2 | Y>
+    mi: jax.Array       # m x p
+    i_y_x: jax.Array    # m
+    tcs: jax.Array      # m
+    tc: jax.Array       # scalar
+    objective: jax.Array  # scalar
+
+    def asdict(self):
+        """Reference-keyed dict (`transform(details=True)` parity,
+        SURVEY.md §2.6)."""
+        return {
+            "X_i Y_j": self.c_xy, "cy": self.cy, "Y_j^2": self.z2,
+            "ry": self.ry, "rho": self.rho, "invrho": self.invrho,
+            "rhoinvrho": self.rhoinvrho, "Qij": self.qij, "Si": self.si,
+            "Qi": self.qi, "X_i^2 | Y": self.vi, "MI": self.mi,
+            "I_y_x": self.i_y_x, "TCs": self.tcs, "TC": self.tc,
+            "objective": self.objective,
+        }
+
+
+def cxy_samples(x: jax.Array, ws: jax.Array, eps) -> jax.Array:
+    """C_xy = Xᵀ(X·Wᵀ)/n, annealed. Two O(n·p·m) MXU GEMMs; the p x p
+    covariance is never formed (SURVEY.md §2.3 key architectural fact)."""
+    n = x.shape[0]
+    y = _mm(x, ws.T)                                              # n x m
+    c_xy = _mm(x.T, y) / n                                        # p x m
+    return (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
+
+
+def cxy_gram(gram: jax.Array, ws: jax.Array, eps) -> jax.Array:
+    """C_xy = Sigma·Wᵀ, annealed — single O(p²·m) MXU GEMM against the
+    precomputed Gram matrix (TPU-native fast path; no reference analog)."""
+    c_xy = _mm(gram, ws.T)
+    return (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
+
+
+def compute_gram(x: jax.Array) -> jax.Array:
+    """Sigma = XᵀX/n (one-time O(n·p²) GEMM, amortized over the fit loop)."""
+    n = x.shape[0]
+    return _mm(x.T, x) / n
+
+
+def moments_from_cxy(ws: jax.Array, c_xy: jax.Array, y_scale: float,
+                     rho_clip: float) -> Moments:
+    """All second-moment quantities + TC/MI given C_xy (SURVEY.md §2.3,
+    [HIGH], numerically verified). Pure VPU algebra + one m x m and one
+    m x p GEMM; fuses fully under XLA."""
+    m = ws.shape[0]
+    dt = ws.dtype
+    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(m, dtype=dt)
+    z2 = jnp.diagonal(cy)
+    sqz = jnp.sqrt(z2)
+    ry = cy / jnp.outer(sqz, sqz)
+    rho = (c_xy / sqz[jnp.newaxis, :]).T
+    rho = jnp.clip(rho, -rho_clip, rho_clip)
+    invrho = 1.0 / (1.0 - rho ** 2)
+    rhoinvrho = rho * invrho
+    qij = _mm(ry, rhoinvrho)
+    si = jnp.sum(rho * rhoinvrho, axis=0)
+    qi = jnp.sum(rhoinvrho * qij, axis=0)
+    # <x_i^2|Y> = mean sq. residual of the product-of-experts reconstruction,
+    # (1 + Q_i − S_i²)/(1 + S_i)²; reduces to the ansatz 1/(1+S_i) for
+    # uncorrelated factors. The Q_i term discourages overlapping factors.
+    vi = (1.0 + qi - si ** 2) / (1.0 + si) ** 2
+    mi = -0.5 * jnp.log1p(-rho ** 2)
+    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dtype=dt))
+    tcs = jnp.sum(mi, axis=1) - i_y_x
+    tc = jnp.sum(tcs)
+    objective = 0.5 * jnp.sum(jnp.log(jnp.maximum(vi, 1e-30))) \
+        + 0.5 * jnp.sum(jnp.log(z2))
+    return Moments(c_xy=c_xy, cy=cy, z2=z2, ry=ry, rho=rho, invrho=invrho,
+                   rhoinvrho=rhoinvrho, qij=qij, si=si, qi=qi, vi=vi, mi=mi,
+                   i_y_x=i_y_x, tcs=tcs, tc=tc, objective=objective)
+
+
+def permute_moments(mom: Moments, order: jax.Array) -> Moments:
+    """Reindex the factor axis of every moment after the post-fit sort by
+    decreasing TCs (per-variable quantities are factor-sums and unchanged)."""
+    return Moments(
+        c_xy=mom.c_xy[:, order], cy=mom.cy[order][:, order],
+        z2=mom.z2[order], ry=mom.ry[order][:, order], rho=mom.rho[order],
+        invrho=mom.invrho[order], rhoinvrho=mom.rhoinvrho[order],
+        qij=mom.qij[order], si=mom.si, qi=mom.qi, vi=mom.vi,
+        mi=mom.mi[order], i_y_x=mom.i_y_x[order], tcs=mom.tcs[order],
+        tc=mom.tc, objective=mom.objective,
+    )
+
+
+def reconstruction_weights(mom: Moments) -> jax.Array:
+    """R (p x m): E[x_i|y] = Σ_j R_ij y_j — the product-of-experts posterior
+    mean R_ij = rhoinvrho_ji/((1+S_i)·sqrt(z2_j)) (SURVEY.md §3.3, verified;
+    reference moment key "X_i Z_j")."""
+    return (mom.rhoinvrho.T / (1.0 + mom.si)[:, None]
+            / jnp.sqrt(mom.z2)[jnp.newaxis, :])
+
+
+def _ns_gradient_terms(mom: Moments):
+    """Shared algebra of the non-overlap gradient (see the float64 oracle
+    `linearcorex_tpu/oracle/oracle.py :: _ns_gradient_terms` for the full
+    derivation; this is the same closed form in JAX). Returns (AA, H, coef,
+    sqz) with sqrt(z2)·∂F/∂W = AA·Σ_eff + H·rho − coef[:,None]·rho."""
+    rho, invrho, rr = mom.rho, mom.invrho, mom.rhoinvrho
+    alpha = 1.0 / (1.0 + mom.qi - mom.si ** 2)
+    beta = 1.0 / (1.0 + mom.si)
+    h_fac = (1.0 + rho ** 2) * invrho ** 2
+    aa = alpha[None, :] * h_fac * mom.qij \
+        - 2.0 * (alpha * mom.si + beta)[None, :] * rho * invrho ** 2
+    hmat = _mm(rr * alpha[None, :], rr.T)
+    kappa = jnp.sum(aa * rho, axis=1)
+    mu = jnp.sum(alpha[None, :] * rr * mom.qij, axis=1)
+    coef = kappa + mu - 1.0
+    return aa, hmat, coef, jnp.sqrt(mom.z2)
+
+
+def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip):
+    """(objective, gradient, TC) of the non-overlap objective, sample path.
+
+    Cost: 4 skinny MXU GEMMs (2 for moments, 2 for AA·Σ_eff); O(np+pm)
+    memory. Matches the oracle's `ns_gradient` bit-for-bit in float64."""
+    n = x.shape[0]
+    c_xy = cxy_samples(x, ws, eps)
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
+    aas = _mm(_mm(aa, x.T), x) / n
+    aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
+    grad = (aas + _mm(hmat, mom.rho)
+            - coef[:, None] * mom.rho) / sqz[:, None]
+    return mom.objective, grad, mom.tc
+
+
+def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip):
+    """Same as `ns_obj_grad_samples` on the precomputed-Gram fast path:
+    2 O(p²·m) GEMMs per evaluation, independent of n."""
+    c_xy = cxy_gram(gram, ws, eps)
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
+    aas = _mm(aa, gram)
+    aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
+    grad = (aas + _mm(hmat, mom.rho)
+            - coef[:, None] * mom.rho) / sqz[:, None]
+    return mom.objective, grad, mom.tc
+
+
+# ---------------------------------------------------------------------------
+# Overlapping (discourage_overlap=False) objective: exact Gaussian bound
+# (SURVEY.md §2.5 — m x m solves, still never p x p)
+# ---------------------------------------------------------------------------
+
+def _overlap_core(ws, b, cy_chol, y_scale):
+    """F and shared terms given B = Σ_eff·Wᵀ and chol(C_y)."""
+    m = ws.shape[0]
+    bm = jax.scipy.linalg.cho_solve((cy_chol, True), b.T).T     # p x m
+    v = jnp.maximum(1.0 - jnp.sum(bm * b, axis=1), 1e-12)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(cy_chol)))
+    f = 0.5 * jnp.sum(jnp.log(v)) + 0.5 * logdet \
+        - m * jnp.log(jnp.asarray(y_scale, dtype=ws.dtype))
+    return f, bm, v
+
+
+def overlap_obj_grad_samples(ws, x, eps, y_scale):
+    """(objective, gradient, TC_proxy) for the exact Gaussian objective.
+
+    ∇F = −(M Bᵀ V)·Σ_eff + (M Bᵀ V B M)·Bᵀ + M·Bᵀ with M = C_y⁻¹,
+    V = diag(1/v) (derivation in the oracle; finite-difference verified)."""
+    n = x.shape[0]
+    mdim = ws.shape[0]
+    b = _mm(x.T, _mm(x, ws.T)) / n
+    b = (1.0 - eps ** 2) * b + (eps ** 2) * ws.T
+    cy = _mm(ws, b) + (y_scale ** 2) * jnp.eye(mdim, dtype=ws.dtype)
+    chol = jnp.linalg.cholesky(cy)
+    f, bm, v = _overlap_core(ws, b, chol, y_scale)
+    g_lhs = (bm / v[:, None]).T                                  # m x p
+    gs = _mm(_mm(g_lhs, x.T), x) / n
+    gs = (1.0 - eps ** 2) * gs + (eps ** 2) * g_lhs
+    k = _mm(g_lhs, b)
+    mbt = jax.scipy.linalg.cho_solve((chol, True), b.T)          # m x p
+    grad = -gs + _mm(k, mbt) + mbt
+    return f, grad, -f
+
+
+def overlap_obj_grad_gram(ws, gram, eps, y_scale):
+    """Gram-path variant of `overlap_obj_grad_samples`."""
+    mdim = ws.shape[0]
+    b = jnp.matmul(gram, ws.T, preferred_element_type=_F32).astype(ws.dtype)
+    b = (1.0 - eps ** 2) * b + (eps ** 2) * ws.T
+    cy = _mm(ws, b) + (y_scale ** 2) * jnp.eye(mdim, dtype=ws.dtype)
+    chol = jnp.linalg.cholesky(cy)
+    f, bm, v = _overlap_core(ws, b, chol, y_scale)
+    g_lhs = (bm / v[:, None]).T
+    gs = _mm(g_lhs, gram)
+    gs = (1.0 - eps ** 2) * gs + (eps ** 2) * g_lhs
+    k = _mm(g_lhs, b)
+    mbt = jax.scipy.linalg.cho_solve((chol, True), b.T)
+    grad = -gs + _mm(k, mbt) + mbt
+    return f, grad, -f

@@ -107,9 +107,12 @@ def calculate_moments(x, ws, eps=0.0, y_scale=1.0, quick=True):
     )
     if not quick:
         # Reconstruction weights: E[x_i|y] = Σ_j R_ij y_j with
-        # R_ij = v_i · rhoinvrho_ji / sqrt(z2_j)  (SURVEY.md §3.3, verified).
+        # R_ij = rhoinvrho_ji / ((1+S_i)·sqrt(z2_j)) — the product-of-experts
+        # posterior mean (SURVEY.md §3.3, verified; note the PoE precision
+        # 1/(1+S_i), which the Q-corrected residual variance above does not
+        # replace).
         m["X_i Z_j"] = (
-            m["X_i^2 | Y"][:, None] * m["rhoinvrho"].T / sqz[np.newaxis, :]
+            m["rhoinvrho"].T / (1.0 + m["Si"])[:, None] / sqz[np.newaxis, :]
         )
         # Per-variable additivity diagnostic: Σ_j I(x_i;y_j) − I(x_i;Y)
         # (reported, not optimized — SURVEY.md §2.3 [LOW]).

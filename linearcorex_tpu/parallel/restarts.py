@@ -1,0 +1,77 @@
+"""Batched multi-restart solves via vmap (SURVEY.md §2.8 "EP" row, §7.2.2).
+
+The reference runs random restarts as a serial Python loop
+(`[U] linearcorex/linearcorex.py :: pick_n_hidden(repeat=k)` refits k times).
+On TPU the restart axis is free parallelism: every core function in this
+package is written batch-free, and restarts batch through one `vmap` — a
+single compiled program whose GEMMs carry an extra leading axis that XLA
+tiles straight onto the MXU. The while_loop under vmap runs until the
+slowest restart converges (per-lane convergence is carried in the predicate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearcorex_tpu.config import CorexConfig
+from linearcorex_tpu.core.solver import fit_core, sort_by_tcs
+from linearcorex_tpu.models.corex import _make_obj_grad
+from linearcorex_tpu.ops import moments as M
+
+__all__ = ["init_restarts", "fit_restarts", "best_restart"]
+
+
+def init_restarts(n_restarts: int, m: int, p: int, seed: Optional[int],
+                  dtype) -> jax.Array:
+    """Stack of seeded N(0, 1/sqrt(p)) inits — restart r uses NumPy
+    RandomState(seed + r), matching single-fit seeding so restart 0 of a
+    sweep equals a plain `Corex(seed=seed)` fit."""
+    base = 0 if seed is None else seed
+    w0 = np.stack([
+        np.random.RandomState(base + r).normal(
+            loc=0.0, scale=1.0 / np.sqrt(p), size=(m, p))
+        for r in range(n_restarts)
+    ])
+    return jnp.asarray(w0, dtype=dtype)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _fit_restarts_program(data, w0_batch, cfg: CorexConfig, strategy: str):
+    """vmapped annealed fit + final moments, one XLA program for the whole
+    restart sweep. Data (samples or Gram) is shared across the batch."""
+    obj_grad = _make_obj_grad(data, cfg, strategy)
+
+    def one(w0):
+        ws, diag = fit_core(obj_grad, w0, cfg)
+        zero = jnp.asarray(0.0, w0.dtype)
+        c_xy = (M.cxy_gram(data, ws, zero) if strategy == "gram"
+                else M.cxy_samples(data, ws, zero))
+        mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+        ws_sorted, order = sort_by_tcs(ws, mom.tcs)
+        return ws_sorted, M.permute_moments(mom, order), diag
+
+    return jax.vmap(one)(w0_batch)
+
+
+def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str):
+    """Run `len(w0_batch)` independent annealed fits in one batched program.
+
+    Returns (ws_batch, Moments_batch, FitDiagnostics_batch); reduce with
+    `best_restart`. Tip: pass cfg with record_history=False for large sweeps
+    (history costs batch x n_stages x max_iter)."""
+    return _fit_restarts_program(data, w0_batch, cfg, strategy)
+
+
+def best_restart(ws_batch, mom_batch, diag_batch):
+    """Select the restart with the highest final TC (the reference keeps the
+    best-TC refit, SURVEY.md §2.7)."""
+    best = jnp.argmax(mom_batch.tc)
+    ws = ws_batch[best]
+    mom = jax.tree_util.tree_map(lambda a: a[best], mom_batch)
+    diag = jax.tree_util.tree_map(lambda a: a[best], diag_batch)
+    return ws, mom, diag, best

@@ -4,18 +4,27 @@ Multi-chip TPU hardware is not available in CI; per standard JAX practice
 (SURVEY.md §4.2 item 3) the sharded code paths are exercised on 8 virtual CPU
 devices. `bench.py` is what runs on the real TPU chip.
 
-These env vars must be set before JAX initializes its backends, hence this
-conftest (imported by pytest before any test module imports jax).
+IMPORTANT (this environment): the axon sitecustomize force-registers the TPU
+backend and sets jax_platforms="axon,cpu" at interpreter start, so the
+JAX_PLATFORMS / XLA_FLAGS env-var recipe silently keeps running on the TPU
+tunnel (with ~30-200 s remote compiles). The reliable mechanism is
+`jax.config.update` after `import jax` but before any backend initialization
+— which is exactly what this conftest does (pytest imports it before any
+test module imports jax).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# Allow float64: oracle-parity tests run the identical algorithm in f64
+# (SURVEY.md §4.2 item 1). Library code passes dtypes explicitly, so float32
+# paths stay float32.
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np
 import pytest

@@ -1,0 +1,91 @@
+"""API surface tests for the TPU Corex estimator (SURVEY.md §2.6 contract)."""
+
+import numpy as np
+import pytest
+
+import linearcorex_tpu as lc
+from tests.conftest import block_data
+
+
+def test_fit_transform(med_block_data):
+    c = lc.Corex(n_hidden=8, seed=0)
+    y = c.fit_transform(med_block_data)
+    assert y.shape == (1000, 8)
+    assert np.allclose(np.asarray(y),
+                       np.asarray(c.transform(med_block_data)))
+
+
+def test_tcs_sorted_and_tc_sum(med_block_data):
+    c = lc.Corex(n_hidden=8, seed=0).fit(med_block_data)
+    tcs = np.asarray(c.tcs)
+    assert np.all(np.diff(tcs) <= 1e-6)
+    assert abs(c.tc - tcs.sum()) < 1e-5
+
+
+def test_clusters_shape_range(med_block_data):
+    c = lc.Corex(n_hidden=8, seed=0).fit(med_block_data)
+    cl = np.asarray(c.clusters)
+    assert cl.shape == (64,)
+    assert cl.min() >= 0 and cl.max() < 8
+
+
+def test_pretrained_weights_warm_start(small_block_data):
+    c1 = lc.Corex(n_hidden=4, seed=0).fit(small_block_data)
+    c2 = lc.Corex(n_hidden=4, pretrained_weights=np.asarray(c1.ws),
+                  anneal=False).fit(small_block_data)
+    assert int(np.asarray(c2.diagnostics.iters_per_stage)[0]) < 25
+    assert abs(c2.tc - c1.tc) < 1e-2
+
+
+def test_history(med_block_data):
+    c = lc.Corex(n_hidden=8, seed=0).fit(med_block_data)
+    h = c.history
+    assert len(h["TC"]) == int(np.sum(h["iters_per_stage"]))
+    assert len(h["eps"]) == len(h["TC"])
+    # TC curve finishes near the reported optimum
+    assert abs(h["TC"][-1] - c.tc) / max(c.tc, 1.0) < 0.05
+
+
+def test_record_history_off(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0, record_history=False).fit(
+        small_block_data)
+    assert c.diagnostics.tc_history.shape[1] == 0
+    assert c.history["TC"] == []
+
+
+def test_covariance_matvec_matches_dense(med_block_data):
+    c = lc.Corex(n_hidden=8, seed=0, dtype="float64").fit(med_block_data)
+    cov = np.asarray(c.get_covariance())
+    v = np.random.RandomState(0).normal(size=64)
+    got = np.asarray(c.covariance_matvec(v))
+    assert np.abs(got - cov @ v).max() < 1e-8
+
+
+def test_verbose_prints(small_block_data, capsys):
+    lc.Corex(n_hidden=4, seed=0, verbose=True).fit(small_block_data)
+    out = capsys.readouterr().out
+    assert "stage" in out and "TC=" in out
+
+
+def test_gpu_flag_accepted(small_block_data):
+    """`gpu=` is reference API compatibility; ignored (one XLA backend)."""
+    c = lc.Corex(n_hidden=4, seed=0, gpu=True).fit(small_block_data)
+    assert np.isfinite(c.tc)
+
+
+def test_bad_gaussianize_raises():
+    with pytest.raises(ValueError):
+        lc.Corex(gaussianize="nope")
+
+
+def test_anneal_off_single_stage(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0, anneal=False).fit(small_block_data)
+    assert np.asarray(c.diagnostics.iters_per_stage).shape == (1,)
+
+
+def test_seed_reproducibility(small_block_data):
+    c1 = lc.Corex(n_hidden=4, seed=123).fit(small_block_data)
+    c2 = lc.Corex(n_hidden=4, seed=123).fit(small_block_data)
+    assert np.array_equal(np.asarray(c1.ws), np.asarray(c2.ws))
+    c3 = lc.Corex(n_hidden=4, seed=124).fit(small_block_data)
+    assert not np.array_equal(np.asarray(c1.ws), np.asarray(c3.ws))

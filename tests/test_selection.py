@@ -1,0 +1,54 @@
+"""Tests for vmapped multi-restart fitting and pick_n_hidden."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from linearcorex_tpu.config import CorexConfig
+from linearcorex_tpu.models.selection import pick_n_hidden
+from linearcorex_tpu.ops import moments as M
+from linearcorex_tpu.ops import preprocessing as P
+from linearcorex_tpu.parallel.restarts import (best_restart, fit_restarts,
+                                               init_restarts)
+from tests.conftest import block_data
+
+
+def test_fit_restarts_matches_single():
+    """Restart r of a vmapped sweep must equal the plain seeded fit."""
+    import linearcorex_tpu as lc
+    x = block_data(n=500, p=32, m=4, seed=3)
+    cfg = CorexConfig(n_hidden=4, dtype="float64", record_history=False)
+    xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float64), "standard")
+    strategy = cfg.pick_strategy(*x.shape)
+    data = M.compute_gram(xp) if strategy == "gram" else xp
+    w0 = init_restarts(3, 4, 32, seed=17, dtype=jnp.float64)
+    ws_b, mom_b, diag_b = fit_restarts(data, w0, cfg, strategy)
+    assert ws_b.shape == (3, 4, 32)
+    single = lc.Corex(n_hidden=4, seed=18, dtype="float64",
+                      record_history=False).fit(x)
+    # restart index 1 used RandomState(17+1)
+    assert np.abs(np.asarray(ws_b[1]) - np.asarray(single.ws)).max() < 1e-9
+    assert abs(float(mom_b.tc[1]) - single.tc) < 1e-9
+
+
+def test_best_restart_selection():
+    x = block_data(n=500, p=32, m=4, seed=3)
+    cfg = CorexConfig(n_hidden=4, dtype="float64", record_history=False)
+    xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float64), "standard")
+    strategy = cfg.pick_strategy(*x.shape)
+    data = M.compute_gram(xp) if strategy == "gram" else xp
+    w0 = init_restarts(4, 4, 32, seed=0, dtype=jnp.float64)
+    ws_b, mom_b, diag_b = fit_restarts(data, w0, cfg, strategy)
+    ws, mom, diag, idx = best_restart(ws_b, mom_b, diag_b)
+    assert float(mom.tc) == float(np.max(np.asarray(mom_b.tc)))
+    assert ws.shape == (4, 32)
+
+
+def test_pick_n_hidden_finds_true_m():
+    x = block_data(n=800, p=24, m=3, seed=9)
+    best_n, scores = pick_n_hidden(x, repeat=2, max_n_hidden=6,
+                                   dtype="float64", seed=0, max_iter=4000)
+    assert best_n == 3
+    # TC gain saturates after the true m
+    assert scores[2] - scores[1] > 0.5
+    if len(scores) > 3:
+        assert scores[3] - scores[2] < 0.05

@@ -1,0 +1,64 @@
+"""Tests for stacked (2-layer) CorEx — BASELINE.json config 4 shape."""
+
+import numpy as np
+
+from linearcorex_tpu.models.stacked import StackedCorex
+
+
+def hierarchical_data(n=1500, seed=0):
+    """Two-level structure: 4 fine blocks of variables; fine factors pair up
+    under 2 coarse super-factors (what layer 2 should discover)."""
+    rng = np.random.RandomState(seed)
+    g = rng.normal(size=(n, 2))                        # coarse
+    z = np.empty((n, 4))
+    for j in range(4):
+        z[:, j] = 0.8 * g[:, j // 2] + 0.6 * rng.normal(size=n)
+    x = np.empty((n, 24))
+    for j in range(4):
+        for i in range(6):
+            x[:, j * 6 + i] = 0.9 * z[:, j] + 0.436 * rng.normal(size=n)
+    return x
+
+
+def test_two_layer_fit_recovers_hierarchy():
+    x = hierarchical_data()
+    s = StackedCorex([4, 2], seed=0, dtype="float64").fit(x)
+    # layer 1: each of the 4 fine blocks gets one factor
+    cl1 = np.asarray(s.clusters[0])
+    for j in range(4):
+        assert len(set(cl1[j * 6:(j + 1) * 6])) == 1
+    assert len({cl1[j * 6] for j in range(4)}) == 4
+    # layer 2: fine factors (0,1) and (2,3) pair under distinct coarse ones
+    cl2 = np.asarray(s.clusters[1])
+    fine_of = {}  # coarse block id -> layer-2 cluster of its two fine factors
+    inv = np.empty(4, dtype=int)
+    for j in range(4):
+        inv[cl1[j * 6]] = j          # factor index -> fine block id
+    pair = {}
+    for f in range(4):
+        blk = inv[f] // 2
+        pair.setdefault(blk, set()).add(int(cl2[f]))
+    assert all(len(v) == 1 for v in pair.values()), \
+        "sibling fine factors must share a layer-2 factor"
+    assert pair[0] != pair[1]
+
+
+def test_transform_predict_shapes():
+    x = hierarchical_data()
+    s = StackedCorex([4, 2], seed=0).fit(x)
+    y2 = s.transform(x)
+    assert np.asarray(y2).shape == (1500, 2)
+    ys = s.transform_all(x)
+    assert [np.asarray(a).shape[1] for a in ys] == [4, 2]
+    xh = s.predict(y2)
+    assert np.asarray(xh).shape == x.shape
+    # reconstruction from the top of the hierarchy keeps most structure
+    corr = np.corrcoef(np.asarray(xh).ravel(), x.ravel())[0, 1]
+    assert corr > 0.6
+
+
+def test_stacked_tc_positive_layers():
+    x = hierarchical_data()
+    s = StackedCorex([4, 2], seed=0).fit(x)
+    assert s.tc > 0
+    assert all(float(np.sum(np.asarray(t))) > 0 for t in s.tcs)
