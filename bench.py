@@ -1,0 +1,94 @@
+"""Primary benchmark: fit iterations/sec at p=10k, m=512 (BASELINE.json).
+
+Baseline: single-core NumPy float64 measured at 12.72 s/iter for the
+per-iteration moment step at this size (BASELINE.md §2) → 0.0786 it/s.
+
+Measurement protocol for this TPU attachment (BASELINE.md §2 trap list):
+- the whole K-iteration loop runs as ONE compiled program (a fit_core call
+  with tol=0), so there are zero host round-trips inside the timed region;
+- timing is closed by fetching a scalar (TC) — bulk device→host copies are
+  pathologically slow here and scalar fetch forces execution;
+- compile is excluded (untimed warmup call on the same shapes).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_ITERS_PER_SEC = 1.0 / 12.72   # BASELINE.md §2, NumPy f64 1-core
+
+
+def main():
+    quick = "--quick" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.core.solver import fit_core
+    from linearcorex_tpu.models.corex import _make_obj_grad
+    from linearcorex_tpu.ops import moments as M
+
+    if quick:
+        n, p, m, iters = 1024, 512, 32, 50
+    else:
+        n, p, m, iters = 10_000, 10_000, 512, 200
+
+    # synthetic block data generated ON DEVICE (host→device bulk copies are
+    # pathologically slow through this attachment, BASELINE.md §2)
+    n_blocks = 100 if p % 100 == 0 else 8
+    k = p // n_blocks
+    key_z, key_e = jax.random.split(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def make_data():
+        z = jax.random.normal(key_z, (n, n_blocks), jnp.float32)
+        e = jax.random.normal(key_e, (n, p), jnp.float32)
+        x = jnp.repeat(z, k, axis=1) * 0.9 + 0.436 * e
+        return (x - x.mean(0)) / x.std(0)
+
+    x = make_data()
+    x.block_until_ready()
+
+    # production strategy at this size: precomputed Gram (ops/moments.py)
+    gram = M.compute_gram(x)
+    gram.block_until_ready()
+
+    cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
+                      record_history=False, dtype="float32")
+    obj_grad = _make_obj_grad(gram, cfg, "gram")
+
+    import functools
+    run = jax.jit(functools.partial(fit_core, obj_grad),
+                  static_argnums=(1,))
+
+    w0 = jnp.asarray(
+        np.random.RandomState(1).normal(scale=1.0 / np.sqrt(p),
+                                        size=(m, p)), jnp.float32)
+    # warmup/compile (untimed)
+    ws, diag = run(w0, cfg)
+    float(diag.tc_per_stage[-1])
+
+    t0 = time.perf_counter()
+    ws, diag = run(w0, cfg)
+    tc = float(diag.tc_per_stage[-1])     # scalar fetch closes the timing
+    dt = time.perf_counter() - t0
+
+    n_iter = int(np.asarray(diag.iters_per_stage).sum())
+    ips = n_iter / dt
+    result = {
+        "metric": "fit_iterations_per_sec_p10k_m512"
+        if not quick else "fit_iterations_per_sec_quick",
+        "value": round(ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(ips / BASELINE_ITERS_PER_SEC, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Multi-chip equivalence tests on the 8-device virtual CPU mesh
+(SURVEY.md §4.2 item 3): every sharded layout must produce the same fit as
+the single-device program to fp tolerance, and layouts must agree with each
+other."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import linearcorex_tpu as lc
+from linearcorex_tpu.config import CorexConfig
+from linearcorex_tpu.ops import preprocessing as P
+from linearcorex_tpu.parallel.sharding import (DATA_AXIS, FACTOR_AXIS,
+                                               VAR_AXIS, ShardingPlan,
+                                               fit_sharded, make_mesh)
+from tests.conftest import block_data
+
+
+@pytest.fixture(scope="module")
+def setup():
+    x = block_data(n=512, p=64, m=8, seed=0)
+    w0 = np.random.RandomState(42).normal(scale=1 / 8, size=(8, 64))
+    xj = jnp.asarray(x, jnp.float64)
+    xp, _ = P.fit_preprocess(xj, "standard")
+    cfg = CorexConfig(n_hidden=8, dtype="float64", record_history=False)
+    # single-device reference fit (samples strategy = same code path)
+    ref = lc.Corex(n_hidden=8, dtype="float64", record_history=False,
+                   moment_strategy="samples").fit(x, init_ws=w0)
+    return xp, jnp.asarray(w0, jnp.float64), cfg, ref
+
+
+def _check(ws, mom, ref):
+    assert np.abs(np.asarray(ws) - np.asarray(ref.ws)).max() < 1e-7
+    assert abs(float(mom.tc) - ref.tc) < 1e-7
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_data_sharded_fit(setup):
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    ws, mom, diag = fit_sharded(xp, w0, cfg, mesh, ShardingPlan())
+    _check(ws, mom, ref)
+
+
+def test_var_sharded_fit(setup):
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((VAR_AXIS, 8),))
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    ws, mom, diag = fit_sharded(xp, w0, cfg, mesh, plan)
+    _check(ws, mom, ref)
+
+
+def test_factor_sharded_fit(setup):
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((FACTOR_AXIS, 8),))
+    plan = ShardingPlan(shard_samples=False, shard_factors=True)
+    ws, mom, diag = fit_sharded(xp, w0, cfg, mesh, plan)
+    _check(ws, mom, ref)
+
+
+def test_2d_mesh_data_factor(setup):
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((DATA_AXIS, 4), (FACTOR_AXIS, 2)))
+    plan = ShardingPlan(shard_samples=True, shard_factors=True)
+    ws, mom, diag = fit_sharded(xp, w0, cfg, mesh, plan)
+    _check(ws, mom, ref)
+
+
+def test_2d_mesh_data_var(setup):
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((DATA_AXIS, 2), (VAR_AXIS, 4)))
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    ws, mom, diag = fit_sharded(xp, w0, cfg, mesh, plan)
+    _check(ws, mom, ref)
+
+
+def test_sharded_deterministic(setup):
+    """Same mesh + same program ⇒ bitwise-identical results across runs
+    (fixed reduction order, SURVEY.md §7.3 item 3)."""
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    ws1, mom1, _ = fit_sharded(xp, w0, cfg, mesh, ShardingPlan())
+    ws2, mom2, _ = fit_sharded(xp, w0, cfg, mesh, ShardingPlan())
+    assert np.array_equal(np.asarray(ws1), np.asarray(ws2))
+    assert float(mom1.tc) == float(mom2.tc)
