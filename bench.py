@@ -60,21 +60,25 @@ def main():
 
     cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
                       record_history=False, dtype="float32")
-    obj_grad = _make_obj_grad(gram, cfg, "gram")
 
     import functools
-    run = jax.jit(functools.partial(fit_core, obj_grad),
-                  static_argnums=(1,))
+
+    # Data must be a jit ARGUMENT, not a closure: a closed-over array is
+    # baked into the HLO as a constant — a 400 MB Gram constant exceeds the
+    # remote-compile request limit on this attachment (HTTP 413).
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(data, w0, cfg, strategy):
+        return fit_core(_make_obj_grad(data, cfg, strategy), w0, cfg)
 
     w0 = jnp.asarray(
         np.random.RandomState(1).normal(scale=1.0 / np.sqrt(p),
                                         size=(m, p)), jnp.float32)
     # warmup/compile (untimed)
-    ws, diag = run(w0, cfg)
+    ws, diag = run(gram, w0, cfg, "gram")
     float(diag.tc_per_stage[-1])
 
     t0 = time.perf_counter()
-    ws, diag = run(w0, cfg)
+    ws, diag = run(gram, w0, cfg, "gram")
     tc = float(diag.tc_per_stage[-1])     # scalar fetch closes the timing
     dt = time.perf_counter() - t0
 

@@ -38,6 +38,9 @@ class CorexConfig:
     # 'auto' picks per shapes.
     moment_strategy: str = "auto"
     gram_max_p: int = 20000
+    # Fused Pallas kernel for the Gram-path moment products:
+    # 'auto' = on TPU backends when shapes are lane-aligned; 'never'/'always'.
+    use_pallas: str = "auto"
     # Deterministic adaptive-GD solver constants (mirrored by the oracle).
     lr_init: float = 0.05
     lr_growth: float = 1.1

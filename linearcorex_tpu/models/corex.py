@@ -36,14 +36,18 @@ __all__ = ["Corex"]
 
 
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
-    """Close the active objective/gradient over the data (samples or Gram)."""
+    """Close the active objective/gradient over the data (samples or Gram).
+
+    strategy: 'samples' | 'gram' | 'gram_pallas' (gram with the fused
+    Pallas kernel for the moment products)."""
     if cfg.discourage_overlap:
-        if strategy == "gram":
+        if strategy in ("gram", "gram_pallas"):
             return lambda ws, eps: M.ns_obj_grad_gram(
-                ws, data, eps, cfg.y_scale, cfg.rho_clip)
+                ws, data, eps, cfg.y_scale, cfg.rho_clip,
+                use_pallas=strategy == "gram_pallas")
         return lambda ws, eps: M.ns_obj_grad_samples(
             ws, data, eps, cfg.y_scale, cfg.rho_clip)
-    if strategy == "gram":
+    if strategy in ("gram", "gram_pallas"):
         return lambda ws, eps: M.overlap_obj_grad_gram(
             ws, data, eps, cfg.y_scale)
     return lambda ws, eps: M.overlap_obj_grad_samples(
@@ -57,7 +61,7 @@ def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
     obj_grad = _make_obj_grad(data, cfg, strategy)
     ws, diag = fit_core(obj_grad, w0, cfg)
     zero = jnp.asarray(0.0, w0.dtype)
-    if strategy == "gram":
+    if strategy in ("gram", "gram_pallas"):
         c_xy = M.cxy_gram(data, ws, zero)
     else:
         c_xy = M.cxy_samples(data, ws, zero)
@@ -110,6 +114,19 @@ class Corex:
     def _dt(self):
         return jnp.dtype(self.config.dtype)
 
+    def _pallas_applicable(self) -> bool:
+        """Resolve use_pallas='auto': fused kernel on TPU backends with
+        lane-aligned shapes; only the non-overlap path uses it."""
+        mode = self.config.use_pallas
+        if mode == "never" or not self.config.discourage_overlap:
+            return False
+        from linearcorex_tpu.ops.pallas_moments import supported
+        ok_shape = supported(self.nv, self.m)
+        if mode == "always":
+            return ok_shape
+        platform = jax.devices()[0].platform
+        return ok_shape and platform not in ("cpu",)
+
     def _init_ws(self, p: int) -> np.ndarray:
         """Seeded N(0, 1/sqrt(p)) init (`[U] :: Corex.fit` [MED]).
 
@@ -120,11 +137,37 @@ class Corex:
         return rng.normal(loc=0.0, scale=1.0 / np.sqrt(p),
                           size=(self.m, p))
 
+    def _host_preprocess(self, x):
+        """Native host-side fast path for 'empirical' gaussianization of
+        NumPy inputs (native/gaussianize.cpp via utils.native); agrees with
+        the device path to double precision. Returns None when inapplicable
+        (non-NumPy input or library unavailable)."""
+        if self.pre_config.gaussianize != "empirical" or not isinstance(
+                x, np.ndarray):
+            return None
+        from linearcorex_tpu.utils import native
+        if not native.available():
+            return None
+        xh = np.asarray(x, dtype=np.float64)
+        if self.pre_config.missing_values is not None:
+            xh = native.mean_impute(xh, self.pre_config.missing_values)
+        theta = P.Theta(mean=jnp.asarray(xh.mean(0), self._dt),
+                        std=jnp.asarray(
+                            np.where(xh.std(0) < 1e-10, 1.0, xh.std(0)),
+                            self._dt))
+        xp = jnp.asarray(native.empirical_gaussianize(xh), self._dt)
+        return xp, theta
+
     def fit(self, x, init_ws=None):
+        host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape
-        xp, self.theta = P.fit_preprocess(
-            x, self.pre_config.gaussianize, self.pre_config.missing_values)
+        if host is not None:
+            xp, self.theta = host
+        else:
+            xp, self.theta = P.fit_preprocess(
+                x, self.pre_config.gaussianize,
+                self.pre_config.missing_values)
         if init_ws is not None:
             w0 = jnp.asarray(init_ws, dtype=self._dt)
         elif self.ws is not None:
@@ -132,7 +175,9 @@ class Corex:
         else:
             w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        data = M.compute_gram(xp) if strategy == "gram" else xp
+        if strategy == "gram" and self._pallas_applicable():
+            strategy = "gram_pallas"
+        data = M.compute_gram(xp) if strategy.startswith("gram") else xp
         self.ws, self.moments, self.diagnostics = _fit_program(
             data, w0, self.config, strategy)
         if self.verbose:

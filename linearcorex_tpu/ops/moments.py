@@ -102,13 +102,15 @@ def compute_gram(x: jax.Array) -> jax.Array:
 
 
 def moments_from_cxy(ws: jax.Array, c_xy: jax.Array, y_scale: float,
-                     rho_clip: float) -> Moments:
+                     rho_clip: float, cy: jax.Array | None = None) -> Moments:
     """All second-moment quantities + TC/MI given C_xy (SURVEY.md §2.3,
     [HIGH], numerically verified). Pure VPU algebra + one m x m and one
-    m x p GEMM; fuses fully under XLA."""
+    m x p GEMM; fuses fully under XLA. `cy` may be supplied precomputed
+    (fused Pallas path) — it must already include the y_scale² diagonal."""
     m = ws.shape[0]
     dt = ws.dtype
-    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(m, dtype=dt)
+    if cy is None:
+        cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(m, dtype=dt)
     z2 = jnp.diagonal(cy)
     sqz = jnp.sqrt(z2)
     ry = cy / jnp.outer(sqz, sqz)
@@ -189,11 +191,24 @@ def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip):
     return mom.objective, grad, mom.tc
 
 
-def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip):
+def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False):
     """Same as `ns_obj_grad_samples` on the precomputed-Gram fast path:
-    2 O(p²·m) GEMMs per evaluation, independent of n."""
-    c_xy = cxy_gram(gram, ws, eps)
-    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    2 O(p²·m) GEMMs per evaluation, independent of n.
+
+    With use_pallas=True the C / W·C / W·Wᵀ products come from the fused
+    Pallas kernel (ops/pallas_moments.py) — one pass over Σ instead of
+    separate GEMMs."""
+    if use_pallas:
+        from linearcorex_tpu.ops.pallas_moments import gram_products
+        c0, wc0, wwt = gram_products(gram, ws)
+        c_xy = ((1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T).astype(ws.dtype)
+        mdim = ws.shape[0]
+        cy = ((1.0 - eps ** 2) * wc0 + (eps ** 2) * wwt).astype(ws.dtype) \
+            + (y_scale ** 2) * jnp.eye(mdim, dtype=ws.dtype)
+        mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip, cy=cy)
+    else:
+        c_xy = cxy_gram(gram, ws, eps)
+        mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     aas = _mm(aa, gram)
     aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
