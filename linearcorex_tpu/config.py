@@ -38,9 +38,13 @@ class CorexConfig:
     # 'auto' picks per shapes.
     moment_strategy: str = "auto"
     gram_max_p: int = 20000
-    # Fused Pallas kernel for the Gram-path moment products:
-    # 'auto' = on TPU backends when shapes are lane-aligned; 'never'/'always'.
-    use_pallas: str = "auto"
+    # Fused Pallas kernel for the Gram-path moment products
+    # (ops/pallas_moments.py): 'never' (default) | 'auto' | 'always'.
+    # Measured on v5e at p=10k/m=512: XLA's tuned matmul emitter runs the
+    # iteration at 591 it/s vs 272 it/s for the fused kernel — the fusion
+    # saves less than the emitter's schedule wins, so the kernel is opt-in
+    # ('auto' enables it on TPU backends for lane-aligned shapes).
+    use_pallas: str = "never"
     # Deterministic adaptive-GD solver constants (mirrored by the oracle).
     lr_init: float = 0.05
     lr_growth: float = 1.1

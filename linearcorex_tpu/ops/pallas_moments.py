@@ -126,6 +126,12 @@ def gram_products(gram: jax.Array, ws: jax.Array,
             + 2 * wt.size * wt.dtype.itemsize + 4 * p * m,
             transcendentals=0,
         ),
+        # Both m x m outputs accumulate across grid steps, so the grid MUST
+        # execute sequentially — without this the runtime may reorder /
+        # parallelize iterations and the accumulators race (observed as
+        # nondeterministic results on v5e).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(gram, wt, wt)
 
