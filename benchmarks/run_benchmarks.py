@@ -1,0 +1,130 @@
+"""Benchmark suite reproducing the BASELINE.md table on TPU hardware.
+
+Measures steady-state solver iterations/sec for each BASELINE.json config
+size plus the north-star metric size, on the current default device. Every
+timed region is one compiled program; timing closes with a scalar fetch
+(BASELINE.md §2 measurement traps: ~35 ms host-sync latency, slow D2H).
+
+Usage:
+    python benchmarks/run_benchmarks.py            # all configs
+    python benchmarks/run_benchmarks.py --small    # CI-sized subset
+
+Writes results as a markdown table to stdout and benchmarks/RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+# (name, n, p, m, strategy, matmul_dtype, numpy_baseline_s_per_iter)
+# NumPy baselines measured this machine (BASELINE.md §2; None = not measured)
+CONFIGS = [
+    ("cfg1_p128_m8_n1k", 1000, 128, 8, "samples", "float32", 0.00033),
+    ("cfg2_p2k_m32_n10k", 10_000, 2048, 32, "gram", "float32", 0.161),
+    ("cfg3_p10k_m64_n200", 200, 10_000, 64, "samples", "float32", 0.0326),
+    ("northstar_p10k_m512_n10k", 10_000, 10_000, 512, "gram", "float32",
+     12.72),
+    ("northstar_p10k_m512_n10k_bf16", 10_000, 10_000, 512, "gram",
+     "bfloat16", 12.72),
+    ("cfg5_p100k_m512_n10k_1chip", 10_000, 99_840, 512, "samples",
+     "bfloat16", 130.7),
+]
+
+SMALL = {"cfg1_p128_m8_n1k", "cfg3_p10k_m64_n200"}
+
+
+def run_one(name, n, p, m, strategy, mm_dtype, iters):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.core.solver import fit_core
+    from linearcorex_tpu.models.corex import _make_obj_grad
+    from linearcorex_tpu.ops import moments as M
+    from linearcorex_tpu.utils.profiling import iteration_rate
+
+    key_z, key_e = jax.random.split(jax.random.PRNGKey(0))
+    n_blocks = min(m, 100)
+    k = p // n_blocks
+
+    @jax.jit
+    def make_data():
+        z = jax.random.normal(key_z, (n, n_blocks), jnp.float32)
+        e = jax.random.normal(key_e, (n, p), jnp.float32)
+        blocks = jnp.repeat(z, k, axis=1)           # n_blocks*k columns
+        rem = p - n_blocks * k                       # leftover: pure noise
+        signal = jnp.concatenate(
+            [blocks, jnp.zeros((n, rem), jnp.float32)], axis=1) \
+            if rem else blocks
+        x = signal * 0.9 + 0.436 * e
+        return (x - x.mean(0)) / x.std(0)
+
+    x = make_data()
+    x.block_until_ready()
+    data = x
+    if strategy == "gram":
+        data = jax.jit(M.compute_gram)(x)
+        if mm_dtype == "bfloat16":
+            data = data.astype(jnp.bfloat16)
+        data.block_until_ready()
+
+    cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
+                      record_history=False, dtype="float32",
+                      matmul_dtype=mm_dtype)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(d, w0, cfg, strat):
+        return fit_core(_make_obj_grad(d, cfg, strat), w0, cfg)
+
+    w0 = jnp.asarray(np.random.RandomState(1).normal(
+        scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
+    ips, total, dt = iteration_rate(
+        functools.partial(run, data, w0, cfg, strategy))
+    return ips, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--iters", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax
+    rows = []
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    for name, n, p, m, strategy, mm_dtype, base in CONFIGS:
+        if args.small and name not in SMALL:
+            continue
+        print(f"running {name} ...", flush=True)
+        try:
+            ips, dt = run_one(name, n, p, m, strategy, mm_dtype, args.iters)
+            speedup = ips * base if base else float("nan")
+            rows.append((name, f"{ips:.1f}", f"{1000.0/ips:.2f}",
+                         f"{speedup:,.0f}x" if base else "n/a"))
+            print(f"  {ips:.1f} it/s", flush=True)
+        except Exception as e:  # record failures, keep going
+            rows.append((name, "FAIL", "-", str(e)[:60]))
+            print(f"  FAILED: {e}", flush=True)
+
+    header = ("| config | iters/sec | ms/iter | speedup vs 1-core NumPy |\n"
+              "|---|---|---|---|\n")
+    table = header + "\n".join(
+        f"| {a} | {b} | {c} | {d} |" for a, b, c, d in rows)
+    print("\n" + table)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "RESULTS.md")
+    with open(out, "w") as f:
+        f.write(f"# Benchmark results\n\ndevice: {dev}\n\n{table}\n")
+    print(f"\nwrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,18 @@ Usage (reference-compatible, `import linearcorex_tpu as lc`):
 
 from linearcorex_tpu.config import CorexConfig, PreprocessConfig
 from linearcorex_tpu.models.corex import Corex
+from linearcorex_tpu.models.selection import pick_n_hidden
+from linearcorex_tpu.models.stacked import StackedCorex
+from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
 
 __version__ = "0.1.0"
-__all__ = ["Corex", "CorexConfig", "PreprocessConfig", "__version__"]
+__all__ = [
+    "Corex",
+    "CorexConfig",
+    "PreprocessConfig",
+    "StackedCorex",
+    "pick_n_hidden",
+    "save_corex",
+    "load_corex",
+    "__version__",
+]

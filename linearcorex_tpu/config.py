@@ -32,6 +32,17 @@ class CorexConfig:
     # --- TPU-native knobs (no reference analog) ---
     # Compute dtype: float32 on TPU; float64 for oracle-parity runs on CPU.
     dtype: str = "float32"
+    # Throughput mode for the big moment GEMMs: 'bfloat16' runs them with
+    # bf16 operands (halves Σ/X HBM traffic; f32 accumulation and a f32
+    # elementwise chain). The gradient noise floor rises to ~1e-3 relative —
+    # pair with tol>=1e-4. 'float32' is the accuracy default.
+    matmul_dtype: str = "float32"
+    # XLA matmul precision for f32 operands on TPU. NOTE: 'default' lets the
+    # MXU compute f32 matmuls with ONE bf16 pass (measured: f32 and explicit
+    # bf16 run at the same 59x it/s at p=10k/m=512 — the default is already
+    # bf16 math). Set 'highest' (bf16x6 passes, ~true f32) when moment
+    # precision matters more than throughput.
+    matmul_precision: str = "default"
     # Moment strategy: 'samples' = X^T(XW^T)/n (never materializes p x p,
     # memory O(np+pm)); 'gram' = precompute Sigma = X^T X / n once and use
     # Sigma W^T per iteration (wins when n > p/2 and p x p fits in HBM);

@@ -40,13 +40,14 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
 
     strategy: 'samples' | 'gram' | 'gram_pallas' (gram with the fused
     Pallas kernel for the moment products)."""
+    bf16 = cfg.matmul_dtype == "bfloat16"
     if cfg.discourage_overlap:
         if strategy in ("gram", "gram_pallas"):
             return lambda ws, eps: M.ns_obj_grad_gram(
                 ws, data, eps, cfg.y_scale, cfg.rho_clip,
-                use_pallas=strategy == "gram_pallas")
+                use_pallas=strategy == "gram_pallas", bf16=bf16)
         return lambda ws, eps: M.ns_obj_grad_samples(
-            ws, data, eps, cfg.y_scale, cfg.rho_clip)
+            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16)
     if strategy in ("gram", "gram_pallas"):
         return lambda ws, eps: M.overlap_obj_grad_gram(
             ws, data, eps, cfg.y_scale)
@@ -58,16 +59,21 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
 def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
     """The complete fit as one XLA program: annealed solve → final moments →
     factor sort (SURVEY.md §3.1). Returns (ws, Moments, FitDiagnostics)."""
-    obj_grad = _make_obj_grad(data, cfg, strategy)
-    ws, diag = fit_core(obj_grad, w0, cfg)
-    zero = jnp.asarray(0.0, w0.dtype)
-    if strategy in ("gram", "gram_pallas"):
-        c_xy = M.cxy_gram(data, ws, zero)
-    else:
-        c_xy = M.cxy_samples(data, ws, zero)
-    mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
-    ws_sorted, order = sort_by_tcs(ws, mom.tcs)
-    return ws_sorted, M.permute_moments(mom, order), diag
+    import contextlib
+    prec_ctx = (contextlib.nullcontext()
+                if cfg.matmul_precision == "default"
+                else jax.default_matmul_precision(cfg.matmul_precision))
+    with prec_ctx:
+        obj_grad = _make_obj_grad(data, cfg, strategy)
+        ws, diag = fit_core(obj_grad, w0, cfg)
+        zero = jnp.asarray(0.0, w0.dtype)
+        if strategy in ("gram", "gram_pallas"):
+            c_xy = M.cxy_gram(data, ws, zero)
+        else:
+            c_xy = M.cxy_samples(data, ws, zero)
+        mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+        ws_sorted, order = sort_by_tcs(ws, mom.tcs)
+        return ws_sorted, M.permute_moments(mom, order), diag
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -87,13 +93,15 @@ class Corex:
                  gaussianize="standard", gpu=None, y_scale=1.0,
                  update_iter=10, pretrained_weights=None, verbose=False,
                  seed=None, dtype="float32", moment_strategy="auto",
-                 record_history=True):
+                 record_history=True, matmul_dtype="float32",
+                 use_pallas="never", matmul_precision="default"):
         del gpu  # accepted for reference API parity; XLA is the one backend
         self.config = CorexConfig(
             n_hidden=n_hidden, max_iter=max_iter, tol=tol, anneal=anneal,
             discourage_overlap=discourage_overlap, y_scale=y_scale,
             dtype=dtype, moment_strategy=moment_strategy,
-            record_history=record_history)
+            record_history=record_history, matmul_dtype=matmul_dtype,
+            use_pallas=use_pallas, matmul_precision=matmul_precision)
         self.pre_config = PreprocessConfig(gaussianize=gaussianize,
                                            missing_values=missing_values)
         self.update_iter = update_iter
@@ -178,6 +186,9 @@ class Corex:
         if strategy == "gram" and self._pallas_applicable():
             strategy = "gram_pallas"
         data = M.compute_gram(xp) if strategy.startswith("gram") else xp
+        if self.config.matmul_dtype == "bfloat16" and strategy.startswith(
+                "gram"):
+            data = data.astype(jnp.bfloat16)  # halve Σ's HBM footprint too
         self.ws, self.moments, self.diagnostics = _fit_program(
             data, w0, self.config, strategy)
         if self.verbose:

@@ -43,6 +43,13 @@ def _mm(a, b):
         jnp.promote_types(a.dtype, b.dtype))
 
 
+def _mm_bf16(a, b, out_dtype):
+    """Throughput-mode matmul: bf16 operands on the MXU (2x rate, half the
+    HBM traffic), float32 accumulation, float32/out_dtype result."""
+    return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                      preferred_element_type=_F32).astype(out_dtype)
+
+
 class Moments(NamedTuple):
     """Moment pytree — field names map 1:1 to the reference's moment dict
     keys (SURVEY.md §2.3): c_xy="X_i Y_j", cy="cy", z2="Y_j^2", ry="ry",
@@ -175,29 +182,41 @@ def _ns_gradient_terms(mom: Moments):
     return aa, hmat, coef, jnp.sqrt(mom.z2)
 
 
-def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip):
+def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False):
     """(objective, gradient, TC) of the non-overlap objective, sample path.
 
     Cost: 4 skinny MXU GEMMs (2 for moments, 2 for AA·Σ_eff); O(np+pm)
-    memory. Matches the oracle's `ns_gradient` bit-for-bit in float64."""
+    memory. Matches the oracle's `ns_gradient` bit-for-bit in float64.
+    bf16=True runs the four big GEMMs with bfloat16 operands (f32 accum)."""
     n = x.shape[0]
-    c_xy = cxy_samples(x, ws, eps)
+    if bf16:
+        y = _mm_bf16(x, ws.T, ws.dtype)
+        c_xy = _mm_bf16(x.T, y, ws.dtype) / n
+        c_xy = (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
+    else:
+        c_xy = cxy_samples(x, ws, eps)
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
-    aas = _mm(_mm(aa, x.T), x) / n
+    if bf16:
+        aas = _mm_bf16(_mm_bf16(aa, x.T, ws.dtype), x, ws.dtype) / n
+    else:
+        aas = _mm(_mm(aa, x.T), x) / n
     aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
     grad = (aas + _mm(hmat, mom.rho)
             - coef[:, None] * mom.rho) / sqz[:, None]
     return mom.objective, grad, mom.tc
 
 
-def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False):
+def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False,
+                     bf16=False):
     """Same as `ns_obj_grad_samples` on the precomputed-Gram fast path:
     2 O(p²·m) GEMMs per evaluation, independent of n.
 
     With use_pallas=True the C / W·C / W·Wᵀ products come from the fused
     Pallas kernel (ops/pallas_moments.py) — one pass over Σ instead of
-    separate GEMMs."""
+    separate GEMMs. With bf16=True the two big GEMMs run with bfloat16
+    operands (store the Gram matrix in bf16 to also halve its HBM traffic);
+    the moment chain stays float32 — use a looser tol (~1e-4)."""
     if use_pallas:
         from linearcorex_tpu.ops.pallas_moments import gram_products
         c0, wc0, wwt = gram_products(gram, ws)
@@ -207,10 +226,14 @@ def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False):
             + (y_scale ** 2) * jnp.eye(mdim, dtype=ws.dtype)
         mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip, cy=cy)
     else:
-        c_xy = cxy_gram(gram, ws, eps)
+        if bf16:
+            c0 = _mm_bf16(gram, ws.T, ws.dtype)
+            c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+        else:
+            c_xy = cxy_gram(gram, ws, eps)
         mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
-    aas = _mm(aa, gram)
+    aas = _mm_bf16(aa, gram, ws.dtype) if bf16 else _mm(aa, gram)
     aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
     grad = (aas + _mm(hmat, mom.rho)
             - coef[:, None] * mom.rho) / sqz[:, None]

@@ -89,3 +89,25 @@ def test_seed_reproducibility(small_block_data):
     assert np.array_equal(np.asarray(c1.ws), np.asarray(c2.ws))
     c3 = lc.Corex(n_hidden=4, seed=124).fit(small_block_data)
     assert not np.array_equal(np.asarray(c1.ws), np.asarray(c3.ws))
+
+
+def test_bf16_matmul_mode_quality(med_block_data):
+    """Throughput mode: bf16 GEMMs still recover structure; TC within 1%."""
+    import linearcorex_tpu as lc
+    w0 = np.random.RandomState(7).normal(scale=1 / 8, size=(8, 64))
+    c32 = lc.Corex(n_hidden=8, tol=1e-4).fit(med_block_data, init_ws=w0)
+    cbf = lc.Corex(n_hidden=8, tol=1e-4, matmul_dtype="bfloat16").fit(
+        med_block_data, init_ws=w0)
+    assert np.array_equal(np.asarray(cbf.clusters), np.asarray(c32.clusters))
+    assert abs(cbf.tc - c32.tc) / c32.tc < 0.02
+
+
+def test_matmul_precision_option(small_block_data):
+    """'highest' precision mode runs and matches default on CPU (where f32
+    matmuls are true f32 either way; the knob matters on TPU MXU)."""
+    import linearcorex_tpu as lc
+    w0 = np.random.RandomState(9).normal(scale=1 / np.sqrt(32), size=(4, 32))
+    c1 = lc.Corex(n_hidden=4).fit(small_block_data, init_ws=w0)
+    c2 = lc.Corex(n_hidden=4, matmul_precision="highest").fit(
+        small_block_data, init_ws=w0)
+    assert abs(c1.tc - c2.tc) / c1.tc < 1e-4
