@@ -67,6 +67,22 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str):
     return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
+def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
+                         mesh, axis_name: str = "restarts"):
+    """Restart sweep with the RESTART axis sharded over a device mesh: each
+    chip runs its slice of the batch on a replicated copy of the data — the
+    zero-communication layout for many small/medium fits (the EP-analog row
+    of SURVEY.md §2.8). Complements `parallel.sharding.fit_sharded`, which
+    shards the data instead (one big fit)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w0_batch = jax.device_put(
+        w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
+    data = jax.device_put(data, NamedSharding(mesh, P()))
+    with jax.set_mesh(mesh):
+        return _fit_restarts_program(data, w0_batch, cfg, strategy)
+
+
 def best_restart(ws_batch, mom_batch, diag_batch):
     """Select the restart with the highest final TC (the reference keeps the
     best-TC refit, SURVEY.md §2.7)."""

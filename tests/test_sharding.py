@@ -87,3 +87,21 @@ def test_sharded_deterministic(setup):
     ws2, mom2, _ = fit_sharded(xp, w0, cfg, mesh, ShardingPlan())
     assert np.array_equal(np.asarray(ws1), np.asarray(ws2))
     assert float(mom1.tc) == float(mom2.tc)
+
+
+def test_restart_axis_sharded_matches_unsharded():
+    """Sharding the restart axis over the mesh reproduces the vmapped sweep
+    (zero-communication layout — BASELINE config 5's 32-restart sweep)."""
+    from linearcorex_tpu.parallel.restarts import (fit_restarts,
+                                                   fit_restarts_sharded,
+                                                   init_restarts)
+    x = block_data(n=256, p=64, m=4, seed=1)
+    xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float64), "standard")
+    cfg = CorexConfig(n_hidden=4, dtype="float64", record_history=False,
+                      max_iter=1500)
+    w0 = init_restarts(8, 4, 64, seed=3, dtype=jnp.float64)
+    ws_u, mom_u, _ = fit_restarts(xp, w0, cfg, "samples")
+    mesh = make_mesh((("restarts", 8),))
+    ws_s, mom_s, _ = fit_restarts_sharded(xp, w0, cfg, "samples", mesh)
+    assert np.abs(np.asarray(ws_s) - np.asarray(ws_u)).max() < 1e-8
+    assert np.abs(np.asarray(mom_s.tc) - np.asarray(mom_u.tc)).max() < 1e-8
