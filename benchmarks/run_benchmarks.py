@@ -97,6 +97,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     rows = []
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
