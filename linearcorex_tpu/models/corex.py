@@ -94,14 +94,16 @@ class Corex:
                  update_iter=10, pretrained_weights=None, verbose=False,
                  seed=None, dtype="float32", moment_strategy="auto",
                  record_history=True, matmul_dtype="float32",
-                 use_pallas="never", matmul_precision="default"):
+                 use_pallas="never", matmul_precision="default",
+                 optimizer="momentum", momentum_beta=0.9):
         del gpu  # accepted for reference API parity; XLA is the one backend
         self.config = CorexConfig(
             n_hidden=n_hidden, max_iter=max_iter, tol=tol, anneal=anneal,
             discourage_overlap=discourage_overlap, y_scale=y_scale,
             dtype=dtype, moment_strategy=moment_strategy,
             record_history=record_history, matmul_dtype=matmul_dtype,
-            use_pallas=use_pallas, matmul_precision=matmul_precision)
+            use_pallas=use_pallas, matmul_precision=matmul_precision,
+            optimizer=optimizer, momentum_beta=momentum_beta)
         self.pre_config = PreprocessConfig(gaussianize=gaussianize,
                                            missing_values=missing_values)
         self.update_iter = update_iter

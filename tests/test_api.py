@@ -98,7 +98,11 @@ def test_bf16_matmul_mode_quality(med_block_data):
     c32 = lc.Corex(n_hidden=8, tol=1e-4).fit(med_block_data, init_ws=w0)
     cbf = lc.Corex(n_hidden=8, tol=1e-4, matmul_dtype="bfloat16").fit(
         med_block_data, init_ws=w0)
-    assert np.array_equal(np.asarray(cbf.clusters), np.asarray(c32.clusters))
+    # same partition up to factor relabeling (the tcs sort can swap
+    # near-tied factors between numeric modes)
+    mapping = {}
+    for a, b in zip(np.asarray(cbf.clusters), np.asarray(c32.clusters)):
+        assert mapping.setdefault(int(a), int(b)) == int(b)
     assert abs(cbf.tc - c32.tc) / c32.tc < 0.02
 
 
