@@ -90,10 +90,61 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters):
     return ips, dt
 
 
+def run_e2e_northstar():
+    """End-to-end annealed fit to tol=1e-5 at the north-star size: wall time
+    + iterations, vs the NumPy-estimated time (iterations x 12.72 s/iter,
+    BASELINE.md §2)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.core.solver import fit_core
+    from linearcorex_tpu.models.corex import _make_obj_grad
+    from linearcorex_tpu.ops import moments as M
+
+    n, p, m = 10_000, 10_000, 512
+    key_z, key_e = jax.random.split(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def make_data():
+        z = jax.random.normal(key_z, (n, 100), jnp.float32)
+        e = jax.random.normal(key_e, (n, p), jnp.float32)
+        x = jnp.repeat(z, p // 100, axis=1) * 0.9 + 0.436 * e
+        return (x - x.mean(0)) / x.std(0)
+
+    x = make_data()
+    gram = jax.jit(M.compute_gram)(x)
+    gram.block_until_ready()
+    cfg = CorexConfig(n_hidden=m, max_iter=2000, tol=1e-5, anneal=True,
+                      record_history=False, dtype="float32")
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(d, w0, cfg, strat):
+        return fit_core(_make_obj_grad(d, cfg, strat), w0, cfg)
+
+    w0 = jnp.asarray(np.random.RandomState(1).normal(
+        scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
+    run(gram, w0, cfg, "gram")[1].tc_per_stage.block_until_ready()  # compile
+    t0 = time.perf_counter()
+    ws, diag = run(gram, w0, cfg, "gram")
+    tc = float(diag.tc_per_stage[-1])
+    dt = time.perf_counter() - t0
+    total = int(np.asarray(diag.iters_per_stage).sum())
+    numpy_est = total * 12.72
+    return (f"| e2e annealed fit p=10k m=512 tol=1e-5 | {total} iters in "
+            f"{dt:.2f}s (TC={tc:.1f}) | {dt*1000/max(total,1):.2f} | "
+            f"{numpy_est/dt:,.0f}x (NumPy est. {numpy_est/3600:.1f} h) |")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--e2e", action="store_true",
+                    help="also run the end-to-end annealed north-star fit")
     args = ap.parse_args()
 
     import jax
@@ -125,6 +176,12 @@ def main():
               "|---|---|---|---|\n")
     table = header + "\n".join(
         f"| {a} | {b} | {c} | {d} |" for a, b, c, d in rows)
+    if args.e2e and not args.small:
+        print("running e2e annealed north-star fit ...", flush=True)
+        try:
+            table += "\n" + run_e2e_northstar()
+        except Exception as e:
+            table += f"\n| e2e annealed fit | FAIL | - | {str(e)[:60]} |"
     print("\n" + table)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")

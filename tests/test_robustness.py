@@ -1,0 +1,59 @@
+"""Edge-case robustness for the estimator surface."""
+
+import numpy as np
+import pytest
+
+import linearcorex_tpu as lc
+from tests.conftest import block_data
+
+
+def test_n_hidden_one(small_block_data):
+    c = lc.Corex(n_hidden=1, seed=0).fit(small_block_data)
+    assert np.asarray(c.tcs).shape == (1,)
+    assert np.all(np.asarray(c.clusters) == 0)
+    assert np.isfinite(c.tc)
+
+
+def test_max_iter_one(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0, max_iter=1).fit(small_block_data)
+    assert np.all(np.asarray(c.diagnostics.iters_per_stage) == 1)
+    assert np.isfinite(c.tc)
+
+
+def test_huge_tol_stops_immediately(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0, tol=1e9).fit(small_block_data)
+    assert int(np.asarray(c.diagnostics.iters_per_stage).sum()) <= 7
+    assert np.isfinite(c.tc)
+
+
+def test_gd_optimizer_still_available(small_block_data):
+    c_gd = lc.Corex(n_hidden=4, seed=0, optimizer="gd").fit(small_block_data)
+    c_mo = lc.Corex(n_hidden=4, seed=0).fit(small_block_data)
+    assert abs(c_gd.tc - c_mo.tc) / c_mo.tc < 0.01
+    # momentum converges in fewer total iterations
+    assert (np.asarray(c_mo.diagnostics.iters_per_stage).sum()
+            < np.asarray(c_gd.diagnostics.iters_per_stage).sum())
+
+
+def test_constant_column_does_not_nan():
+    x = block_data(n=300, p=16, m=2, seed=0)
+    x[:, 5] = 3.14  # zero-variance column
+    c = lc.Corex(n_hidden=2, seed=0).fit(x)
+    assert np.isfinite(c.tc)
+    assert np.all(np.isfinite(np.asarray(c.ws)))
+
+
+def test_more_factors_than_variables():
+    x = block_data(n=400, p=8, m=2, seed=1)
+    c = lc.Corex(n_hidden=12, seed=0, max_iter=3000).fit(x)
+    assert np.isfinite(c.tc)
+    # extra factors die: their tcs go to ~0
+    assert float(np.asarray(c.tcs)[-1]) < 0.05
+
+
+def test_nonfinite_free_under_annealing_extremes():
+    """Strongly correlated data (rho near 1) with the clip active."""
+    x = block_data(n=500, p=24, m=3, seed=2, strength=0.999)
+    c = lc.Corex(n_hidden=3, seed=0).fit(x)
+    assert np.isfinite(c.tc)
+    assert np.all(np.isfinite(np.asarray(c.mis)))
