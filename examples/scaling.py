@@ -1,0 +1,58 @@
+"""Scaling workflows: multi-restart sweeps, device-mesh sharding, stacking.
+
+Run on any JAX backend; on a multi-chip TPU slice the meshes map onto real
+chips (here they run on whatever devices are visible).
+
+Run: python examples/scaling.py
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import linearcorex_tpu as lc
+from linearcorex_tpu.config import CorexConfig
+from linearcorex_tpu.ops import preprocessing as P
+from linearcorex_tpu.parallel.restarts import (best_restart, fit_restarts,
+                                               init_restarts)
+from linearcorex_tpu.parallel.sharding import (DATA_AXIS, ShardingPlan,
+                                               fit_sharded, make_mesh)
+
+
+def make_data(n=2048, p=128, m=8, seed=0):
+    rng = np.random.RandomState(seed)
+    z = rng.normal(size=(n, m))
+    k = p // m
+    x = np.repeat(z, k, axis=1) * 0.9 + 0.436 * rng.normal(size=(n, p))
+    return x
+
+
+def main():
+    x = make_data()
+    n, p = x.shape
+    dtype = jnp.float32
+
+    # --- 1. vmapped multi-restart sweep: 8 fits, one compiled program ----
+    xp, _ = P.fit_preprocess(jnp.asarray(x, dtype), "standard")
+    cfg = CorexConfig(n_hidden=8, dtype="float32", record_history=False)
+    w0 = init_restarts(8, 8, p, seed=0, dtype=dtype)
+    ws_b, mom_b, diag_b = fit_restarts(xp, w0, cfg, "samples")
+    ws, mom, diag, idx = best_restart(ws_b, mom_b, diag_b)
+    print(f"restart sweep: best TC {float(mom.tc):.3f} (restart {int(idx)}; "
+          f"all: {np.asarray(mom_b.tc).round(2)})")
+
+    # --- 2. sample-sharded fit over a device mesh ------------------------
+    n_dev = len(jax.devices())
+    if n % n_dev == 0:
+        mesh = make_mesh(((DATA_AXIS, n_dev),))
+        ws_sh, mom_sh, _ = fit_sharded(xp, w0[0], cfg, mesh, ShardingPlan())
+        print(f"sharded fit over {n_dev} device(s): TC {float(mom_sh.tc):.3f}")
+
+    # --- 3. stacked 2-layer CorEx ---------------------------------------
+    stack = lc.StackedCorex([8, 2], seed=0).fit(x)
+    print(f"stacked: layer TCs = "
+          f"{[round(float(np.sum(np.asarray(t))), 2) for t in stack.tcs]}")
+
+
+if __name__ == "__main__":
+    main()
