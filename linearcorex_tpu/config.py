@@ -71,9 +71,17 @@ class CorexConfig:
     # (n_stages x max_iter) carry; disable for large batched sweeps.
     record_history: bool = True
 
+    # When set, the fit runs a single stage at exactly this eps instead of
+    # the full schedule — the stage-boundary checkpointing driver
+    # (utils/checkpoint.py :: fit_with_checkpoints) uses this to run the
+    # schedule one compiled stage at a time with a resume point between.
+    eps_override: Optional[float] = None
+
     def anneal_schedule(self) -> Tuple[float, ...]:
         """Annealing eps schedule (SURVEY.md §2.4): geometric 0.6**k ending
         in exact 0; only for the multi-factor non-overlap solver."""
+        if self.eps_override is not None:
+            return (self.eps_override,)
         if self.anneal and self.n_hidden > 1 and self.discourage_overlap:
             return tuple(0.6 ** k for k in range(1, 7)) + (0.0,)
         return (0.0,)

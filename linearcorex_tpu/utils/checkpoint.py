@@ -24,7 +24,7 @@ from linearcorex_tpu.models.corex import Corex
 from linearcorex_tpu.ops.moments import Moments
 from linearcorex_tpu.ops.preprocessing import Theta
 
-__all__ = ["save_corex", "load_corex"]
+__all__ = ["save_corex", "load_corex", "fit_with_checkpoints"]
 
 _FORMAT_VERSION = 1
 
@@ -53,6 +53,80 @@ def save_corex(model: Corex, path: str) -> None:
     for name, val in model.moments._asdict().items():
         arrays[f"mom_{name}"] = np.asarray(val)
     np.savez(path, **arrays)
+
+
+def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
+    """Run the annealed fit one stage at a time, saving (ws, stage) at each
+    anneal-stage boundary — preemption recovery for long fits on TPU VMs
+    (SURVEY.md §5 checkpoint/resume). If `ckpt_dir` already holds a stage
+    file, fitting resumes from the stage after it.
+
+    Each stage compiles once and runs with a single host sync; the extra
+    cost vs the one-program `fit` is one sync + one small save per stage.
+    Finishes by populating `model` exactly like `Corex.fit` (final moments,
+    sorted factors) and returns the model.
+    """
+    import dataclasses as _dc
+    import os
+
+    import jax
+
+    from linearcorex_tpu.models.corex import _fit_program
+    from linearcorex_tpu.ops import moments as M
+    from linearcorex_tpu.ops import preprocessing as Pre
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state_path = os.path.join(ckpt_dir, "stage_state.npz")
+
+    x = jnp.asarray(x, dtype=model._dt)
+    model.n_samples, model.nv = x.shape
+    xp, model.theta = Pre.fit_preprocess(
+        x, model.pre_config.gaussianize, model.pre_config.missing_values)
+    strategy = model.config.pick_strategy(model.n_samples, model.nv)
+    data = M.compute_gram(xp) if strategy.startswith("gram") else xp
+
+    schedule = model.config.anneal_schedule()
+    start_stage = 0
+    if os.path.exists(state_path):
+        with np.load(state_path) as z:
+            saved_stage = int(z["stage"])
+            if saved_stage < len(schedule):
+                ws = jnp.asarray(z["ws"], model._dt)
+                start_stage = saved_stage
+            else:
+                ws = jnp.asarray(z["ws"], model._dt)
+                start_stage = len(schedule)
+    if start_stage == 0:
+        if init_ws is not None:
+            ws = jnp.asarray(init_ws, dtype=model._dt)
+        elif model.ws is not None:
+            ws = model.ws
+        else:
+            ws = jnp.asarray(model._init_ws(model.nv), dtype=model._dt)
+
+    diag = None
+    for s in range(start_stage, len(schedule)):
+        stage_cfg = _dc.replace(model.config, eps_override=schedule[s])
+        ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
+        np.savez(state_path, ws=np.asarray(ws), stage=s + 1)
+
+    # finalize exactly like Corex.fit: full moments at eps=0 + factor sort
+    # (no further solver steps)
+    from linearcorex_tpu.core.solver import sort_by_tcs
+
+    @jax.jit
+    def _finalize(d, w):
+        zero = jnp.asarray(0.0, w.dtype)
+        c_xy = (M.cxy_gram(d, w, zero) if strategy.startswith("gram")
+                else M.cxy_samples(d, w, zero))
+        mom = M.moments_from_cxy(w, c_xy, model.config.y_scale,
+                                 model.config.rho_clip)
+        w_sorted, order = sort_by_tcs(w, mom.tcs)
+        return w_sorted, M.permute_moments(mom, order)
+
+    model.ws, model.moments = _finalize(data, ws)
+    model.diagnostics = diag
+    return model
 
 
 def load_corex(path: str) -> Corex:

@@ -40,3 +40,55 @@ def test_unfitted_raises(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         save_corex(lc.Corex(n_hidden=2), str(tmp_path / "x.npz"))
+
+
+def test_fit_with_checkpoints_matches_plain_fit(tmp_path, small_block_data):
+    """Stage-by-stage fit with boundary checkpoints lands on the same
+    solution as the one-program fit (momentum buffer resets at stage
+    boundaries in both paths — scan stages don't carry v either)."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+    x = small_block_data
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(32), size=(4, 32))
+    ref = lc.Corex(n_hidden=4, dtype="float64").fit(x, init_ws=w0)
+    m2 = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(m2, x, str(tmp_path / "ck"), init_ws=w0)
+    assert abs(m2.tc - ref.tc) < 1e-9
+    assert np.abs(np.asarray(m2.ws) - np.asarray(ref.ws)).max() < 1e-9
+
+
+def test_fit_with_checkpoints_resumes(tmp_path, small_block_data):
+    """Interrupting after stage k and restarting resumes from stage k+1 and
+    reaches the same final solution."""
+    import dataclasses
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+    from linearcorex_tpu.models.corex import _fit_program
+    from linearcorex_tpu.ops import preprocessing as Pre
+    from linearcorex_tpu.ops import moments as M
+    import jax.numpy as jnp
+
+    x = small_block_data
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(32), size=(4, 32))
+    ckdir = str(tmp_path / "ck")
+
+    # simulate an interrupted run: execute only the first 3 stages manually
+    model = lc.Corex(n_hidden=4, dtype="float64")
+    xj = jnp.asarray(x, jnp.float64)
+    xp, theta = Pre.fit_preprocess(xj, "standard")
+    strategy = model.config.pick_strategy(*x.shape)
+    data = M.compute_gram(xp) if strategy.startswith("gram") else xp
+    schedule = model.config.anneal_schedule()
+    ws = jnp.asarray(w0, jnp.float64)
+    import os
+    os.makedirs(ckdir, exist_ok=True)
+    for s in range(3):
+        cfg_s = dataclasses.replace(model.config, eps_override=schedule[s])
+        ws, _, _ = _fit_program(data, ws, cfg_s, strategy)
+        np.savez(os.path.join(ckdir, "stage_state.npz"),
+                 ws=np.asarray(ws), stage=s + 1)
+
+    # resume completes the remaining stages
+    m2 = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(m2, x, ckdir, init_ws=w0)
+    ref = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(ref, x, str(tmp_path / "ck2"), init_ws=w0)
+    assert abs(m2.tc - ref.tc) < 1e-9
