@@ -168,7 +168,29 @@ class Corex:
         xp = jnp.asarray(native.empirical_gaussianize(xh), self._dt)
         return xp, theta
 
+    def _validate_input(self, x, for_fit=False):
+        shape = getattr(x, "shape", None)
+        if shape is None or len(shape) != 2:
+            raise ValueError(
+                f"expected a 2-D (n_samples, n_variables) array, got "
+                f"shape {shape}")
+        if for_fit and shape[0] < 2:
+            raise ValueError(f"need at least 2 samples, got {shape[0]}")
+        if for_fit and shape[1] < self.m:
+            import warnings
+            warnings.warn(
+                f"n_hidden={self.m} exceeds n_variables={shape[1]}; "
+                f"surplus factors will converge to zero TC")
+        # NaN screening is free on host arrays; on-device we skip it rather
+        # than force a sync (NaNs would surface as non-finite TC anyway).
+        if isinstance(x, np.ndarray) and self.pre_config.missing_values \
+                is None and np.isnan(x).any():
+            raise ValueError(
+                "input contains NaN; pass missing_values=<sentinel> after "
+                "encoding missing entries, or impute beforehand")
+
     def fit(self, x, init_ws=None):
+        self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape

@@ -88,28 +88,43 @@ def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None,
     return Mesh(arr, names)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def _fit_program_sharded(x, w0, cfg: CorexConfig, plan: ShardingPlan):
-    """Identical math to models.corex._fit_program (samples strategy); the
-    sharding of the operands makes GSPMD partition every GEMM and insert the
-    ICI collectives. Keeping one code path for 1-chip and N-chip execution
-    is the point: sharded-vs-single equivalence is a test invariant."""
-    obj_grad = _make_obj_grad(x, cfg, "samples")
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _fit_program_sharded(data, w0, cfg: CorexConfig, plan: ShardingPlan,
+                         strategy: str):
+    """Identical math to models.corex._fit_program; the sharding of the
+    operands makes GSPMD partition every GEMM and insert the ICI
+    collectives. Keeping one code path for 1-chip and N-chip execution is
+    the point: sharded-vs-single equivalence is a test invariant."""
+    obj_grad = _make_obj_grad(data, cfg, strategy)
     ws, diag = fit_core(obj_grad, w0, cfg)
-    c_xy = M.cxy_samples(x, ws, jnp.asarray(0.0, w0.dtype))
+    zero = jnp.asarray(0.0, w0.dtype)
+    c_xy = (M.cxy_gram(data, ws, zero) if strategy == "gram"
+            else M.cxy_samples(data, ws, zero))
     mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
     ws_sorted, order = sort_by_tcs(ws, mom.tcs)
     return ws_sorted, M.permute_moments(mom, order), diag
 
 
-def fit_sharded(x, w0, cfg: CorexConfig, mesh: Mesh,
-                plan: ShardingPlan = ShardingPlan()):
-    """Run the annealed fit with x/W laid out per `plan` on `mesh`.
+def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
+                plan: ShardingPlan = ShardingPlan(),
+                strategy: str = "samples"):
+    """Run the annealed fit with the data laid out per `plan` on `mesh`.
 
-    Returns (ws, Moments, FitDiagnostics) with ws fully replicated (it is
-    m x p — small — and every chip needs it each iteration anyway).
-    """
-    x = jax.device_put(x, NamedSharding(mesh, plan.x_spec()))
-    w0 = jax.device_put(w0, NamedSharding(mesh, plan.w_spec()))
+    strategy='samples': `data` is X (n x p); shardable along samples and/or
+    variables per the plan. strategy='gram': `data` is Σ = XᵀX/n (p x p);
+    its rows shard along the variable axis (the multi-chip layout for
+    medium-p, high-iteration fits — Σ row-blocks live on different chips,
+    ΣWᵀ row-blocks are chip-local, and the small m x m products reduce over
+    ICI). Returns (ws, Moments, FitDiagnostics) with ws replicated (m x p —
+    small, needed by every chip each iteration)."""
+    if strategy == "gram":
+        data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
+    else:
+        data_spec = plan.x_spec()
+    data = jax.device_put(data, NamedSharding(mesh, data_spec))
+    w0 = jax.device_put(w0, NamedSharding(mesh, plan.w_spec()
+                                          if strategy != "gram"
+                                          else P(
+        FACTOR_AXIS if plan.shard_factors else None, None)))
     with jax.set_mesh(mesh):
-        return _fit_program_sharded(x, w0, cfg, plan)
+        return _fit_program_sharded(data, w0, cfg, plan, strategy)

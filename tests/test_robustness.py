@@ -57,3 +57,22 @@ def test_nonfinite_free_under_annealing_extremes():
     c = lc.Corex(n_hidden=3, seed=0).fit(x)
     assert np.isfinite(c.tc)
     assert np.all(np.isfinite(np.asarray(c.mis)))
+
+
+def test_input_validation_errors():
+    c = lc.Corex(n_hidden=2)
+    with pytest.raises(ValueError, match="2-D"):
+        c.fit(np.zeros(10))
+    with pytest.raises(ValueError, match="2 samples"):
+        c.fit(np.zeros((1, 5)))
+    with pytest.raises(ValueError, match="NaN"):
+        x = np.random.RandomState(0).normal(size=(50, 5))
+        x[3, 2] = np.nan
+        c.fit(x)
+
+
+def test_nan_ok_with_missing_values_sentinel():
+    x = block_data(n=200, p=8, m=2, seed=0)
+    x[5, 3] = -999.0
+    c = lc.Corex(n_hidden=2, missing_values=-999.0, seed=0).fit(x)
+    assert np.isfinite(c.tc)

@@ -105,3 +105,18 @@ def test_restart_axis_sharded_matches_unsharded():
     ws_s, mom_s, _ = fit_restarts_sharded(xp, w0, cfg, "samples", mesh)
     assert np.abs(np.asarray(ws_s) - np.asarray(ws_u)).max() < 1e-8
     assert np.abs(np.asarray(mom_s.tc) - np.asarray(mom_u.tc)).max() < 1e-8
+
+
+def test_gram_var_sharded_fit(setup):
+    """Gram strategy with Σ row-sharded over the variable axis equals the
+    single-device gram fit."""
+    from linearcorex_tpu.ops import moments as M
+    from linearcorex_tpu.models.corex import _fit_program
+    xp, w0, cfg, ref = setup
+    gram = M.compute_gram(xp)
+    ws_1, mom_1, _ = _fit_program(gram, w0, cfg, "gram")
+    mesh = make_mesh(((VAR_AXIS, 8),))
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    ws_s, mom_s, _ = fit_sharded(gram, w0, cfg, mesh, plan, strategy="gram")
+    assert np.abs(np.asarray(ws_s) - np.asarray(ws_1)).max() < 1e-7
+    assert abs(float(mom_s.tc) - float(mom_1.tc)) < 1e-7
