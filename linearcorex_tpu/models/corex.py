@@ -210,9 +210,12 @@ class Corex:
         if strategy == "gram" and self._pallas_applicable():
             strategy = "gram_pallas"
         data = M.compute_gram(xp) if strategy.startswith("gram") else xp
-        if self.config.matmul_dtype == "bfloat16" and strategy.startswith(
-                "gram"):
-            data = data.astype(jnp.bfloat16)  # halve Σ's HBM footprint too
+        if self.config.matmul_dtype == "bfloat16":
+            # store the data operand in bf16 as well: Σ (gram) or X
+            # (samples) is read by every GEMM every iteration — halving it
+            # halves the dominant HBM traffic (X at p=100k is 4 GB in f32,
+            # read 4x per iteration on the samples path)
+            data = data.astype(jnp.bfloat16)
         self.ws, self.moments, self.diagnostics = _fit_program(
             data, w0, self.config, strategy)
         if self.verbose:

@@ -115,3 +115,17 @@ def test_matmul_precision_option(small_block_data):
     c2 = lc.Corex(n_hidden=4, matmul_precision="highest").fit(
         small_block_data, init_ws=w0)
     assert abs(c1.tc - c2.tc) / c1.tc < 1e-4
+
+
+def test_bf16_samples_strategy_quality(med_block_data):
+    """bf16 mode on the samples path (X stored bf16) still recovers blocks."""
+    import linearcorex_tpu as lc
+    w0 = np.random.RandomState(8).normal(scale=1 / 8, size=(8, 64))
+    c32 = lc.Corex(n_hidden=8, tol=1e-4, moment_strategy="samples").fit(
+        med_block_data, init_ws=w0)
+    cbf = lc.Corex(n_hidden=8, tol=1e-4, moment_strategy="samples",
+                   matmul_dtype="bfloat16").fit(med_block_data, init_ws=w0)
+    mapping = {}
+    for a, b in zip(np.asarray(cbf.clusters), np.asarray(c32.clusters)):
+        assert mapping.setdefault(int(a), int(b)) == int(b)
+    assert abs(cbf.tc - c32.tc) / c32.tc < 0.02
