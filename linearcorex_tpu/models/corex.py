@@ -39,15 +39,20 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     """Close the active objective/gradient over the data (samples or Gram).
 
     strategy: 'samples' | 'gram' | 'gram_pallas' (gram with the fused
-    Pallas kernel for the moment products)."""
+    Pallas product kernel). cfg.use_pallas='always' additionally routes the
+    elementwise chain through the fused Pallas chain kernel ('auto' must be
+    resolved to 'always'/'never' by the caller — Corex.fit does)."""
     bf16 = cfg.matmul_dtype == "bfloat16"
+    chain = cfg.use_pallas == "always"
     if cfg.discourage_overlap:
         if strategy in ("gram", "gram_pallas"):
             return lambda ws, eps: M.ns_obj_grad_gram(
                 ws, data, eps, cfg.y_scale, cfg.rho_clip,
-                use_pallas=strategy == "gram_pallas", bf16=bf16)
+                use_pallas=strategy == "gram_pallas", bf16=bf16,
+                chain_kernel=chain and strategy == "gram")
         return lambda ws, eps: M.ns_obj_grad_samples(
-            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16)
+            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
+            chain_kernel=chain)
     if strategy in ("gram", "gram_pallas"):
         return lambda ws, eps: M.overlap_obj_grad_gram(
             ws, data, eps, cfg.y_scale)
@@ -125,13 +130,14 @@ class Corex:
         return jnp.dtype(self.config.dtype)
 
     def _pallas_applicable(self) -> bool:
-        """Resolve use_pallas='auto': fused kernel on TPU backends with
-        lane-aligned shapes; only the non-overlap path uses it."""
+        """Resolve use_pallas='auto' for the fused CHAIN kernel: TPU
+        backends with lane-aligned m and a tileable p; only the non-overlap
+        path uses it."""
         mode = self.config.use_pallas
         if mode == "never" or not self.config.discourage_overlap:
             return False
-        from linearcorex_tpu.ops.pallas_moments import supported
-        ok_shape = supported(self.nv, self.m)
+        from linearcorex_tpu.ops.pallas_moments import chain_supported
+        ok_shape = chain_supported(self.nv, self.m)
         if mode == "always":
             return ok_shape
         platform = jax.devices()[0].platform
@@ -207,8 +213,12 @@ class Corex:
         else:
             w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        if strategy == "gram" and self._pallas_applicable():
-            strategy = "gram_pallas"
+        # resolve use_pallas='auto' to a static decision for this fit
+        import dataclasses as _dc
+        cfg = self.config
+        if cfg.use_pallas == "auto":
+            cfg = _dc.replace(cfg, use_pallas=(
+                "always" if self._pallas_applicable() else "never"))
         data = M.compute_gram(xp) if strategy.startswith("gram") else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X
@@ -217,7 +227,7 @@ class Corex:
             # read 4x per iteration on the samples path)
             data = data.astype(jnp.bfloat16)
         self.ws, self.moments, self.diagnostics = _fit_program(
-            data, w0, self.config, strategy)
+            data, w0, cfg, strategy)
         if self.verbose:
             it = np.asarray(self.diagnostics.iters_per_stage)
             tc = np.asarray(self.diagnostics.tc_per_stage)

@@ -182,12 +182,44 @@ def _ns_gradient_terms(mom: Moments):
     return aa, hmat, coef, jnp.sqrt(mom.z2)
 
 
-def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False):
+def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
+    """Objective/gradient via the fused Pallas chain kernel
+    (ops/pallas_moments.py :: ns_chain). Works in (p, m) layout end-to-end —
+    no (m, p) transposes materialize. `apply_sigma_t(v)` maps a (p, m)
+    matrix to Σ_emp·v (gram or samples backend); the eps blend is applied
+    here."""
+    from linearcorex_tpu.ops.pallas_moments import ns_chain
+    mdim = ws.shape[0]
+    dt = ws.dtype
+    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(mdim, dtype=dt)
+    z2 = jnp.diagonal(cy)
+    sqz = jnp.sqrt(z2)
+    ry = cy / jnp.outer(sqz, sqz)
+    aa_t, hmat, kappa, mu, mi_sums, sum_log_vi = ns_chain(
+        c_xy, ry, sqz, rho_clip)
+    aa_t = aa_t.astype(dt)
+    coef = (kappa + mu - 1.0).astype(dt)
+    aas_t = apply_sigma_t(aa_t)
+    aas_t = (1.0 - eps ** 2) * aas_t + (eps ** 2) * aa_t
+    inv_sqz = (1.0 / sqz).astype(dt)
+    rho_t = jnp.clip(c_xy * inv_sqz[jnp.newaxis, :], -rho_clip, rho_clip)
+    grad_t = (aas_t + _mm(rho_t, hmat.astype(dt))
+              - rho_t * coef[jnp.newaxis, :]) * inv_sqz[jnp.newaxis, :]
+    objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
+    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
+    tc = jnp.sum(mi_sums.astype(dt) - i_y_x)
+    return objective, grad_t.T, tc
+
+
+def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
+                        chain_kernel=False):
     """(objective, gradient, TC) of the non-overlap objective, sample path.
 
     Cost: 4 skinny MXU GEMMs (2 for moments, 2 for AA·Σ_eff); O(np+pm)
     memory. Matches the oracle's `ns_gradient` bit-for-bit in float64.
-    bf16=True runs the four big GEMMs with bfloat16 operands (f32 accum)."""
+    bf16=True runs the four big GEMMs with bfloat16 operands (f32 accum).
+    chain_kernel=True fuses the whole elementwise chain into one Pallas
+    kernel (see `_ns_obj_grad_chain`)."""
     n = x.shape[0]
     if bf16:
         y = _mm_bf16(x, ws.T, ws.dtype)
@@ -195,6 +227,14 @@ def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False):
         c_xy = (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
     else:
         c_xy = cxy_samples(x, ws, eps)
+    if chain_kernel:
+        if bf16:
+            apply_sigma_t = lambda v: _mm_bf16(
+                x.T, _mm_bf16(x, v, ws.dtype), ws.dtype) / n
+        else:
+            apply_sigma_t = lambda v: _mm(x.T, _mm(x, v)) / n
+        return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale,
+                                  rho_clip)
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     if bf16:
@@ -208,7 +248,7 @@ def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False):
 
 
 def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False,
-                     bf16=False):
+                     bf16=False, chain_kernel=False):
     """Same as `ns_obj_grad_samples` on the precomputed-Gram fast path:
     2 O(p²·m) GEMMs per evaluation, independent of n.
 
@@ -231,6 +271,13 @@ def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False,
             c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
         else:
             c_xy = cxy_gram(gram, ws, eps)
+        if chain_kernel:
+            if bf16:
+                apply_sigma_t = lambda v: _mm_bf16(gram, v, ws.dtype)
+            else:
+                apply_sigma_t = lambda v: _mm(gram, v)
+            return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps,
+                                      y_scale, rho_clip)
         mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     aas = _mm_bf16(aa, gram, ws.dtype) if bf16 else _mm(aa, gram)

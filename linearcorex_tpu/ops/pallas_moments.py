@@ -136,6 +136,138 @@ def gram_products(gram: jax.Array, ws: jax.Array,
     )(gram, wt, wt)
 
 
+def _chain_kernel(rho_clip_ref, cxy_ref, ry_ref, inv_sqz_ref,
+                  aa_ref, hmat_ref, red_ref):
+    """Per-p-tile fused moment chain + gradient pieces (see `ns_chain`)."""
+    i = pl.program_id(0)
+    rho = cxy_ref[:] * inv_sqz_ref[:]                   # (TP, m)
+    clip = rho_clip_ref[0, 0]
+    rho = jnp.clip(rho, -clip, clip)
+    invrho = 1.0 / (1.0 - rho * rho)
+    rr = rho * invrho
+    qij = jnp.dot(rr, ry_ref[:], preferred_element_type=_F32)   # ry symm
+    si = jnp.sum(rho * rr, axis=1, keepdims=True)       # (TP, 1)
+    qi = jnp.sum(rr * qij, axis=1, keepdims=True)
+    ni = 1.0 + qi - si * si
+    alpha = 1.0 / ni
+    beta = 1.0 / (1.0 + si)
+    inv2 = invrho * invrho
+    aa = alpha * (1.0 + rho * rho) * inv2 * qij \
+        - 2.0 * (alpha * si + beta) * rho * inv2
+    aa_ref[:] = aa
+    hmat_part = jnp.dot((rr * alpha).T, rr, preferred_element_type=_F32)
+    # packed per-tile reduction outputs (8 rows for sublane alignment):
+    #   0: kappa (Σ_i aa·rho), 1: mu (Σ_i α·rr·qij), 2: Σ_i MI_ji,
+    #   3: [Σ_i log v_i broadcast]; rows 4-7 zero padding
+    m = rho.shape[1]
+    kappa = jnp.sum(aa * rho, axis=0)
+    mu = jnp.sum(alpha * rr * qij, axis=0)
+    mi_sum = jnp.sum(-0.5 * jnp.log1p(-rho * rho), axis=0)
+    log_vi_sum = jnp.sum(jnp.log(jnp.maximum(ni * beta * beta, 1e-30)))
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (8, m), 0)
+    red = jnp.where(row_id == 0, kappa[None, :],
+          jnp.where(row_id == 1, mu[None, :],
+          jnp.where(row_id == 2, mi_sum[None, :],
+          jnp.where(row_id == 3, log_vi_sum, 0.0))))    # (8, m)
+
+    @pl.when(i == 0)
+    def _():
+        hmat_ref[:] = hmat_part
+        red_ref[:] = red
+
+    @pl.when(i > 0)
+    def _():
+        hmat_ref[:] += hmat_part
+        red_ref[:] += red
+
+
+def _pick_tp(p: int, m: int) -> int:
+    """Largest p-tile <= 512 that divides p, is sublane-aligned (x8), and
+    keeps the block VMEM footprint modest."""
+    for tp in (512, 400, 256, 200, 128, 104, 80, 64, 48, 40, 32, 24, 16, 8):
+        if p % tp == 0:
+            return tp
+    return 0
+
+
+def chain_supported(p: int, m: int) -> bool:
+    return _pick_tp(p, m) > 0 and m % 128 == 0 and m <= 1024
+
+
+def ns_chain(c_xy: jax.Array, ry: jax.Array, sqz: jax.Array,
+             rho_clip: float, interpret: bool | None = None):
+    """The whole non-overlap moment chain + gradient algebra, fused.
+
+    XLA cannot fuse across the qij = ry·rhoinvrho GEMM in the middle of the
+    chain, so it materializes ~6 (m x p) intermediates to HBM per
+    evaluation (~120 MB at p=10k/m=512, ~1.2 GB at p=100k). This kernel
+    keeps the m x m `ry` VMEM-resident and computes rho → invrho → rr → qij
+    → S_i/Q_i → AA per p-tile in one pass: HBM traffic is one read of C_xy
+    and one write of AA, plus tiny accumulators.
+
+    Inputs: c_xy (p, m) annealed cross-moment; ry (m, m); sqz (m,) =
+    sqrt(z2). Returns (aa (p, m) [note: variable-major layout], hmat (m, m),
+    kappa (m,), mu (m,), mi_sums (m,), sum_log_vi ()).
+    """
+    if interpret is None:
+        interpret = INTERPRET_DEFAULT
+    p, m = c_xy.shape
+    tp = _pick_tp(p, m)
+    grid = (p // tp,)
+    aa, hmat, red = pl.pallas_call(
+        _chain_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),          # rho_clip
+            pl.BlockSpec((tp, m), lambda i: (i, 0)),        # c_xy tile
+            pl.BlockSpec((m, m), lambda i: (0, 0)),         # ry (resident)
+            pl.BlockSpec((1, m), lambda i: (0, 0)),         # 1/sqz row
+        ],
+        out_specs=[
+            pl.BlockSpec((tp, m), lambda i: (i, 0)),        # aa tile
+            pl.BlockSpec((m, m), lambda i: (0, 0)),         # hmat accum
+            pl.BlockSpec((8, m), lambda i: (0, 0)),         # reductions
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((p, m), _F32),
+            jax.ShapeDtypeStruct((m, m), _F32),
+            jax.ShapeDtypeStruct((8, m), _F32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * m * m + 20 * p * m,
+            bytes_accessed=8 * p * m + 8 * m * m,
+            transcendentals=2 * p * m,
+        ),
+        interpret=interpret,
+    )(jnp.asarray([[rho_clip]], _F32), c_xy.astype(_F32),
+      ry.astype(_F32), (1.0 / sqz).astype(_F32).reshape(1, m))
+    kappa, mu, mi_sums = red[0], red[1], red[2]
+    return aa, hmat, kappa, mu, mi_sums, red[3, 0]
+
+
+def ns_chain_reference(c_xy, ry, sqz, rho_clip):
+    """Unfused XLA reference of `ns_chain` (tests)."""
+    rho = jnp.clip((c_xy / sqz[None, :]), -rho_clip, rho_clip)  # (p, m)
+    invrho = 1.0 / (1.0 - rho ** 2)
+    rr = rho * invrho
+    qij = rr @ ry
+    si = jnp.sum(rho * rr, axis=1, keepdims=True)
+    qi = jnp.sum(rr * qij, axis=1, keepdims=True)
+    ni = 1.0 + qi - si ** 2
+    alpha, beta = 1.0 / ni, 1.0 / (1.0 + si)
+    aa = alpha * (1 + rho ** 2) * invrho ** 2 * qij \
+        - 2.0 * (alpha * si + beta) * rho * invrho ** 2
+    hmat = (rr * alpha).T @ rr
+    kappa = jnp.sum(aa * rho, axis=0)
+    mu = jnp.sum(alpha * rr * qij, axis=0)
+    mi_sums = jnp.sum(-0.5 * jnp.log1p(-rho ** 2), axis=0)
+    sum_log_vi = jnp.sum(jnp.log(jnp.maximum(ni * beta ** 2, 1e-30)))
+    return aa, hmat, kappa, mu, mi_sums, sum_log_vi
+
+
 def gram_products_reference(gram, ws):
     """Unfused XLA reference for the kernel (tests + fallback path)."""
     c = jnp.matmul(gram, ws.T.astype(_F32),

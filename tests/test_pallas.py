@@ -61,3 +61,52 @@ def test_ns_obj_grad_gram_pallas_path():
             assert np.abs(np.asarray(g1 - g2)).max() < 1e-3
     finally:
         PM.INTERPRET_DEFAULT = False
+
+
+def test_ns_chain_matches_reference():
+    rng = np.random.RandomState(0)
+    p, m = 400, 128
+    from tests.conftest import block_data
+    x = block_data(n=2000, p=p, m=8, seed=1)
+    x = (x - x.mean(0)) / x.std(0)
+    w = rng.normal(scale=0.1, size=(m, p))
+    cxy = jnp.asarray(x.T @ (x @ w.T) / 2000, jnp.float32)
+    cy = w @ np.asarray(cxy) + np.eye(m)
+    z2 = np.diag(cy)
+    sqz = jnp.asarray(np.sqrt(z2), jnp.float32)
+    ry = jnp.asarray(cy / np.sqrt(np.outer(z2, z2)), jnp.float32)
+    got = PM.ns_chain(cxy, ry, sqz, 1 - 1e-6, interpret=True)
+    want = PM.ns_chain_reference(cxy, ry, sqz, 1 - 1e-6)
+    for g, w_ in zip(got, want):
+        denom = float(jnp.max(jnp.abs(jnp.asarray(w_)))) + 1e-12
+        assert float(jnp.max(jnp.abs(jnp.asarray(g) - jnp.asarray(w_)))) \
+            / denom < 1e-5
+
+
+def test_chain_obj_grad_integrated():
+    """ns_obj_grad with chain_kernel=True equals the XLA path (gram and
+    samples backends, with and without annealing)."""
+    PM.INTERPRET_DEFAULT = True
+    try:
+        from tests.conftest import block_data
+        p, m = 256, 128
+        x = block_data(n=2000, p=p, m=8, seed=1)
+        x = (x - x.mean(0)) / x.std(0)
+        xj = jnp.asarray(x, jnp.float32)
+        gram = jnp.asarray(x.T @ x / x.shape[0], jnp.float32)
+        ws = jnp.asarray(np.random.RandomState(2).normal(
+            scale=0.05, size=(m, p)), jnp.float32)
+        for eps in (0.0, 0.36):
+            f1, g1, t1 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6)
+            f2, g2, t2 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
+                                            chain_kernel=True)
+            assert abs(float(f1 - f2)) / abs(float(f1)) < 1e-5
+            assert abs(float(t1 - t2)) / max(abs(float(t1)), 1e-6) < 1e-4
+            assert np.abs(np.asarray(g1 - g2)).max() < 2e-3
+            f3, g3, t3 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6,
+                                               chain_kernel=True)
+            f4, g4, t4 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6)
+            assert abs(float(f3 - f4)) / abs(float(f4)) < 1e-5
+            assert np.abs(np.asarray(g3 - g4)).max() < 2e-3
+    finally:
+        PM.INTERPRET_DEFAULT = False
