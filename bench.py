@@ -70,8 +70,12 @@ def main():
     gram = M.compute_gram(x)
     gram.block_until_ready()
 
+    from linearcorex_tpu.ops.pallas_moments import chain_supported
+    on_tpu = jax.devices()[0].platform != "cpu"
     cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
-                      record_history=False, dtype="float32")
+                      record_history=False, dtype="float32",
+                      use_pallas="always" if (on_tpu and chain_supported(
+                          p, m)) else "never")
 
     import functools
 

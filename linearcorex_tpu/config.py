@@ -49,13 +49,16 @@ class CorexConfig:
     # 'auto' picks per shapes.
     moment_strategy: str = "auto"
     gram_max_p: int = 20000
-    # Fused Pallas kernel for the Gram-path moment products
-    # (ops/pallas_moments.py): 'never' (default) | 'auto' | 'always'.
-    # Measured on v5e at p=10k/m=512: XLA's tuned matmul emitter runs the
-    # iteration at 591 it/s vs 272 it/s for the fused kernel — the fusion
-    # saves less than the emitter's schedule wins, so the kernel is opt-in
-    # ('auto' enables it on TPU backends for lane-aligned shapes).
-    use_pallas: str = "never"
+    # Fused Pallas CHAIN kernel (ops/pallas_moments.py :: ns_chain): the
+    # whole elementwise moment chain + gradient algebra in one pass per
+    # p-tile with the m x m ry VMEM-resident. 'auto' (default) enables it
+    # on TPU backends when m is lane-aligned and p tiles; measured on v5e:
+    # +9% at p=10k/m=512 (601 vs 553 it/s) and +13% at p=100k (33.7 vs
+    # 29.8 it/s). 'always' forces it; 'never' keeps the pure-XLA path.
+    # (A separate fused GEMM-products kernel, gram_products, exists but
+    # measured slower than XLA's matmul emitter and is not wired by
+    # default.)
+    use_pallas: str = "auto"
     # Deterministic first-order solver (mirrored exactly by the oracle):
     # 'momentum' = heavy-ball with momentum reset on rejected steps
     # (measured ~3x fewer iterations to the same TC than plain 'gd').

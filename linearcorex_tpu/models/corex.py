@@ -99,7 +99,7 @@ class Corex:
                  update_iter=10, pretrained_weights=None, verbose=False,
                  seed=None, dtype="float32", moment_strategy="auto",
                  record_history=True, matmul_dtype="float32",
-                 use_pallas="never", matmul_precision="default",
+                 use_pallas="auto", matmul_precision="default",
                  optimizer="momentum", momentum_beta=0.9):
         del gpu  # accepted for reference API parity; XLA is the one backend
         self.config = CorexConfig(
