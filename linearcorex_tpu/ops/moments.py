@@ -75,14 +75,21 @@ class Moments(NamedTuple):
 
     def asdict(self):
         """Reference-keyed dict (`transform(details=True)` parity,
-        SURVEY.md §2.6)."""
+        SURVEY.md §2.6), including the full-moments extras: "X_i Z_j"
+        (reconstruction weights, SURVEY.md §3.3) and the per-variable
+        "additivity" diagnostic Σ_i (Σ_j I(x_i;y_j) − I(x_i;Y))."""
+        xz = (self.rhoinvrho.T / (1.0 + self.si)[:, None]
+              / jnp.sqrt(self.z2)[jnp.newaxis, :])
+        i_xi_y = -0.5 * jnp.log(jnp.maximum(self.vi, 1e-30))
+        additivity = jnp.sum(jnp.sum(self.mi, axis=0) - i_xi_y)
         return {
             "X_i Y_j": self.c_xy, "cy": self.cy, "Y_j^2": self.z2,
             "ry": self.ry, "rho": self.rho, "invrho": self.invrho,
             "rhoinvrho": self.rhoinvrho, "Qij": self.qij, "Si": self.si,
             "Qi": self.qi, "X_i^2 | Y": self.vi, "MI": self.mi,
             "I_y_x": self.i_y_x, "TCs": self.tcs, "TC": self.tc,
-            "objective": self.objective,
+            "objective": self.objective, "X_i Z_j": xz,
+            "additivity": additivity,
         }
 
 

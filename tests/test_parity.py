@@ -127,3 +127,17 @@ def test_under_sampled_parity():
     o = OracleCorex(n_hidden=4).fit(x, init_ws=w0)
     assert abs(c.tc - o.tc) < 1e-4
     assert np.array_equal(np.asarray(c.clusters), o.clusters)
+
+
+def test_full_moment_dict_keys_parity(med_block_data):
+    """The details dict carries every key the oracle's full moments have."""
+    x = med_block_data
+    w0 = _shared_init(8, 64)
+    c = lc.Corex(n_hidden=8, dtype="float64").fit(x, init_ws=w0)
+    o = OracleCorex(n_hidden=8).fit(x, init_ws=w0)
+    _, md = c.transform(x, details=True)
+    mo = o.transform(x, details=True)[1]
+    for key in mo:
+        assert key in md, f"missing moment key {key!r}"
+    assert np.abs(np.asarray(md["X_i Z_j"]) - mo["X_i Z_j"]).max() < 1e-5
+    assert abs(float(md["additivity"]) - mo["additivity"]) < 1e-4
