@@ -31,8 +31,13 @@ class Theta(NamedTuple):
 
 def mean_impute(x: jax.Array, missing_values: float):
     """Replace sentinel entries by the per-column mean of observed entries
-    (`[U] :: mean_impute`). Columns with no observed entries impute to 0."""
-    mask = x == missing_values
+    (`[U] :: mean_impute`). Columns with no observed entries impute to 0.
+    A NaN sentinel is matched with isnan (NaN != NaN)."""
+    import math
+    if isinstance(missing_values, float) and math.isnan(missing_values):
+        mask = jnp.isnan(x)
+    else:
+        mask = x == missing_values
     cnt = jnp.sum(~mask, axis=0)
     total = jnp.sum(jnp.where(mask, 0.0, x), axis=0)
     col_mean = jnp.where(cnt > 0, total / jnp.maximum(cnt, 1), 0.0)

@@ -238,7 +238,11 @@ class _Preprocessor:
         if self.missing_values is None:
             return x
         x = x.copy()
-        mask = x == self.missing_values
+        if isinstance(self.missing_values, float) and np.isnan(
+                self.missing_values):
+            mask = np.isnan(x)
+        else:
+            mask = x == self.missing_values
         x[mask] = np.nan
         col_mean = np.nanmean(x, axis=0)
         col_mean = np.where(np.isnan(col_mean), 0.0, col_mean)

@@ -53,6 +53,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     i64, dp = ctypes.c_int64, ctypes.POINTER(ctypes.c_double)
     lib.lcx_empirical_gaussianize.argtypes = [dp, dp, i64, i64]
     lib.lcx_mean_impute.argtypes = [dp, i64, i64, ctypes.c_double]
+    lib.lcx_mean_impute_nan.argtypes = [dp, i64, i64]
     lib.lcx_ndtri.argtypes = [dp, dp, i64]
     _lib = lib
     return _lib
@@ -79,13 +80,17 @@ def empirical_gaussianize(x: np.ndarray) -> np.ndarray:
 
 
 def mean_impute(x: np.ndarray, sentinel: float) -> np.ndarray:
-    """Replace sentinel entries by per-column observed means (native)."""
+    """Replace sentinel entries by per-column observed means (native).
+    A NaN sentinel dispatches to the isnan variant."""
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native library unavailable")
     out = np.ascontiguousarray(x, dtype=np.float64).copy()
     n, p = out.shape
-    lib.lcx_mean_impute(_as_c(out), n, p, sentinel)
+    if isinstance(sentinel, float) and np.isnan(sentinel):
+        lib.lcx_mean_impute_nan(_as_c(out), n, p)
+    else:
+        lib.lcx_mean_impute(_as_c(out), n, p, sentinel)
     return out
 
 

@@ -120,6 +120,25 @@ void lcx_mean_impute(double* x, int64_t n, int64_t p, double sentinel) {
   }
 }
 
+// NaN-sentinel variant (NaN != NaN, so the equality loop can't see it).
+void lcx_mean_impute_nan(double* x, int64_t n, int64_t p) {
+  for (int64_t j = 0; j < p; ++j) {
+    double sum = 0.0;
+    int64_t cnt = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      const double v = x[i * p + j];
+      if (!std::isnan(v)) {
+        sum += v;
+        ++cnt;
+      }
+    }
+    const double mean = cnt > 0 ? sum / static_cast<double>(cnt) : 0.0;
+    for (int64_t i = 0; i < n; ++i) {
+      if (std::isnan(x[i * p + j])) x[i * p + j] = mean;
+    }
+  }
+}
+
 // Inverse normal CDF, vectorized (for tests / reuse).
 void lcx_ndtri(const double* p_in, double* out, int64_t n) {
   for (int64_t i = 0; i < n; ++i) out[i] = ppnd16(p_in[i]);

@@ -76,3 +76,30 @@ def test_nan_ok_with_missing_values_sentinel():
     x[5, 3] = -999.0
     c = lc.Corex(n_hidden=2, missing_values=-999.0, seed=0).fit(x)
     assert np.isfinite(c.tc)
+
+
+def test_nan_sentinel_missing_values():
+    """missing_values=np.nan works (NaN != NaN needs an isnan path)."""
+    x = block_data(n=300, p=16, m=2, seed=4)
+    x_nan = x.copy()
+    x_nan[::6, 3] = np.nan
+    c = lc.Corex(n_hidden=2, missing_values=float("nan"), seed=0,
+                 dtype="float64").fit(x_nan)
+    assert np.isfinite(c.tc)
+    from linearcorex_tpu.oracle import OracleCorex
+    o = OracleCorex(n_hidden=2, missing_values=float("nan"), seed=0).fit(
+        x_nan)
+    assert abs(c.tc - o.tc) < 1e-5
+
+
+def test_native_nan_impute():
+    from linearcorex_tpu.utils import native
+    if not native.available():
+        return
+    x = np.random.RandomState(0).normal(size=(100, 4))
+    x[::5, 1] = np.nan
+    got = native.mean_impute(x, float("nan"))
+    ref = x.copy()
+    mask = np.isnan(ref[:, 1])
+    ref[mask, 1] = ref[~mask, 1].mean()
+    assert np.abs(got - ref).max() < 1e-12
