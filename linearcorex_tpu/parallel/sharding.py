@@ -105,6 +105,80 @@ def _fit_program_sharded(data, w0, cfg: CorexConfig, plan: ShardingPlan,
     return ws_sorted, M.permute_moments(mom, order), diag
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
+                           mesh: Mesh):
+    """Explicit-collective variant of the sample-sharded fit via shard_map.
+
+    Where `_fit_program_sharded` lets GSPMD infer the collectives from
+    sharding annotations, this path spells them out: each chip holds an n/d
+    row-block of X, computes its partial Xᵀ(XWᵀ) and psums the p x m
+    cross-moment over ICI — the algorithm's entire communication surface
+    (SURVEY.md §2.8). Everything downstream of the psum is replicated
+    per-chip, which is exactly what makes the fused Pallas chain kernel
+    usable under sharding (it runs on the full replicated (p, m)
+    cross-moment on every chip; GSPMD could not partition a pallas_call).
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as PS
+
+    n_total = x.shape[0]
+
+    def sharded_fit(x_local, w0_rep):
+        def apply_sigma(v_t):
+            # v_t: (p, k) replicated; returns Σ_emp·v_t via local partial +
+            # psum over the data axis — the ONLY collective in the fit.
+            part = M._mm(x_local.T, M._mm(x_local, v_t)) / n_total
+            return jax.lax.psum(part, mesh_axis)
+
+        def obj_grad(ws, eps):
+            c0 = apply_sigma(ws.T)
+            c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+            if cfg.use_pallas == "always":
+                return M._ns_obj_grad_chain(
+                    ws, c_xy,
+                    lambda v: jax.lax.psum(
+                        M._mm(x_local.T, M._mm(x_local, v)) / n_total,
+                        mesh_axis),
+                    eps, cfg.y_scale, cfg.rho_clip)
+            mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+            aa, hmat, coef, sqz = M._ns_gradient_terms(mom)
+            aas = apply_sigma(aa.T).T
+            aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
+            grad = (aas + M._mm(hmat, mom.rho)
+                    - coef[:, None] * mom.rho) / sqz[:, None]
+            return mom.objective, grad, mom.tc
+
+        ws, diag = fit_core(obj_grad, w0_rep, cfg)
+        c_xy = apply_sigma(ws.T)
+        mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
+        ws_sorted, order = sort_by_tcs(ws, mom.tcs)
+        return ws_sorted, M.permute_moments(mom, order), diag
+
+    return shard_map(
+        sharded_fit, mesh=mesh,
+        in_specs=(PS(mesh_axis, None), PS()),
+        out_specs=(PS(), PS(), PS()),   # pytree prefixes: all replicated
+        check_rep=False,
+    )(x, w0)
+
+
+def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
+                  axis_name: str = DATA_AXIS):
+    """Sample-sharded fit with explicit psum collectives (shard_map).
+
+    Equivalent to `fit_sharded` with the default plan; use this path when
+    the Pallas chain kernel should run under sharding (cfg.use_pallas=
+    'always'), or when you want the collectives visible in the program.
+    Only the non-overlap solver path is supported here."""
+    if not cfg.discourage_overlap:
+        raise ValueError("fit_shard_map supports discourage_overlap=True "
+                         "only; use fit_sharded for the overlap path")
+    x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
+    w0 = jax.device_put(w0, NamedSharding(mesh, P()))
+    return _fit_program_shard_map(x, w0, cfg, axis_name, mesh)
+
+
 def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
                 plan: ShardingPlan = ShardingPlan(),
                 strategy: str = "samples"):

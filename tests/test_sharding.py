@@ -120,3 +120,42 @@ def test_gram_var_sharded_fit(setup):
     ws_s, mom_s, _ = fit_sharded(gram, w0, cfg, mesh, plan, strategy="gram")
     assert np.abs(np.asarray(ws_s) - np.asarray(ws_1)).max() < 1e-7
     assert abs(float(mom_s.tc) - float(mom_1.tc)) < 1e-7
+
+
+def test_shard_map_explicit_psum_matches(setup):
+    """The explicit-collective shard_map path equals GSPMD and single-device
+    fits."""
+    from linearcorex_tpu.parallel.sharding import fit_shard_map
+    xp, w0, cfg, ref = setup
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    ws, mom, diag = fit_shard_map(xp, w0, cfg, mesh)
+    _check(ws, mom, ref)
+
+
+def test_shard_map_with_chain_kernel():
+    """The Pallas chain kernel runs under shard_map (per-chip on the
+    replicated cross-moment; interpret mode on CPU). Short run — interpret
+    mode is slow — compared against the XLA shard_map path step-for-step."""
+    import dataclasses
+    import linearcorex_tpu.ops.pallas_moments as PM
+    from linearcorex_tpu.parallel.sharding import fit_shard_map
+    p, m = 256, 128
+    assert PM.chain_supported(p, m)
+    x = block_data(n=512, p=p, m=8, seed=2)
+    x = (x - x.mean(0)) / x.std(0)
+    xj = jnp.asarray(x, jnp.float32)
+    w0 = jnp.asarray(np.random.RandomState(1).normal(
+        scale=1 / np.sqrt(p), size=(m, p)), jnp.float32)
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    cfg = CorexConfig(n_hidden=m, dtype="float32", record_history=False,
+                      max_iter=25, anneal=False)
+    ws_x, mom_x, _ = fit_shard_map(xj, w0, cfg, mesh)
+    PM.INTERPRET_DEFAULT = True
+    try:
+        cfg_chain = dataclasses.replace(cfg, use_pallas="always")
+        ws_c, mom_c, _ = fit_shard_map(xj, w0, cfg_chain, mesh)
+    finally:
+        PM.INTERPRET_DEFAULT = False
+    assert abs(float(mom_c.tc) - float(mom_x.tc)) \
+        / max(abs(float(mom_x.tc)), 1e-6) < 1e-3
+    assert np.abs(np.asarray(ws_c) - np.asarray(ws_x)).max() < 1e-3
