@@ -19,7 +19,6 @@ Corex.fit`, SURVEY.md §3.1) re-designed for TPU execution semantics:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple, Tuple
 
 import jax

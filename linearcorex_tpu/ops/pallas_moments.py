@@ -25,7 +25,6 @@ accumulator outputs legal.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -41,7 +41,7 @@ from linearcorex_tpu.core.solver import fit_core, sort_by_tcs
 from linearcorex_tpu.models.corex import _make_obj_grad
 from linearcorex_tpu.ops import moments as M
 
-__all__ = ["ShardingPlan", "make_mesh", "fit_sharded"]
+__all__ = ["ShardingPlan", "make_mesh", "fit_sharded", "fit_shard_map"]
 
 DATA_AXIS = "data"     # shards the sample axis n
 VAR_AXIS = "var"       # shards the variable axis p
@@ -119,7 +119,7 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
     usable under sharding (it runs on the full replicated (p, m)
     cross-moment on every chip; GSPMD could not partition a pallas_call).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
     n_total = x.shape[0]
