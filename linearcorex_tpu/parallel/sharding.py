@@ -159,7 +159,7 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
         sharded_fit, mesh=mesh,
         in_specs=(PS(mesh_axis, None), PS()),
         out_specs=(PS(), PS(), PS()),   # pytree prefixes: all replicated
-        check_rep=False,
+        check_vma=False,
     )(x, w0)
 
 
