@@ -208,9 +208,14 @@ class Corex:
                 self.pre_config.missing_values)
         if init_ws is not None:
             w0 = jnp.asarray(init_ws, dtype=self._dt)
-        elif self.ws is not None:
+            if w0.shape != (self.m, self.nv):
+                raise ValueError(
+                    f"init_ws shape {w0.shape} does not match "
+                    f"(n_hidden, n_variables)=({self.m}, {self.nv})")
+        elif self.ws is not None and self.ws.shape == (self.m, self.nv):
             w0 = self.ws  # pretrained warm start (SURVEY.md §5 checkpoint)
         else:
+            # fresh init (also when refitting on data of a different width)
             w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
         # resolve use_pallas='auto' to a static decision for this fit
@@ -240,8 +245,14 @@ class Corex:
         return self.transform(x)
 
     # ------------------------------------------------------------------
+    def _check_fitted(self):
+        if self.ws is None or self.moments is None:
+            raise RuntimeError(
+                "this Corex instance is not fitted yet; call fit(X) first")
+
     def transform(self, x, details=False):
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`)."""
+        self._check_fitted()
         x = jnp.asarray(x, dtype=self._dt)
         if details:
             y, mom = _details_program(x, self.ws, self.theta,
@@ -254,6 +265,7 @@ class Corex:
     def predict(self, y):
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
         posterior-mean reconstruction, then invert preprocessing."""
+        self._check_fitted()
         y = jnp.asarray(y, dtype=self._dt)
         if self.config.discourage_overlap:
             r = M.reconstruction_weights(self.moments)
@@ -267,6 +279,7 @@ class Corex:
         """Dense p x p factor-model covariance estimate
         (`[U] :: Corex.get_covariance`, SURVEY.md §3.4). For very large p
         prefer `covariance_matvec`, which never materializes p x p."""
+        self._check_fitted()
         mom = self.moments
         if self.config.discourage_overlap:
             z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]

@@ -37,6 +37,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     """
     import jax.numpy as jnp
 
+    if repeat < 1:
+        raise ValueError(f"repeat must be >= 1, got {repeat}")
     x = jnp.asarray(np.asarray(data), dtype=jnp.dtype(dtype))
     n, p = x.shape
     if max_n_hidden is None:

@@ -133,6 +133,10 @@ def load_corex(path: str) -> Corex:
     """Reconstruct a fitted Corex (inference-ready; fit() warm-starts from
     the stored weights)."""
     with np.load(path) as z:
+        if "meta_json" not in z.files:
+            raise ValueError(
+                f"{path} is not a linearcorex_tpu checkpoint "
+                f"(missing meta_json; found keys {z.files[:5]})")
         meta = json.loads(bytes(z["meta_json"]).decode())
         if meta["format_version"] > _FORMAT_VERSION:
             raise ValueError(

@@ -103,3 +103,26 @@ def test_native_nan_impute():
     mask = np.isnan(ref[:, 1])
     ref[mask, 1] = ref[~mask, 1].mean()
     assert np.abs(got - ref).max() < 1e-12
+
+
+def test_unfitted_errors_are_clear(small_block_data):
+    c = lc.Corex(n_hidden=2)
+    with pytest.raises(RuntimeError, match="not fitted"):
+        c.transform(small_block_data)
+    with pytest.raises(RuntimeError, match="not fitted"):
+        c.predict(np.zeros((5, 2)))
+    with pytest.raises(RuntimeError, match="not fitted"):
+        c.get_covariance()
+
+
+def test_refit_different_width_reinitializes(small_block_data):
+    c = lc.Corex(n_hidden=3, seed=1).fit(small_block_data[:, :16])
+    c.fit(small_block_data[:, :24])  # must not crash on stale warm-start
+    assert c.nv == 24
+    assert np.isfinite(c.tc)
+
+
+def test_init_ws_shape_mismatch_raises(small_block_data):
+    c = lc.Corex(n_hidden=3)
+    with pytest.raises(ValueError, match="init_ws shape"):
+        c.fit(small_block_data, init_ws=np.zeros((3, 7)))
