@@ -1,0 +1,119 @@
+"""Streaming moment accumulation: fit Linear CorEx from batched data.
+
+The reference requires the full n x p sample matrix in memory
+(SURVEY.md §1: single-process NumPy). The Gram fast path of this library
+makes an out-of-core / streaming workflow natural: the solver only needs
+the p x p correlation matrix, which is a plain average over samples — so
+batches can be accumulated on device one at a time (raw second moments +
+per-column sums via a single GEMM per batch), and the fit runs from the
+accumulated moments without ever holding X.
+
+    acc = GramAccumulator(p)
+    for batch in stream:              # each batch: (b, p)
+        acc.update(batch)
+    model = acc.fit(n_hidden=8, seed=0)
+
+Exactly equivalent (to fp precision) to `Corex(...).fit(concat(batches))`
+with gaussianize='standard' — the accumulated mean/variance standardize the
+Gram analytically: corr = D⁻¹ (G_raw/n − μμᵀ) D⁻¹.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from linearcorex_tpu.models.corex import Corex, _fit_program
+from linearcorex_tpu.ops import moments as M
+from linearcorex_tpu.ops import preprocessing as P
+
+__all__ = ["GramAccumulator"]
+
+
+@jax.jit
+def _batch_stats(x):
+    """One pass over a batch: (XᵀX, column sums, count)."""
+    g = M._mm(x.T, x)
+    s = jnp.sum(x, axis=0)
+    return g, s
+
+
+@jax.jit
+def _finalize_corr(g_raw, col_sum, n):
+    """Standardized correlation matrix from raw accumulated moments."""
+    mean = col_sum / n
+    cov = g_raw / n - jnp.outer(mean, mean)
+    var = jnp.maximum(jnp.diagonal(cov), 1e-20)
+    std = jnp.sqrt(var)
+    std = jnp.where(std < 1e-10, 1.0, std)
+    corr = cov / jnp.outer(std, std)
+    return corr, mean, std
+
+
+class GramAccumulator:
+    """Accumulate second moments over data batches; fit without holding X.
+
+    Only gaussianize='standard' semantics are possible in one streaming
+    pass (rank-based 'empirical' needs all data); that is also the solver's
+    default mode.
+    """
+
+    def __init__(self, p: int, dtype: str = "float32"):
+        self.p = p
+        self.dtype = jnp.dtype(dtype)
+        self._g = jnp.zeros((p, p), self.dtype)
+        self._s = jnp.zeros((p,), self.dtype)
+        self._n = 0
+
+    def update(self, x) -> "GramAccumulator":
+        x = jnp.asarray(x, self.dtype)
+        if x.ndim != 2 or x.shape[1] != self.p:
+            raise ValueError(
+                f"expected batch of shape (b, {self.p}), got {x.shape}")
+        g, s = _batch_stats(x)
+        self._g = self._g + g
+        self._s = self._s + s
+        self._n += x.shape[0]
+        return self
+
+    @property
+    def n_samples(self) -> int:
+        return self._n
+
+    def correlation(self):
+        """The standardized p x p correlation matrix accumulated so far."""
+        if self._n < 2:
+            raise ValueError("need at least 2 accumulated samples")
+        corr, _, _ = _finalize_corr(self._g, self._s, float(self._n))
+        return corr
+
+    def fit(self, n_hidden: int, **corex_kwargs) -> Corex:
+        """Fit a Corex model from the accumulated moments (gram strategy).
+
+        Returns a fitted estimator whose transform/predict/get_covariance
+        behave exactly as if fit on the concatenated data with
+        gaussianize='standard'."""
+        if self._n < 2:
+            raise ValueError("need at least 2 accumulated samples")
+        corex_kwargs.setdefault("dtype", str(self.dtype))
+        model = Corex(n_hidden=n_hidden, gaussianize="standard",
+                      **corex_kwargs)
+        corr, mean, std = _finalize_corr(self._g, self._s, float(self._n))
+        model.n_samples, model.nv = self._n, self.p
+        model.theta = P.Theta(mean=mean.astype(model._dt),
+                              std=std.astype(model._dt))
+        import dataclasses as _dc
+        cfg = model.config
+        if cfg.use_pallas == "auto":
+            cfg = _dc.replace(cfg, use_pallas=(
+                "always" if model._pallas_applicable() else "never"))
+        data = corr.astype(model._dt)
+        if cfg.matmul_dtype == "bfloat16":
+            data = data.astype(jnp.bfloat16)
+        w0 = jnp.asarray(model._init_ws(self.p), dtype=model._dt)
+        model.ws, model.moments, model.diagnostics = _fit_program(
+            data, w0, cfg, "gram")
+        return model

@@ -1,0 +1,44 @@
+"""Streaming Gram accumulation: batched fit == in-memory fit."""
+
+import numpy as np
+import pytest
+
+import linearcorex_tpu as lc
+from linearcorex_tpu.utils.streaming import GramAccumulator
+from tests.conftest import block_data
+
+
+def test_streaming_equals_in_memory():
+    x = block_data(n=1200, p=64, m=8, seed=0)
+    acc = GramAccumulator(p=64, dtype="float64")
+    for start in range(0, 1200, 256):   # uneven final batch on purpose
+        acc.update(x[start:start + 256])
+    assert acc.n_samples == 1200
+    m_stream = acc.fit(n_hidden=8, seed=0)
+    m_mem = lc.Corex(n_hidden=8, seed=0, dtype="float64",
+                     moment_strategy="gram").fit(x)
+    assert abs(m_stream.tc - m_mem.tc) < 1e-6
+    assert np.abs(np.asarray(m_stream.ws) - np.asarray(m_mem.ws)).max() < 1e-6
+    assert np.array_equal(np.asarray(m_stream.clusters),
+                          np.asarray(m_mem.clusters))
+    # inference from the streamed model matches too
+    y_s = np.asarray(m_stream.transform(x))
+    y_m = np.asarray(m_mem.transform(x))
+    assert np.abs(y_s - y_m).max() < 1e-6
+
+
+def test_streaming_correlation_matches_numpy():
+    x = block_data(n=500, p=16, m=2, seed=1)
+    acc = GramAccumulator(p=16, dtype="float64")
+    acc.update(x[:200]).update(x[200:])
+    corr = np.asarray(acc.correlation())
+    want = np.corrcoef(x.T)
+    assert np.abs(corr - want).max() < 1e-10
+
+
+def test_streaming_validation():
+    acc = GramAccumulator(p=8)
+    with pytest.raises(ValueError, match="at least 2"):
+        acc.fit(n_hidden=2)
+    with pytest.raises(ValueError, match="expected batch"):
+        acc.update(np.zeros((5, 9)))
