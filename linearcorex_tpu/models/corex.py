@@ -35,6 +35,24 @@ from linearcorex_tpu.ops import preprocessing as P
 __all__ = ["Corex"]
 
 
+def resolve_config(cfg: CorexConfig, nv: int) -> CorexConfig:
+    """Resolve use_pallas='auto' against the backend and shapes.
+
+    Single source of truth shared by Corex.fit, streaming fits, and
+    checkpointed fits: the fused chain kernel requires the non-overlap
+    path, lane-aligned m and a tileable p, and a TPU backend ("axon" is
+    this environment's TPU attachment platform name)."""
+    if cfg.use_pallas != "auto":
+        return cfg
+    import dataclasses
+    from linearcorex_tpu.ops.pallas_moments import chain_supported
+    platform = jax.devices()[0].platform
+    ok = (cfg.discourage_overlap and chain_supported(nv, cfg.n_hidden)
+          and platform in ("tpu", "axon"))
+    return dataclasses.replace(
+        cfg, use_pallas="always" if ok else "never")
+
+
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     """Close the active objective/gradient over the data (samples or Gram).
 
@@ -129,20 +147,6 @@ class Corex:
     def _dt(self):
         return jnp.dtype(self.config.dtype)
 
-    def _pallas_applicable(self) -> bool:
-        """Resolve use_pallas='auto' for the fused CHAIN kernel: TPU
-        backends with lane-aligned m and a tileable p; only the non-overlap
-        path uses it."""
-        mode = self.config.use_pallas
-        if mode == "never" or not self.config.discourage_overlap:
-            return False
-        from linearcorex_tpu.ops.pallas_moments import chain_supported
-        ok_shape = chain_supported(self.nv, self.m)
-        if mode == "always":
-            return ok_shape
-        platform = jax.devices()[0].platform
-        return ok_shape and platform not in ("cpu",)
-
     def _init_ws(self, p: int) -> np.ndarray:
         """Seeded N(0, 1/sqrt(p)) init (`[U] :: Corex.fit` [MED]).
 
@@ -218,12 +222,7 @@ class Corex:
             # fresh init (also when refitting on data of a different width)
             w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        # resolve use_pallas='auto' to a static decision for this fit
-        import dataclasses as _dc
-        cfg = self.config
-        if cfg.use_pallas == "auto":
-            cfg = _dc.replace(cfg, use_pallas=(
-                "always" if self._pallas_applicable() else "never"))
+        cfg = resolve_config(self.config, self.nv)
         data = M.compute_gram(xp) if strategy.startswith("gram") else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X
@@ -295,6 +294,7 @@ class Corex:
     def covariance_matvec(self, v):
         """Σ̂·v via two skinny GEMMs — the blocked/matvec form required at
         p=100k where dense p x p is 40 GB (SURVEY.md §3.4 note)."""
+        self._check_fitted()
         mom = self.moments
         v = jnp.asarray(v, dtype=self._dt)
         std = self.theta.std
@@ -328,6 +328,9 @@ class Corex:
     def history(self):
         """Reference-style history dict reconstructed from the on-device
         diagnostics (one host sync here, by explicit user request)."""
+        if self.diagnostics is None:
+            raise RuntimeError(
+                "no fit diagnostics available; call fit(X) first")
         d = self.diagnostics
         iters = np.asarray(d.iters_per_stage)
         out = {"iters_per_stage": iters,

@@ -50,7 +50,11 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     strategy = probe.pick_strategy(n, p)
-    shared = M.compute_gram(xp) if strategy == "gram" else xp
+    if strategy == "gram_pallas":
+        # the fused product kernel needs lane-aligned m; this scan fits
+        # small n_hidden values, so fall back to the XLA gram path
+        strategy = "gram"
+    shared = M.compute_gram(xp) if strategy.startswith("gram") else xp
 
     scores = []
     best_n, best_tc_overall = 1, -np.inf

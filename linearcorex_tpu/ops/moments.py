@@ -78,8 +78,7 @@ class Moments(NamedTuple):
         SURVEY.md §2.6), including the full-moments extras: "X_i Z_j"
         (reconstruction weights, SURVEY.md §3.3) and the per-variable
         "additivity" diagnostic Σ_i (Σ_j I(x_i;y_j) − I(x_i;Y))."""
-        xz = (self.rhoinvrho.T / (1.0 + self.si)[:, None]
-              / jnp.sqrt(self.z2)[jnp.newaxis, :])
+        xz = reconstruction_weights(self)
         i_xi_y = -0.5 * jnp.log(jnp.maximum(self.vi, 1e-30))
         additivity = jnp.sum(jnp.sum(self.mi, axis=0) - i_xi_y)
         return {

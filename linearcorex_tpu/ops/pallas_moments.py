@@ -97,6 +97,10 @@ def gram_products(gram: jax.Array, ws: jax.Array,
         interpret = INTERPRET_DEFAULT
     p = gram.shape[0]
     m = ws.shape[0]
+    if not supported(p, m):
+        raise ValueError(
+            f"gram_products requires p%128==0 and m%128==0 (m<=1024); "
+            f"got p={p}, m={m} — use the XLA gram path instead")
     tp, tk = _pick_tiles(p, m)
     wt = ws.T  # (p, m): contraction and epilogue views below
 
@@ -211,6 +215,11 @@ def ns_chain(c_xy: jax.Array, ry: jax.Array, sqz: jax.Array,
     if interpret is None:
         interpret = INTERPRET_DEFAULT
     p, m = c_xy.shape
+    if not chain_supported(p, m):
+        raise ValueError(
+            f"the fused chain kernel requires m%128==0 (m<=1024) and a "
+            f"sublane-aligned tile dividing p; got p={p}, m={m} — set "
+            f"use_pallas='never' (or 'auto') to use the XLA chain")
     tp = _pick_tp(p, m)
     grid = (p // tp,)
     aa, hmat, red = pl.pallas_call(

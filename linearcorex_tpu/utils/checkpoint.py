@@ -71,7 +71,8 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
 
     import jax
 
-    from linearcorex_tpu.models.corex import _fit_program
+    from linearcorex_tpu.core.solver import FitDiagnostics
+    from linearcorex_tpu.models.corex import _fit_program, resolve_config
     from linearcorex_tpu.ops import moments as M
     from linearcorex_tpu.ops import preprocessing as Pre
 
@@ -82,20 +83,33 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     model.n_samples, model.nv = x.shape
     xp, model.theta = Pre.fit_preprocess(
         x, model.pre_config.gaussianize, model.pre_config.missing_values)
-    strategy = model.config.pick_strategy(model.n_samples, model.nv)
+    cfg = resolve_config(model.config, model.nv)
+    strategy = cfg.pick_strategy(model.n_samples, model.nv)
     data = M.compute_gram(xp) if strategy.startswith("gram") else xp
+    if cfg.matmul_dtype == "bfloat16":
+        data = data.astype(jnp.bfloat16)
 
-    schedule = model.config.anneal_schedule()
+    schedule = cfg.anneal_schedule()
+    n_stages = len(schedule)
+    # per-stage diagnostics, persisted alongside ws so a resumed run still
+    # reports the full history
+    stats = {
+        "iters": np.zeros(n_stages, np.int32),
+        "tc": np.zeros(n_stages, np.float64),
+        "delta": np.zeros(n_stages, np.float64),
+        "obj": np.zeros(n_stages, np.float64),
+        "hist": np.zeros((n_stages,
+                          cfg.max_iter if cfg.record_history else 0),
+                         np.float64),
+    }
     start_stage = 0
     if os.path.exists(state_path):
         with np.load(state_path) as z:
-            saved_stage = int(z["stage"])
-            if saved_stage < len(schedule):
-                ws = jnp.asarray(z["ws"], model._dt)
-                start_stage = saved_stage
-            else:
-                ws = jnp.asarray(z["ws"], model._dt)
-                start_stage = len(schedule)
+            start_stage = min(int(z["stage"]), n_stages)
+            ws = jnp.asarray(z["ws"], model._dt)
+            for k in stats:
+                if k in z.files and z[k].shape == stats[k].shape:
+                    stats[k] = z[k].copy()
     if start_stage == 0:
         if init_ws is not None:
             ws = jnp.asarray(init_ws, dtype=model._dt)
@@ -104,11 +118,16 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
         else:
             ws = jnp.asarray(model._init_ws(model.nv), dtype=model._dt)
 
-    diag = None
-    for s in range(start_stage, len(schedule)):
-        stage_cfg = _dc.replace(model.config, eps_override=schedule[s])
+    for s in range(start_stage, n_stages):
+        stage_cfg = _dc.replace(cfg, eps_override=schedule[s])
         ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
-        np.savez(state_path, ws=np.asarray(ws), stage=s + 1)
+        stats["iters"][s] = int(diag.iters_per_stage[0])
+        stats["tc"][s] = float(diag.tc_per_stage[0])
+        stats["delta"][s] = float(diag.delta_per_stage[0])
+        stats["obj"][s] = float(diag.objective_per_stage[0])
+        if cfg.record_history:
+            stats["hist"][s] = np.asarray(diag.tc_history[0])
+        np.savez(state_path, ws=np.asarray(ws), stage=s + 1, **stats)
 
     # finalize exactly like Corex.fit: full moments at eps=0 + factor sort
     # (no further solver steps)
@@ -119,13 +138,18 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
         zero = jnp.asarray(0.0, w.dtype)
         c_xy = (M.cxy_gram(d, w, zero) if strategy.startswith("gram")
                 else M.cxy_samples(d, w, zero))
-        mom = M.moments_from_cxy(w, c_xy, model.config.y_scale,
-                                 model.config.rho_clip)
+        mom = M.moments_from_cxy(w, c_xy, cfg.y_scale, cfg.rho_clip)
         w_sorted, order = sort_by_tcs(w, mom.tcs)
         return w_sorted, M.permute_moments(mom, order)
 
     model.ws, model.moments = _finalize(data, ws)
-    model.diagnostics = diag
+    dt = model._dt
+    model.diagnostics = FitDiagnostics(
+        iters_per_stage=jnp.asarray(stats["iters"]),
+        tc_per_stage=jnp.asarray(stats["tc"], dt),
+        delta_per_stage=jnp.asarray(stats["delta"], dt),
+        objective_per_stage=jnp.asarray(stats["obj"], dt),
+        tc_history=jnp.asarray(stats["hist"], dt))
     return model
 
 
@@ -151,7 +175,10 @@ def load_corex(path: str) -> Corex:
             gaussianize=pre.gaussianize, y_scale=cfg.y_scale,
             seed=meta["seed"], dtype=cfg.dtype,
             moment_strategy=cfg.moment_strategy,
-            record_history=cfg.record_history)
+            record_history=cfg.record_history,
+            matmul_dtype=cfg.matmul_dtype, use_pallas=cfg.use_pallas,
+            matmul_precision=cfg.matmul_precision,
+            optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta)
         dt = jnp.dtype(cfg.dtype)
         model.ws = jnp.asarray(z["ws"], dt)
         model.theta = Theta(mean=jnp.asarray(z["theta_mean"], dt),

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linearcorex_tpu.models.corex import Corex, _fit_program
+from linearcorex_tpu.models.corex import Corex, _fit_program, resolve_config
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 
@@ -105,11 +105,7 @@ class GramAccumulator:
         model.n_samples, model.nv = self._n, self.p
         model.theta = P.Theta(mean=mean.astype(model._dt),
                               std=std.astype(model._dt))
-        import dataclasses as _dc
-        cfg = model.config
-        if cfg.use_pallas == "auto":
-            cfg = _dc.replace(cfg, use_pallas=(
-                "always" if model._pallas_applicable() else "never"))
+        cfg = resolve_config(model.config, self.p)
         data = corr.astype(model._dt)
         if cfg.matmul_dtype == "bfloat16":
             data = data.astype(jnp.bfloat16)

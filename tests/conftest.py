@@ -42,6 +42,10 @@ def block_data(n=1000, p=64, m=8, seed=0, strength=0.9):
         for i in range(k):
             x[:, j * k + i] = strength * z[:, j] + np.sqrt(
                 1.0 - strength ** 2) * rng.normal(size=n)
+    if p > m * k:
+        # remainder columns (when m doesn't divide p) are pure noise —
+        # np.empty garbage here can contain NaN/inf
+        x[:, m * k:] = rng.normal(size=(n, p - m * k))
     return x
 
 

@@ -1,0 +1,103 @@
+"""Regression tests for the round-1 code-review findings."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import linearcorex_tpu as lc
+import linearcorex_tpu.ops.pallas_moments as PM
+from linearcorex_tpu.config import CorexConfig
+from linearcorex_tpu.ops import preprocessing as P
+from linearcorex_tpu.ops import moments as M
+from linearcorex_tpu.parallel.restarts import fit_restarts, init_restarts
+from tests.conftest import block_data
+
+
+def test_fit_restarts_gram_pallas_final_moments():
+    """Final moments after a gram_pallas restart sweep must use the gram
+    path (regression: cxy_samples was applied to the Gram matrix)."""
+    PM.INTERPRET_DEFAULT = True
+    try:
+        p, m = 256, 128
+        x = block_data(n=600, p=p, m=8, seed=0)
+        xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float32), "standard")
+        gram = M.compute_gram(xp)
+        cfg = CorexConfig(n_hidden=m, dtype="float32",
+                          record_history=False, max_iter=30, anneal=False)
+        w0 = init_restarts(2, m, p, seed=0, dtype=jnp.float32)
+        _, mom_plain, _ = fit_restarts(gram, w0, cfg, "gram")
+        _, mom_pallas, _ = fit_restarts(gram, w0, cfg, "gram_pallas")
+        tc_a = np.asarray(mom_plain.tc)
+        tc_b = np.asarray(mom_pallas.tc)
+        assert np.abs(tc_a - tc_b).max() / np.abs(tc_a).max() < 1e-3
+    finally:
+        PM.INTERPRET_DEFAULT = False
+
+
+def test_gram_products_rejects_unsupported_shapes():
+    g = jnp.eye(200, dtype=jnp.float32)
+    w = jnp.zeros((128, 200), jnp.float32)
+    with pytest.raises(ValueError, match="gram_products requires"):
+        PM.gram_products(g, w, interpret=True)
+
+
+def test_ns_chain_rejects_unsupported_shapes():
+    c = jnp.zeros((10, 128), jnp.float32)
+    ry = jnp.eye(128, dtype=jnp.float32)
+    sqz = jnp.ones(128, jnp.float32)
+    with pytest.raises(ValueError, match="chain kernel requires"):
+        PM.ns_chain(c, ry, sqz, 1 - 1e-6, interpret=True)
+
+
+def test_use_pallas_always_bad_shape_clear_error(small_block_data):
+    """use_pallas='always' with untileable shapes raises a named error,
+    not ZeroDivisionError."""
+    with pytest.raises(ValueError, match="chain kernel requires"):
+        lc.Corex(n_hidden=10, use_pallas="always").fit(small_block_data)
+
+
+def test_checkpointed_fit_history_works(tmp_path, small_block_data):
+    """fit_with_checkpoints aggregates per-stage diagnostics so `history`
+    is usable (regression: only the last stage survived → IndexError)."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+    m = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(m, small_block_data, str(tmp_path / "ck"))
+    h = m.history
+    assert len(h["iters_per_stage"]) == 7
+    assert len(h["TC"]) == int(np.sum(h["iters_per_stage"]))
+    assert abs(h["TC"][-1] - m.tc) / max(m.tc, 1.0) < 0.05
+
+
+def test_load_corex_roundtrips_solver_config(tmp_path, small_block_data):
+    """Saved optimizer/precision settings survive load (regression: they
+    were silently reset to defaults)."""
+    from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
+    c = lc.Corex(n_hidden=4, seed=0, optimizer="gd",
+                 matmul_dtype="bfloat16", use_pallas="never",
+                 matmul_precision="highest").fit(small_block_data)
+    path = str(tmp_path / "m.npz")
+    save_corex(c, path)
+    c2 = load_corex(path)
+    assert c2.config.optimizer == "gd"
+    assert c2.config.matmul_dtype == "bfloat16"
+    assert c2.config.use_pallas == "never"
+    assert c2.config.matmul_precision == "highest"
+
+
+def test_covariance_matvec_unfitted_clear_error():
+    with pytest.raises(RuntimeError, match="not fitted"):
+        lc.Corex(n_hidden=2).covariance_matvec(np.zeros(4))
+
+
+def test_pick_n_hidden_gram_pallas_strategy():
+    """pick_n_hidden with an explicit gram_pallas strategy computes the
+    shared Gram (regression: passed the sample matrix as a Gram)."""
+    PM.INTERPRET_DEFAULT = True
+    try:
+        x = block_data(n=400, p=128, m=2, seed=9)
+        best_n, scores = lc.pick_n_hidden(
+            x, repeat=1, max_n_hidden=1, dtype="float32", seed=0,
+            max_iter=20, moment_strategy="gram_pallas")
+        assert np.isfinite(scores).all()
+    finally:
+        PM.INTERPRET_DEFAULT = False
