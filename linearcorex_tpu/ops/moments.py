@@ -109,9 +109,15 @@ def cxy_gram(gram: jax.Array, ws: jax.Array, eps) -> jax.Array:
 
 
 def compute_gram(x: jax.Array) -> jax.Array:
-    """Sigma = XᵀX/n (one-time O(n·p²) GEMM, amortized over the fit loop)."""
+    """Sigma = XᵀX/n (one-time O(n·p²) GEMM, amortized over the fit loop).
+
+    Runs at 'highest' matmul precision regardless of the session default:
+    on TPU the default computes f32 matmuls with one bf16 pass (~4e-3
+    relative error), which is fine per-iteration but not for the moment
+    matrix every iteration consumes — and the cost is one-time."""
     n = x.shape[0]
-    return _mm(x.T, x) / n
+    with jax.default_matmul_precision("highest"):
+        return _mm(x.T, x) / n
 
 
 def moments_from_cxy(ws: jax.Array, c_xy: jax.Array, y_scale: float,

@@ -35,8 +35,11 @@ __all__ = ["GramAccumulator"]
 
 @jax.jit
 def _batch_stats(x):
-    """One pass over a batch: (XᵀX, column sums, count)."""
-    g = M._mm(x.T, x)
+    """One pass over a batch: (XᵀX, column sums). Highest matmul precision —
+    the accumulated moments feed every solver iteration (see
+    ops.moments.compute_gram)."""
+    with jax.default_matmul_precision("highest"):
+        g = M._mm(x.T, x)
     s = jnp.sum(x, axis=0)
     return g, s
 
@@ -66,6 +69,7 @@ class GramAccumulator:
         self.dtype = jnp.dtype(dtype)
         self._g = jnp.zeros((p, p), self.dtype)
         self._s = jnp.zeros((p,), self.dtype)
+        self._x0 = None   # shift point (first batch's column means)
         self._n = 0
 
     def update(self, x) -> "GramAccumulator":
@@ -73,7 +77,14 @@ class GramAccumulator:
         if x.ndim != 2 or x.shape[1] != self.p:
             raise ValueError(
                 f"expected batch of shape (b, {self.p}), got {x.shape}")
-        g, s = _batch_stats(x)
+        if self._x0 is None:
+            # Accumulate around the first batch's mean (shifted-data trick):
+            # cov = G'/n − μ'μ'ᵀ with μ' = μ − x0 small, so the subtraction
+            # does not cancel catastrophically in float32 (observed ~1% TC
+            # drift without the shift when means dominate variances).
+            self._x0 = jnp.mean(x, axis=0)
+        xs = x - self._x0[jnp.newaxis, :]
+        g, s = _batch_stats(xs)
         self._g = self._g + g
         self._s = self._s + s
         self._n += x.shape[0]
@@ -101,7 +112,9 @@ class GramAccumulator:
         corex_kwargs.setdefault("dtype", str(self.dtype))
         model = Corex(n_hidden=n_hidden, gaussianize="standard",
                       **corex_kwargs)
-        corr, mean, std = _finalize_corr(self._g, self._s, float(self._n))
+        corr, mean_shift, std = _finalize_corr(self._g, self._s,
+                                               float(self._n))
+        mean = self._x0 + mean_shift
         model.n_samples, model.nv = self._n, self.p
         model.theta = P.Theta(mean=mean.astype(model._dt),
                               std=std.astype(model._dt))

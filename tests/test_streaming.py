@@ -42,3 +42,16 @@ def test_streaming_validation():
         acc.fit(n_hidden=2)
     with pytest.raises(ValueError, match="expected batch"):
         acc.update(np.zeros((5, 9)))
+
+
+def test_streaming_large_means_f32_accuracy():
+    """Cancellation stress: with column means >> stds in float32, the
+    shifted accumulation + high-precision batch GEMMs keep the correlation
+    matrix accurate (naive E[xx']-mm' accumulation loses ~1% here)."""
+    x = block_data(n=2000, p=32, m=4, seed=7).astype(np.float32) + 1000.0
+    acc = GramAccumulator(p=32, dtype="float32")
+    for i in range(0, 2000, 512):
+        acc.update(x[i:i + 512])
+    corr = np.asarray(acc.correlation(), np.float64)
+    truth = np.corrcoef(x.astype(np.float64).T)
+    assert np.abs(corr - truth).max() < 1e-4
