@@ -304,6 +304,42 @@ class Corex:
         diag_correction = (1.0 - jnp.sum(z * z, axis=0)) * sv
         return std * (low + diag_correction)
 
+    # -- sklearn estimator protocol (works inside sklearn Pipelines) -----
+    _PARAM_NAMES = (
+        "n_hidden", "max_iter", "tol", "anneal", "missing_values",
+        "discourage_overlap", "gaussianize", "y_scale", "update_iter",
+        "verbose", "seed", "dtype", "moment_strategy", "record_history",
+        "matmul_dtype", "use_pallas", "matmul_precision", "optimizer",
+        "momentum_beta")
+
+    def get_params(self, deep=True):
+        cfg, pre = self.config, self.pre_config
+        return {
+            "n_hidden": cfg.n_hidden, "max_iter": cfg.max_iter,
+            "tol": cfg.tol, "anneal": cfg.anneal,
+            "missing_values": pre.missing_values,
+            "discourage_overlap": cfg.discourage_overlap,
+            "gaussianize": pre.gaussianize, "y_scale": cfg.y_scale,
+            "update_iter": self.update_iter, "verbose": self.verbose,
+            "seed": self.seed, "dtype": cfg.dtype,
+            "moment_strategy": cfg.moment_strategy,
+            "record_history": cfg.record_history,
+            "matmul_dtype": cfg.matmul_dtype,
+            "use_pallas": cfg.use_pallas,
+            "matmul_precision": cfg.matmul_precision,
+            "optimizer": cfg.optimizer,
+            "momentum_beta": cfg.momentum_beta,
+        }
+
+    def set_params(self, **params):
+        current = self.get_params()
+        for k in params:
+            if k not in self._PARAM_NAMES:
+                raise ValueError(f"invalid parameter {k!r} for Corex")
+        current.update(params)
+        self.__init__(**current)
+        return self
+
     # ------------------------------------------------------------------
     @property
     def tcs(self):

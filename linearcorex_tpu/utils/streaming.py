@@ -30,7 +30,43 @@ from linearcorex_tpu.models.corex import Corex, _fit_program, resolve_config
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 
-__all__ = ["GramAccumulator"]
+__all__ = ["GramAccumulator", "fit_from_covariance"]
+
+
+def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
+                        variable_means=None, **corex_kwargs) -> Corex:
+    """Fit Linear CorEx directly from a p x p covariance (or correlation)
+    matrix — no sample matrix needed.
+
+    Common when only the second-moment matrix is available (e.g. shared
+    summary statistics). `n_samples` is the sample count behind sigma
+    (affects nothing in the solver — moments are exact inputs here — but is
+    recorded on the model). `variable_means` (default zeros) populates the
+    model's theta so `transform`/`predict` standardize new data with
+    sigma's scale.
+    """
+    sigma = jnp.asarray(sigma)
+    p = sigma.shape[0]
+    if sigma.shape != (p, p):
+        raise ValueError(f"sigma must be square, got {sigma.shape}")
+    var = jnp.diagonal(sigma)
+    std = jnp.sqrt(jnp.maximum(var, 1e-20))
+    std = jnp.where(std < 1e-10, 1.0, std)
+    corr = sigma / jnp.outer(std, std)
+    model = Corex(n_hidden=n_hidden, gaussianize="standard", **corex_kwargs)
+    model.n_samples, model.nv = int(n_samples), p
+    mean = (jnp.zeros(p) if variable_means is None
+            else jnp.asarray(variable_means))
+    model.theta = P.Theta(mean=mean.astype(model._dt),
+                          std=std.astype(model._dt))
+    cfg = resolve_config(model.config, p)
+    data = corr.astype(model._dt)
+    if cfg.matmul_dtype == "bfloat16":
+        data = data.astype(jnp.bfloat16)
+    w0 = jnp.asarray(model._init_ws(p), dtype=model._dt)
+    model.ws, model.moments, model.diagnostics = _fit_program(
+        data, w0, cfg, "gram")
+    return model
 
 
 @jax.jit

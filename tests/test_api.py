@@ -129,3 +129,18 @@ def test_bf16_samples_strategy_quality(med_block_data):
     for a, b in zip(np.asarray(cbf.clusters), np.asarray(c32.clusters)):
         assert mapping.setdefault(int(a), int(b)) == int(b)
     assert abs(cbf.tc - c32.tc) / c32.tc < 0.02
+
+
+def test_sklearn_params_protocol(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0)
+    params = c.get_params()
+    assert params["n_hidden"] == 4 and params["seed"] == 0
+    c.set_params(n_hidden=3, tol=1e-4)
+    assert c.config.n_hidden == 3 and c.config.tol == 1e-4
+    with pytest.raises(ValueError, match="invalid parameter"):
+        c.set_params(bogus=1)
+    # clone-style roundtrip
+    c2 = lc.Corex(**c.get_params())
+    assert c2.get_params() == c.get_params()
+    c2.fit(small_block_data)
+    assert np.isfinite(c2.tc)

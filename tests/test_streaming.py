@@ -55,3 +55,27 @@ def test_streaming_large_means_f32_accuracy():
     corr = np.asarray(acc.correlation(), np.float64)
     truth = np.corrcoef(x.astype(np.float64).T)
     assert np.abs(corr - truth).max() < 1e-4
+
+
+def test_fit_from_covariance_matches_data_fit():
+    """Fitting from the exact sample covariance equals fitting the data."""
+    from linearcorex_tpu.utils.streaming import fit_from_covariance
+    x = block_data(n=1500, p=48, m=6, seed=3)
+    sigma = np.cov(x.T, bias=True)
+    m_cov = fit_from_covariance(sigma, n_samples=1500, n_hidden=6, seed=0,
+                                dtype="float64",
+                                variable_means=x.mean(0))
+    m_dat = lc.Corex(n_hidden=6, seed=0, dtype="float64",
+                     moment_strategy="gram").fit(x)
+    assert abs(m_cov.tc - m_dat.tc) < 1e-6
+    assert np.array_equal(np.asarray(m_cov.clusters),
+                          np.asarray(m_dat.clusters))
+    y1 = np.asarray(m_cov.transform(x))
+    y2 = np.asarray(m_dat.transform(x))
+    assert np.abs(y1 - y2).max() < 1e-6
+
+
+def test_fit_from_covariance_validation():
+    from linearcorex_tpu.utils.streaming import fit_from_covariance
+    with pytest.raises(ValueError, match="square"):
+        fit_from_covariance(np.zeros((4, 5)), 100, 2)
