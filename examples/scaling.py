@@ -54,5 +54,23 @@ def main():
           f"{[round(float(np.sum(np.asarray(t))), 2) for t in stack.tcs]}")
 
 
+def streaming_demo():
+    """Streaming + summary-statistics workflows (no X in memory)."""
+    import numpy as np
+    from linearcorex_tpu import GramAccumulator, fit_from_covariance
+
+    x = make_data(n=4096, p=128, m=8, seed=1)
+    acc = GramAccumulator(p=128)
+    for i in range(0, 4096, 512):           # batches stream through
+        acc.update(x[i:i + 512])
+    model = acc.fit(n_hidden=8, seed=0)
+    print(f"streaming fit from {acc.n_samples} samples: TC {model.tc:.3f}")
+
+    sigma = np.cov(x.T)                      # or shared summary statistics
+    model2 = fit_from_covariance(sigma, n_samples=4096, n_hidden=8, seed=0)
+    print(f"fit from covariance matrix:     TC {model2.tc:.3f}")
+
+
 if __name__ == "__main__":
     main()
+    streaming_demo()
