@@ -35,20 +35,24 @@ from linearcorex_tpu.ops import preprocessing as P
 __all__ = ["Corex"]
 
 
-def resolve_config(cfg: CorexConfig, nv: int) -> CorexConfig:
+def resolve_config(cfg: CorexConfig, nv: int,
+                   platform: Optional[str] = None) -> CorexConfig:
     """Resolve use_pallas='auto' against the backend and shapes.
 
-    Single source of truth shared by Corex.fit, streaming fits, and
-    checkpointed fits: the fused chain kernel requires the non-overlap
-    path, lane-aligned m and a tileable p, and a TPU backend ("axon" is
-    this environment's TPU attachment platform name)."""
+    Single source of truth shared by Corex.fit, sharded fits, streaming
+    fits, and checkpointed fits: the fused chain kernel requires the
+    non-overlap path, float32/bfloat16 compute, lane-aligned m and a
+    tileable p, and a TPU backend ("axon" is this environment's TPU
+    attachment platform name). `platform` defaults to the first device's
+    platform; it is injectable for tests."""
     if cfg.use_pallas != "auto":
         return cfg
     import dataclasses
     from linearcorex_tpu.ops.pallas_moments import chain_supported
-    platform = jax.devices()[0].platform
+    if platform is None:
+        platform = jax.devices()[0].platform
     ok = (cfg.discourage_overlap and chain_supported(nv, cfg.n_hidden)
-          and platform in ("tpu", "axon"))
+          and platform in ("tpu", "axon") and cfg.dtype != "float64")
     return dataclasses.replace(
         cfg, use_pallas="always" if ok else "never")
 
@@ -199,7 +203,13 @@ class Corex:
                 "input contains NaN; pass missing_values=<sentinel> after "
                 "encoding missing entries, or impute beforehand")
 
-    def fit(self, x, init_ws=None):
+    def _prepare_fit(self, x):
+        """Shared data preparation for every fit driver (`fit`,
+        `fit_with_checkpoints`): input validation, host/device
+        preprocessing (sets self.theta/nv/n_samples), moment-strategy
+        choice, and use_pallas resolution. Returns (data, cfg, strategy)
+        where `data` is the solver operand (X or the Gram matrix, bf16-cast
+        when matmul_dtype='bfloat16')."""
         self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
@@ -210,17 +220,6 @@ class Corex:
             xp, self.theta = P.fit_preprocess(
                 x, self.pre_config.gaussianize,
                 self.pre_config.missing_values)
-        if init_ws is not None:
-            w0 = jnp.asarray(init_ws, dtype=self._dt)
-            if w0.shape != (self.m, self.nv):
-                raise ValueError(
-                    f"init_ws shape {w0.shape} does not match "
-                    f"(n_hidden, n_variables)=({self.m}, {self.nv})")
-        elif self.ws is not None and self.ws.shape == (self.m, self.nv):
-            w0 = self.ws  # pretrained warm start (SURVEY.md §5 checkpoint)
-        else:
-            # fresh init (also when refitting on data of a different width)
-            w0 = jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
         cfg = resolve_config(self.config, self.nv)
         data = M.compute_gram(xp) if strategy.startswith("gram") else xp
@@ -230,14 +229,50 @@ class Corex:
             # halves the dominant HBM traffic (X at p=100k is 4 GB in f32,
             # read 4x per iteration on the samples path)
             data = data.astype(jnp.bfloat16)
+        return data, cfg, strategy
+
+    def _resolve_w0(self, init_ws):
+        """Initial weights: explicit init_ws > shape-matching pretrained /
+        previous ws (warm start) > fresh seeded init."""
+        if init_ws is not None:
+            w0 = jnp.asarray(init_ws, dtype=self._dt)
+            if w0.shape != (self.m, self.nv):
+                raise ValueError(
+                    f"init_ws shape {w0.shape} does not match "
+                    f"(n_hidden, n_variables)=({self.m}, {self.nv})")
+            return w0
+        if self.ws is not None and self.ws.shape == (self.m, self.nv):
+            return self.ws  # pretrained warm start (SURVEY.md §5)
+        # fresh init (also when refitting on data of a different width)
+        return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
+
+    def fit(self, x, init_ws=None):
+        data, cfg, strategy = self._prepare_fit(x)
+        w0 = self._resolve_w0(init_ws)
         self.ws, self.moments, self.diagnostics = _fit_program(
             data, w0, cfg, strategy)
         if self.verbose:
-            it = np.asarray(self.diagnostics.iters_per_stage)
-            tc = np.asarray(self.diagnostics.tc_per_stage)
-            for s, (i, t) in enumerate(zip(it, tc)):
-                print(f"stage {s}: {i} iters, TC={t:.6f}")
+            self._print_verbose()
         return self
+
+    def _print_verbose(self):
+        """Reference-cadence progress output (`[U] :: Corex.fit` logging,
+        SURVEY.md §3.1): one TC line every `update_iter` iterations plus a
+        per-stage summary. Printed host-side from the returned diagnostics
+        arrays after the single compiled fit — no extra device syncs."""
+        d = self.diagnostics
+        iters = np.asarray(d.iters_per_stage)
+        tcs = np.asarray(d.tc_per_stage)
+        deltas = np.asarray(d.delta_per_stage)
+        hist = np.asarray(d.tc_history)
+        step = max(1, int(self.update_iter))
+        for s, eps in enumerate(self.config.anneal_schedule()):
+            k = int(iters[s])
+            if hist.shape[1]:  # record_history=True: per-iteration TC known
+                for i in range(step - 1, k, step):
+                    print(f"eps={eps:.4f} iter={i + 1} TC={hist[s, i]:.6f}")
+            print(f"eps: {eps:.4f}, iterations: {k}, TC: {tcs[s]:.6f}, "
+                  f"delta: {deltas[s]:.2e}")
 
     def fit_transform(self, x):
         self.fit(x)
@@ -292,17 +327,25 @@ class Corex:
         return std[:, jnp.newaxis] * std[jnp.newaxis, :] * cov
 
     def covariance_matvec(self, v):
-        """Σ̂·v via two skinny GEMMs — the blocked/matvec form required at
-        p=100k where dense p x p is 40 GB (SURVEY.md §3.4 note)."""
+        """Σ̂·v via skinny GEMMs — the blocked/matvec form required at
+        p=100k where dense p x p is 40 GB (SURVEY.md §3.4 note). Matches
+        `get_covariance` exactly on both solver paths: the non-overlap
+        factorization Z = rhoinvrho/(1+S_i), or the m x m-solve form
+        C_xy·C_y⁻¹·C_xyᵀ for overlap (discourage_overlap=False) models."""
         self._check_fitted()
         mom = self.moments
         v = jnp.asarray(v, dtype=self._dt)
         std = self.theta.std
-        z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
         sv = std * v
-        low = z.T @ (z @ sv)
-        diag_correction = (1.0 - jnp.sum(z * z, axis=0)) * sv
-        return std * (low + diag_correction)
+        if self.config.discourage_overlap:
+            z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
+            low = z.T @ (z @ sv)
+            diag = jnp.sum(z * z, axis=0)
+        else:
+            sol = jnp.linalg.solve(mom.cy, mom.c_xy.T)       # m x p
+            low = mom.c_xy @ (sol @ sv)
+            diag = jnp.sum(mom.c_xy * sol.T, axis=1)
+        return std * (low + (1.0 - diag) * sv)
 
     # -- sklearn estimator protocol (works inside sklearn Pipelines) -----
     _PARAM_NAMES = (
@@ -332,12 +375,28 @@ class Corex:
         }
 
     def set_params(self, **params):
-        current = self.get_params()
+        """Update hyperparameters in place (sklearn contract: parameters
+        only — fitted state, pretrained weights, and diagnostics are
+        preserved)."""
+        import dataclasses
         for k in params:
             if k not in self._PARAM_NAMES:
                 raise ValueError(f"invalid parameter {k!r} for Corex")
-        current.update(params)
-        self.__init__(**current)
+        cfg_fields = {f.name for f in dataclasses.fields(CorexConfig)}
+        cfg_updates = {k: v for k, v in params.items() if k in cfg_fields}
+        if cfg_updates:
+            self.config = dataclasses.replace(self.config, **cfg_updates)
+            if "n_hidden" in cfg_updates:
+                self.m = cfg_updates["n_hidden"]
+        pre_updates = {k: params[k] for k in ("gaussianize",
+                                              "missing_values") if k in
+                       params}
+        if pre_updates:
+            self.pre_config = dataclasses.replace(self.pre_config,
+                                                  **pre_updates)
+        for attr in ("update_iter", "verbose", "seed"):
+            if attr in params:
+                setattr(self, attr, params[attr])
         return self
 
     # ------------------------------------------------------------------

@@ -215,6 +215,13 @@ def ns_chain(c_xy: jax.Array, ry: jax.Array, sqz: jax.Array,
     if interpret is None:
         interpret = INTERPRET_DEFAULT
     p, m = c_xy.shape
+    if c_xy.dtype == jnp.float64:
+        # the kernel computes in float32; silently downcasting would break
+        # the <=1e-5 oracle-parity contract for float64 runs
+        raise ValueError(
+            "the fused chain kernel computes in float32 and cannot honor "
+            "dtype='float64'; set use_pallas='never' (or 'auto') for "
+            "float64 parity runs")
     if not chain_supported(p, m):
         raise ValueError(
             f"the fused chain kernel requires m%128==0 (m<=1024) and a "

@@ -26,12 +26,22 @@ from linearcorex_tpu.ops import moments as M
 __all__ = ["init_restarts", "fit_restarts", "best_restart"]
 
 
+def seed_base(seed: Optional[int]) -> int:
+    """Restart-sweep seed base: seed itself, or fresh entropy when None
+    (like Corex(seed=None) — unseeded sweeps must differ across calls)."""
+    if seed is None:
+        return int(np.random.SeedSequence().generate_state(1)[0] % (2**31))
+    return seed
+
+
 def init_restarts(n_restarts: int, m: int, p: int, seed: Optional[int],
                   dtype) -> jax.Array:
     """Stack of seeded N(0, 1/sqrt(p)) inits — restart r uses NumPy
     RandomState(seed + r), matching single-fit seeding so restart 0 of a
-    sweep equals a plain `Corex(seed=seed)` fit."""
-    base = 0 if seed is None else seed
+    sweep equals a plain `Corex(seed=seed)` fit. seed=None draws a fresh
+    random base (like Corex(seed=None)), so unseeded sweeps differ across
+    calls instead of silently repeating base 0."""
+    base = seed_base(seed)
     w0 = np.stack([
         np.random.RandomState(base + r).normal(
             loc=0.0, scale=1.0 / np.sqrt(p), size=(m, p))

@@ -29,12 +29,47 @@ __all__ = ["save_corex", "load_corex", "fit_with_checkpoints"]
 _FORMAT_VERSION = 1
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize once so save and
+    load agree on the real filename."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _fit_fingerprint(model: Corex, x, schedule) -> str:
+    """Hash of (config, preprocessing, data shape + content sample, anneal
+    schedule). Stored in stage checkpoints so a resume against different
+    data or hyperparameters is detected instead of silently continuing
+    from stale weights."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "config": dataclasses.asdict(model.config),
+            "pre_config": dataclasses.asdict(model.pre_config),
+            "shape": [int(s) for s in np.shape(x)],
+            "schedule": [float(e) for e in schedule],
+        },
+        sort_keys=True, default=str).encode()
+    h = hashlib.sha256(payload)
+    if isinstance(x, np.ndarray):
+        flat = x.ravel()
+        stride = max(1, flat.size // 1024)
+        sample = np.ascontiguousarray(flat[::stride][:1024], np.float64)
+    else:  # device array: subsample ON device, pull <=8 KB to host
+        flat = jnp.ravel(x)
+        stride = max(1, flat.size // 1024)
+        sample = np.asarray(flat[::stride][:1024], np.float64)
+    h.update(sample.tobytes())
+    return h.hexdigest()
+
+
 def save_corex(model: Corex, path: str) -> None:
     """Save a fitted Corex to `path` (.npz). One device→host pull, by
     explicit user request (device→host is the slow path on this attachment,
     BASELINE.md §2)."""
     if model.ws is None or model.moments is None:
         raise ValueError("model is not fitted")
+    path = _npz_path(path)
     meta = {
         "format_version": _FORMAT_VERSION,
         "config": dataclasses.asdict(model.config),
@@ -42,6 +77,8 @@ def save_corex(model: Corex, path: str) -> None:
         "seed": model.seed,
         "nv": model.nv,
         "n_samples": model.n_samples,
+        "update_iter": model.update_iter,
+        "verbose": model.verbose,
     }
     arrays = {
         "ws": np.asarray(model.ws),
@@ -63,33 +100,30 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
 
     Each stage compiles once and runs with a single host sync; the extra
     cost vs the one-program `fit` is one sync + one small save per stage.
-    Finishes by populating `model` exactly like `Corex.fit` (final moments,
-    sorted factors) and returns the model.
+    Data preparation is shared with `Corex.fit` (`Corex._prepare_fit`), so
+    the checkpointed fit sees identically validated and preprocessed data.
+    A fingerprint of (config, data, schedule) is stored with each stage; a
+    resume whose fingerprint mismatches restarts from stage 0 with a
+    warning instead of silently continuing from stale weights. Finishes by
+    populating `model` exactly like `Corex.fit` (final moments, sorted
+    factors) and returns the model.
     """
     import dataclasses as _dc
     import os
+    import warnings
 
     import jax
 
     from linearcorex_tpu.core.solver import FitDiagnostics
-    from linearcorex_tpu.models.corex import _fit_program, resolve_config
+    from linearcorex_tpu.models.corex import _fit_program
     from linearcorex_tpu.ops import moments as M
-    from linearcorex_tpu.ops import preprocessing as Pre
 
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, "stage_state.npz")
 
-    x = jnp.asarray(x, dtype=model._dt)
-    model.n_samples, model.nv = x.shape
-    xp, model.theta = Pre.fit_preprocess(
-        x, model.pre_config.gaussianize, model.pre_config.missing_values)
-    cfg = resolve_config(model.config, model.nv)
-    strategy = cfg.pick_strategy(model.n_samples, model.nv)
-    data = M.compute_gram(xp) if strategy.startswith("gram") else xp
-    if cfg.matmul_dtype == "bfloat16":
-        data = data.astype(jnp.bfloat16)
-
+    data, cfg, strategy = model._prepare_fit(x)
     schedule = cfg.anneal_schedule()
+    fingerprint = _fit_fingerprint(model, x, schedule)
     n_stages = len(schedule)
     # per-stage diagnostics, persisted alongside ws so a resumed run still
     # reports the full history
@@ -105,19 +139,23 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     start_stage = 0
     if os.path.exists(state_path):
         with np.load(state_path) as z:
-            start_stage = min(int(z["stage"]), n_stages)
-            ws = jnp.asarray(z["ws"], model._dt)
-            for k in stats:
-                if k in z.files and z[k].shape == stats[k].shape:
-                    stats[k] = z[k].copy()
+            stored_fp = (bytes(z["fingerprint"]).decode()
+                         if "fingerprint" in z.files else "")
+            if stored_fp != fingerprint:
+                warnings.warn(
+                    f"checkpoint in {ckpt_dir!r} was written for a "
+                    f"different (config, data, schedule); restarting the "
+                    f"fit from stage 0")
+            else:
+                start_stage = min(int(z["stage"]), n_stages)
+                ws = jnp.asarray(z["ws"], model._dt)
+                for k in stats:
+                    if k in z.files and z[k].shape == stats[k].shape:
+                        stats[k] = z[k].copy()
     if start_stage == 0:
-        if init_ws is not None:
-            ws = jnp.asarray(init_ws, dtype=model._dt)
-        elif model.ws is not None:
-            ws = model.ws
-        else:
-            ws = jnp.asarray(model._init_ws(model.nv), dtype=model._dt)
+        ws = model._resolve_w0(init_ws)
 
+    fp_arr = np.frombuffer(fingerprint.encode(), dtype=np.uint8)
     for s in range(start_stage, n_stages):
         stage_cfg = _dc.replace(cfg, eps_override=schedule[s])
         ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
@@ -127,7 +165,8 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
         stats["obj"][s] = float(diag.objective_per_stage[0])
         if cfg.record_history:
             stats["hist"][s] = np.asarray(diag.tc_history[0])
-        np.savez(state_path, ws=np.asarray(ws), stage=s + 1, **stats)
+        np.savez(state_path, ws=np.asarray(ws), stage=s + 1,
+                 fingerprint=fp_arr, **stats)
 
     # finalize exactly like Corex.fit: full moments at eps=0 + factor sort
     # (no further solver steps)
@@ -156,6 +195,7 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
 def load_corex(path: str) -> Corex:
     """Reconstruct a fitted Corex (inference-ready; fit() warm-starts from
     the stored weights)."""
+    path = _npz_path(path)
     with np.load(path) as z:
         if "meta_json" not in z.files:
             raise ValueError(
@@ -178,7 +218,9 @@ def load_corex(path: str) -> Corex:
             record_history=cfg.record_history,
             matmul_dtype=cfg.matmul_dtype, use_pallas=cfg.use_pallas,
             matmul_precision=cfg.matmul_precision,
-            optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta)
+            optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta,
+            update_iter=meta.get("update_iter", 10),
+            verbose=meta.get("verbose", False))
         dt = jnp.dtype(cfg.dtype)
         model.ws = jnp.asarray(z["ws"], dt)
         model.theta = Theta(mean=jnp.asarray(z["theta_mean"], dt),

@@ -50,6 +50,17 @@ def block_data(n=1000, p=64, m=8, seed=0, strength=0.9):
 
 
 @pytest.fixture
+def pallas_interpret(monkeypatch):
+    """Route the Pallas kernels through the interpreter for the duration of
+    one test (CPU CI has no TPU to compile for). monkeypatch restores the
+    module attribute automatically — no global mutation leaks across tests
+    or parallel runners."""
+    import linearcorex_tpu.ops.pallas_moments as PM
+
+    monkeypatch.setattr(PM, "INTERPRET_DEFAULT", True)
+
+
+@pytest.fixture
 def small_block_data():
     return block_data(n=500, p=32, m=4, seed=3)
 

@@ -61,10 +61,38 @@ def test_covariance_matvec_matches_dense(med_block_data):
     assert np.abs(got - cov @ v).max() < 1e-8
 
 
+def test_covariance_matvec_matches_dense_overlap(med_block_data):
+    """matvec ≡ dense for the overlap (discourage_overlap=False) path too
+    (round-1 regression: the non-overlap factorization was applied
+    unconditionally, silently wrong for overlap models)."""
+    c = lc.Corex(n_hidden=8, seed=0, dtype="float64",
+                 discourage_overlap=False).fit(med_block_data)
+    cov = np.asarray(c.get_covariance())
+    v = np.random.RandomState(0).normal(size=64)
+    got = np.asarray(c.covariance_matvec(v))
+    assert np.abs(got - cov @ v).max() < 1e-8
+
+
 def test_verbose_prints(small_block_data, capsys):
     lc.Corex(n_hidden=4, seed=0, verbose=True).fit(small_block_data)
     out = capsys.readouterr().out
-    assert "stage" in out and "TC=" in out
+    assert "eps" in out and "TC" in out
+
+
+def test_verbose_update_iter_cadence(small_block_data, capsys):
+    """One TC progress line every update_iter iterations (`[U] :: Corex.fit`
+    logging contract), derived post-fit from the diagnostics arrays."""
+    c = lc.Corex(n_hidden=4, seed=0, verbose=True, update_iter=5).fit(
+        small_block_data)
+    out = capsys.readouterr().out
+    iters = np.asarray(c.diagnostics.iters_per_stage)
+    expected = int(sum(k // 5 for k in iters))
+    assert out.count("iter=") == expected
+    # coarser cadence => fewer lines
+    c2 = lc.Corex(n_hidden=4, seed=0, verbose=True, update_iter=50)
+    c2.fit(small_block_data)
+    out2 = capsys.readouterr().out
+    assert out2.count("iter=") < max(expected, 1)
 
 
 def test_gpu_flag_accepted(small_block_data):
@@ -144,3 +172,21 @@ def test_sklearn_params_protocol(small_block_data):
     assert c2.get_params() == c.get_params()
     c2.fit(small_block_data)
     assert np.isfinite(c2.tc)
+
+
+def test_set_params_preserves_fitted_state(small_block_data):
+    """sklearn contract: set_params updates parameters only — fitted state
+    (ws, moments, theta, diagnostics) survives cosmetic changes."""
+    c = lc.Corex(n_hidden=4, seed=0).fit(small_block_data)
+    ws_before = np.asarray(c.ws)
+    tc_before = c.tc
+    c.set_params(verbose=True, update_iter=3)
+    assert c.ws is not None and c.moments is not None
+    assert np.array_equal(np.asarray(c.ws), ws_before)
+    assert c.tc == tc_before
+    assert c.verbose is True and c.update_iter == 3
+    c.set_params(gaussianize="empirical", missing_values=-1.0)
+    assert c.pre_config.gaussianize == "empirical"
+    assert c.pre_config.missing_values == -1.0
+    with pytest.raises(ValueError, match="unknown gaussianize"):
+        c.set_params(gaussianize="bogus")

@@ -79,12 +79,15 @@ def test_fit_with_checkpoints_resumes(tmp_path, small_block_data):
     schedule = model.config.anneal_schedule()
     ws = jnp.asarray(w0, jnp.float64)
     import os
+    from linearcorex_tpu.utils.checkpoint import _fit_fingerprint
     os.makedirs(ckdir, exist_ok=True)
+    fp = np.frombuffer(
+        _fit_fingerprint(model, x, schedule).encode(), dtype=np.uint8)
     for s in range(3):
         cfg_s = dataclasses.replace(model.config, eps_override=schedule[s])
         ws, _, _ = _fit_program(data, ws, cfg_s, strategy)
         np.savez(os.path.join(ckdir, "stage_state.npz"),
-                 ws=np.asarray(ws), stage=s + 1)
+                 ws=np.asarray(ws), stage=s + 1, fingerprint=fp)
 
     # resume completes the remaining stages
     m2 = lc.Corex(n_hidden=4, dtype="float64")
@@ -92,3 +95,60 @@ def test_fit_with_checkpoints_resumes(tmp_path, small_block_data):
     ref = lc.Corex(n_hidden=4, dtype="float64")
     fit_with_checkpoints(ref, x, str(tmp_path / "ck2"), init_ws=w0)
     assert abs(m2.tc - ref.tc) < 1e-9
+
+
+def test_fit_with_checkpoints_rejects_stale_checkpoint(tmp_path,
+                                                       small_block_data):
+    """Reusing a checkpoint dir after changing data or hyperparameters must
+    NOT silently resume stale weights (advisor r1, medium): the fingerprint
+    mismatch warns and restarts from stage 0."""
+    import pytest
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+
+    x = small_block_data
+    ckdir = str(tmp_path / "ck")
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(32), size=(4, 32))
+    m1 = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(m1, x, ckdir, init_ws=w0)
+
+    # different data in the same dir => warn + full refit, result must
+    # equal a clean fit on the new data
+    x2 = x[::-1].copy() * 1.5 + 0.1
+    m2 = lc.Corex(n_hidden=4, dtype="float64")
+    with pytest.warns(UserWarning, match="different"):
+        fit_with_checkpoints(m2, x2, ckdir, init_ws=w0)
+    ref = lc.Corex(n_hidden=4, dtype="float64").fit(x2, init_ws=w0)
+    assert abs(m2.tc - ref.tc) < 1e-9
+
+    # different hyperparameters likewise
+    m3 = lc.Corex(n_hidden=4, dtype="float64", tol=1e-4)
+    with pytest.warns(UserWarning, match="different"):
+        fit_with_checkpoints(m3, x2, ckdir, init_ws=w0)
+    assert np.isfinite(m3.tc)
+
+
+def test_fit_with_checkpoints_validates_like_fit(tmp_path):
+    """fit_with_checkpoints shares Corex.fit's input validation (round-1
+    gap: it accepted inputs plain fit rejects)."""
+    import pytest
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+
+    m = lc.Corex(n_hidden=2)
+    with pytest.raises(ValueError, match="2-D"):
+        fit_with_checkpoints(m, np.zeros(8), str(tmp_path / "ck"))
+    bad = np.random.RandomState(0).normal(size=(20, 8))
+    bad[3, 4] = np.nan
+    with pytest.raises(ValueError, match="NaN"):
+        fit_with_checkpoints(m, bad, str(tmp_path / "ck"))
+
+
+def test_save_load_path_without_suffix(tmp_path, small_block_data):
+    """save_corex('ckpt') writes ckpt.npz (np.savez appends the suffix);
+    load_corex('ckpt') must find it, and update_iter/verbose round-trip."""
+    c = lc.Corex(n_hidden=4, seed=0, update_iter=7, verbose=True).fit(
+        small_block_data)
+    path = str(tmp_path / "model")  # no .npz
+    save_corex(c, path)
+    c2 = load_corex(path)
+    assert np.array_equal(np.asarray(c2.ws), np.asarray(c.ws))
+    assert c2.update_iter == 7 and c2.verbose is True

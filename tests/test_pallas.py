@@ -38,29 +38,25 @@ def test_supported_shapes():
     assert not PM.supported(256, 100)   # m not lane-aligned
 
 
-def test_ns_obj_grad_gram_pallas_path():
+def test_ns_obj_grad_gram_pallas_path(pallas_interpret):
     """The integrated objective/gradient with the fused kernel must equal
     the XLA path (same moments, same gradient)."""
-    PM.INTERPRET_DEFAULT = True
-    try:
-        p, m = 256, 128
-        from tests.conftest import block_data
-        x = block_data(n=2000, p=p, m=8, seed=1)
-        x = (x - x.mean(0)) / x.std(0)
-        gram = jnp.asarray(x.T @ x / x.shape[0], jnp.float32)
-        ws = jnp.asarray(np.random.RandomState(2).normal(
-            scale=0.05, size=(m, p)), jnp.float32)
-        for eps in (0.0, 0.36):
-            f1, g1, tc1 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
-                                             use_pallas=False)
-            f2, g2, tc2 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
-                                             use_pallas=True)
-            assert abs(float(f1) - float(f2)) / max(abs(float(f1)), 1) < 1e-5
-            assert abs(float(tc1) - float(tc2)) / max(abs(float(tc1)),
-                                                      1) < 1e-5
-            assert np.abs(np.asarray(g1 - g2)).max() < 1e-3
-    finally:
-        PM.INTERPRET_DEFAULT = False
+    p, m = 256, 128
+    from tests.conftest import block_data
+    x = block_data(n=2000, p=p, m=8, seed=1)
+    x = (x - x.mean(0)) / x.std(0)
+    gram = jnp.asarray(x.T @ x / x.shape[0], jnp.float32)
+    ws = jnp.asarray(np.random.RandomState(2).normal(
+        scale=0.05, size=(m, p)), jnp.float32)
+    for eps in (0.0, 0.36):
+        f1, g1, tc1 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
+                                         use_pallas=False)
+        f2, g2, tc2 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
+                                         use_pallas=True)
+        assert abs(float(f1) - float(f2)) / max(abs(float(f1)), 1) < 1e-5
+        assert abs(float(tc1) - float(tc2)) / max(abs(float(tc1)),
+                                                  1) < 1e-5
+        assert np.abs(np.asarray(g1 - g2)).max() < 1e-3
 
 
 def test_ns_chain_matches_reference():
@@ -83,30 +79,37 @@ def test_ns_chain_matches_reference():
             / denom < 1e-5
 
 
-def test_chain_obj_grad_integrated():
+def test_chain_obj_grad_integrated(pallas_interpret):
     """ns_obj_grad with chain_kernel=True equals the XLA path (gram and
     samples backends, with and without annealing)."""
-    PM.INTERPRET_DEFAULT = True
-    try:
-        from tests.conftest import block_data
-        p, m = 256, 128
-        x = block_data(n=2000, p=p, m=8, seed=1)
-        x = (x - x.mean(0)) / x.std(0)
-        xj = jnp.asarray(x, jnp.float32)
-        gram = jnp.asarray(x.T @ x / x.shape[0], jnp.float32)
-        ws = jnp.asarray(np.random.RandomState(2).normal(
-            scale=0.05, size=(m, p)), jnp.float32)
-        for eps in (0.0, 0.36):
-            f1, g1, t1 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6)
-            f2, g2, t2 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
-                                            chain_kernel=True)
-            assert abs(float(f1 - f2)) / abs(float(f1)) < 1e-5
-            assert abs(float(t1 - t2)) / max(abs(float(t1)), 1e-6) < 1e-4
-            assert np.abs(np.asarray(g1 - g2)).max() < 2e-3
-            f3, g3, t3 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6,
-                                               chain_kernel=True)
-            f4, g4, t4 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6)
-            assert abs(float(f3 - f4)) / abs(float(f4)) < 1e-5
-            assert np.abs(np.asarray(g3 - g4)).max() < 2e-3
-    finally:
-        PM.INTERPRET_DEFAULT = False
+    from tests.conftest import block_data
+    p, m = 256, 128
+    x = block_data(n=2000, p=p, m=8, seed=1)
+    x = (x - x.mean(0)) / x.std(0)
+    xj = jnp.asarray(x, jnp.float32)
+    gram = jnp.asarray(x.T @ x / x.shape[0], jnp.float32)
+    ws = jnp.asarray(np.random.RandomState(2).normal(
+        scale=0.05, size=(m, p)), jnp.float32)
+    for eps in (0.0, 0.36):
+        f1, g1, t1 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6)
+        f2, g2, t2 = M.ns_obj_grad_gram(ws, gram, eps, 1.0, 1 - 1e-6,
+                                        chain_kernel=True)
+        assert abs(float(f1 - f2)) / abs(float(f1)) < 1e-5
+        assert abs(float(t1 - t2)) / max(abs(float(t1)), 1e-6) < 1e-4
+        assert np.abs(np.asarray(g1 - g2)).max() < 2e-3
+        f3, g3, t3 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6,
+                                           chain_kernel=True)
+        f4, g4, t4 = M.ns_obj_grad_samples(ws, xj, eps, 1.0, 1 - 1e-6)
+        assert abs(float(f3 - f4)) / abs(float(f4)) < 1e-5
+        assert np.abs(np.asarray(g3 - g4)).max() < 2e-3
+
+
+def test_ns_chain_rejects_float64():
+    """float64 operands must raise (the kernel computes in f32; silent
+    downcast would break the 1e-5 oracle-parity contract)."""
+    p, m = 256, 128
+    cxy = jnp.zeros((p, m), jnp.float64)
+    ry = jnp.eye(m, dtype=jnp.float64)
+    sqz = jnp.ones((m,), jnp.float64)
+    with pytest.raises(ValueError, match="float64"):
+        PM.ns_chain(cxy, ry, sqz, 1 - 1e-6, interpret=True)

@@ -13,25 +13,21 @@ from linearcorex_tpu.parallel.restarts import fit_restarts, init_restarts
 from tests.conftest import block_data
 
 
-def test_fit_restarts_gram_pallas_final_moments():
+def test_fit_restarts_gram_pallas_final_moments(pallas_interpret):
     """Final moments after a gram_pallas restart sweep must use the gram
     path (regression: cxy_samples was applied to the Gram matrix)."""
-    PM.INTERPRET_DEFAULT = True
-    try:
-        p, m = 256, 128
-        x = block_data(n=600, p=p, m=8, seed=0)
-        xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float32), "standard")
-        gram = M.compute_gram(xp)
-        cfg = CorexConfig(n_hidden=m, dtype="float32",
-                          record_history=False, max_iter=30, anneal=False)
-        w0 = init_restarts(2, m, p, seed=0, dtype=jnp.float32)
-        _, mom_plain, _ = fit_restarts(gram, w0, cfg, "gram")
-        _, mom_pallas, _ = fit_restarts(gram, w0, cfg, "gram_pallas")
-        tc_a = np.asarray(mom_plain.tc)
-        tc_b = np.asarray(mom_pallas.tc)
-        assert np.abs(tc_a - tc_b).max() / np.abs(tc_a).max() < 1e-3
-    finally:
-        PM.INTERPRET_DEFAULT = False
+    p, m = 256, 128
+    x = block_data(n=600, p=p, m=8, seed=0)
+    xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float32), "standard")
+    gram = M.compute_gram(xp)
+    cfg = CorexConfig(n_hidden=m, dtype="float32",
+                      record_history=False, max_iter=30, anneal=False)
+    w0 = init_restarts(2, m, p, seed=0, dtype=jnp.float32)
+    _, mom_plain, _ = fit_restarts(gram, w0, cfg, "gram")
+    _, mom_pallas, _ = fit_restarts(gram, w0, cfg, "gram_pallas")
+    tc_a = np.asarray(mom_plain.tc)
+    tc_b = np.asarray(mom_pallas.tc)
+    assert np.abs(tc_a - tc_b).max() / np.abs(tc_a).max() < 1e-3
 
 
 def test_gram_products_rejects_unsupported_shapes():
@@ -89,15 +85,23 @@ def test_covariance_matvec_unfitted_clear_error():
         lc.Corex(n_hidden=2).covariance_matvec(np.zeros(4))
 
 
-def test_pick_n_hidden_gram_pallas_strategy():
+def test_pick_n_hidden_gram_pallas_strategy(pallas_interpret):
     """pick_n_hidden with an explicit gram_pallas strategy computes the
     shared Gram (regression: passed the sample matrix as a Gram)."""
-    PM.INTERPRET_DEFAULT = True
-    try:
-        x = block_data(n=400, p=128, m=2, seed=9)
-        best_n, scores = lc.pick_n_hidden(
-            x, repeat=1, max_n_hidden=1, dtype="float32", seed=0,
-            max_iter=20, moment_strategy="gram_pallas")
-        assert np.isfinite(scores).all()
-    finally:
-        PM.INTERPRET_DEFAULT = False
+    x = block_data(n=400, p=128, m=2, seed=9)
+    best_n, scores = lc.pick_n_hidden(
+        x, repeat=1, max_n_hidden=1, dtype="float32", seed=0,
+        max_iter=20, moment_strategy="gram_pallas")
+    assert np.isfinite(scores).all()
+
+
+def test_init_restarts_unseeded_not_deterministic():
+    """seed=None must draw fresh randomness (advisor r1): two unseeded
+    sweeps differ, mirroring Corex(seed=None)."""
+    a = np.asarray(init_restarts(2, 3, 16, None, jnp.float32))
+    b = np.asarray(init_restarts(2, 3, 16, None, jnp.float32))
+    assert not np.array_equal(a, b)
+    # seeded sweeps stay reproducible
+    c = np.asarray(init_restarts(2, 3, 16, 7, jnp.float32))
+    d = np.asarray(init_restarts(2, 3, 16, 7, jnp.float32))
+    assert np.array_equal(c, d)
