@@ -61,7 +61,12 @@ class CorexConfig:
     use_pallas: str = "auto"
     # Deterministic first-order solver (mirrored exactly by the oracle):
     # 'momentum' = heavy-ball with momentum reset on rejected steps
-    # (measured ~3x fewer iterations to the same TC than plain 'gd').
+    # (measured ~3x fewer iterations to the same TC than plain 'gd');
+    # 'gd' = plain adaptive gradient descent; 'fixed_point' = the
+    # reference-style damped closed-form update W ← (1−γ)W + γŴ with
+    # Ŵ = diag(sqz)·(diag(coef)−H)⁻¹·AA from stationarity of F
+    # (`[U] :: _update_ws`) — 2 big GEMMs/iter instead of 4, ~1.5-2x the
+    # iterations; non-overlap path only.
     optimizer: str = "momentum"
     momentum_beta: float = 0.9
     lr_init: float = 0.05
@@ -79,6 +84,16 @@ class CorexConfig:
     # (utils/checkpoint.py :: fit_with_checkpoints) uses this to run the
     # schedule one compiled stage at a time with a resume point between.
     eps_override: Optional[float] = None
+
+    def __post_init__(self):
+        if self.optimizer not in ("momentum", "gd", "fixed_point"):
+            raise ValueError(f"unknown optimizer: {self.optimizer!r} "
+                             f"(expected 'momentum', 'gd' or 'fixed_point')")
+        if self.optimizer == "fixed_point" and not self.discourage_overlap:
+            raise ValueError(
+                "optimizer='fixed_point' implements the non-overlap "
+                "closed-form update; use 'momentum'/'gd' with "
+                "discourage_overlap=False")
 
     def anneal_schedule(self) -> Tuple[float, ...]:
         """Annealing eps schedule (SURVEY.md §2.4): geometric 0.6**k ending

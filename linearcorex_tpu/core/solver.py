@@ -58,13 +58,20 @@ def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
            eps: jax.Array):
     """Run one annealing stage to convergence (traced while_loop).
 
-    Optimizer: deterministic step-halving line search over either plain GD
-    or heavy-ball momentum (v ← β·v − lr·g, reset to 0 on a rejected step).
-    Momentum is the default — measured ~3x fewer iterations to the same TC
-    — and the float64 oracle implements the identical rule, so seed-matched
-    runs stay step-for-step comparable."""
+    Optimizer: deterministic step-halving line search over plain GD,
+    heavy-ball momentum (v ← β·v − lr·g, reset to 0 on a rejected step), or
+    the damped fixed-point ('fixed_point': obj_grad returns ws − Ŵ, the
+    plain-GD step becomes (1−γ)·ws + γ·Ŵ with γ ∈ (0, 1]). Momentum is the
+    default — measured ~3x fewer iterations to the same TC — and the
+    float64 oracle implements the identical rules, so seed-matched runs
+    stay step-for-step comparable."""
     dt = ws0.dtype
     momentum = cfg.optimizer == "momentum"
+    fixed_point = cfg.optimizer == "fixed_point"
+    # the fixed-point damping γ lives in (0, 1]: start at 0.5, cap at the
+    # undamped update (mirrored by the oracle)
+    lr_init = 0.5 if fixed_point else cfg.lr_init
+    lr_cap = 1.0 if fixed_point else cfg.lr_cap
     hist_len = cfg.max_iter if cfg.record_history else 0
     f0, g0, tc0 = obj_grad(ws0, eps)
 
@@ -89,7 +96,7 @@ def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
         v = jnp.where(accept, v_new, jnp.zeros_like(c.v)) if momentum \
             else c.v
         tc = jnp.where(accept, tc_new, c.tc)
-        lr = jnp.where(accept, jnp.minimum(c.lr * cfg.lr_growth, cfg.lr_cap),
+        lr = jnp.where(accept, jnp.minimum(c.lr * cfg.lr_growth, lr_cap),
                        c.lr * cfg.lr_halve)
         hist = c.hist
         if cfg.record_history:
@@ -99,7 +106,7 @@ def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
 
     init = _Carry(
         ws=ws0, f=f0, g=g0, v=jnp.zeros_like(ws0), tc=tc0,
-        lr=jnp.asarray(cfg.lr_init, dt),
+        lr=jnp.asarray(lr_init, dt),
         it=jnp.asarray(0, jnp.int32),
         delta=jnp.asarray(jnp.inf, dt),
         hist=jnp.zeros((hist_len,), dt),

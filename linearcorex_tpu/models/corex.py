@@ -58,14 +58,30 @@ def resolve_config(cfg: CorexConfig, nv: int,
 
 
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
-    """Close the active objective/gradient over the data (samples or Gram).
+    """Close the active objective/direction over the data (samples or Gram).
 
     strategy: 'samples' | 'gram' | 'gram_pallas' (gram with the fused
     Pallas product kernel). cfg.use_pallas='always' additionally routes the
     elementwise chain through the fused Pallas chain kernel ('auto' must be
-    resolved to 'always'/'never' by the caller — Corex.fit does)."""
+    resolved to 'always'/'never' by the caller — Corex.fit does). For
+    optimizer='fixed_point' the returned "gradient" is the fixed-point
+    residual ws − Ŵ (`[U] :: _update_ws`), which the solver's plain-GD step
+    turns into the damped update (1−γ)·ws + γ·Ŵ."""
     bf16 = cfg.matmul_dtype == "bfloat16"
     chain = cfg.use_pallas == "always"
+    if cfg.optimizer == "fixed_point":
+        if not cfg.discourage_overlap:
+            raise ValueError(
+                "optimizer='fixed_point' implements the non-overlap "
+                "closed-form update; use 'momentum'/'gd' with "
+                "discourage_overlap=False")
+        if strategy in ("gram", "gram_pallas"):
+            return lambda ws, eps: M.ns_fp_gram(
+                ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
+                chain_kernel=chain and strategy == "gram")
+        return lambda ws, eps: M.ns_fp_samples(
+            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
+            chain_kernel=chain)
     if cfg.discourage_overlap:
         if strategy in ("gram", "gram_pallas"):
             return lambda ws, eps: M.ns_obj_grad_gram(

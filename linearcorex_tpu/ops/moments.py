@@ -300,6 +300,86 @@ def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False,
 
 
 # ---------------------------------------------------------------------------
+# Damped fixed-point update (`optimizer='fixed_point'`) — the reference's
+# closed-form iteration style (`[U] :: _update_ws`, SURVEY.md §2.5/§7.0)
+# ---------------------------------------------------------------------------
+
+def _ns_fp_target(mom: Moments) -> jax.Array:
+    """Closed-form fixed-point target Ŵ from stationarity of F.
+
+    Setting the exact gradient to zero and substituting
+    rho = diag(1/sqz)·W·Σ_eff gives (for invertible Σ_eff)
+
+        (diag(coef) − H)·diag(1/sqz)·Ŵ = AA
+        Ŵ = diag(sqz)·(diag(coef) − H)⁻¹·AA,
+
+    an m x m solve + elementwise algebra — NO Σ-sized GEMMs, so a
+    fixed-point iteration costs 2 big GEMMs (the C_xy pair) instead of the
+    gradient step's 4. The iterate W ← (1−γ)W + γŴ with the shared
+    accept/reject damping is the TPU rendering of the reference's damped
+    `_update_ws` fixed point (mirrored exactly by the float64 oracle).
+    Measured iteration counts vs heavy-ball: ~2x at matched n_hidden,
+    similar TC (benchmarks/RESULTS.md)."""
+    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
+    a_mat = jnp.diag(coef) - hmat
+    return jnp.linalg.solve(a_mat, aa) * sqz[:, None]
+
+
+def _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip):
+    """Fixed-point (objective, ws − Ŵ, TC) via the fused chain kernel,
+    staying in (p, m) layout."""
+    from linearcorex_tpu.ops.pallas_moments import ns_chain
+    mdim = ws.shape[0]
+    dt = ws.dtype
+    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(mdim, dtype=dt)
+    z2 = jnp.diagonal(cy)
+    sqz = jnp.sqrt(z2)
+    ry = cy / jnp.outer(sqz, sqz)
+    aa_t, hmat, kappa, mu, mi_sums, sum_log_vi = ns_chain(
+        c_xy, ry, sqz, rho_clip)
+    coef = (kappa + mu - 1.0).astype(dt)
+    a_mat = jnp.diag(coef) - hmat.astype(dt)
+    target = jnp.linalg.solve(a_mat, aa_t.astype(dt).T) * sqz[:, None]
+    objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
+    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
+    tc = jnp.sum(mi_sums.astype(dt) - i_y_x)
+    return objective, ws - target, tc
+
+
+def ns_fp_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
+                  chain_kernel=False):
+    """(objective, ws − Ŵ, TC) for the damped fixed-point update, samples
+    path. The returned direction plugs into the solver's plain-GD step:
+    ws − γ·(ws − Ŵ) = (1−γ)·ws + γ·Ŵ. Cost: 2 skinny MXU GEMMs — half the
+    gradient step's 4."""
+    n = x.shape[0]
+    if bf16:
+        y = _mm_bf16(x, ws.T, ws.dtype)
+        c_xy = _mm_bf16(x.T, y, ws.dtype) / n
+        c_xy = (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
+    else:
+        c_xy = cxy_samples(x, ws, eps)
+    if chain_kernel:
+        return _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip)
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    return mom.objective, ws - _ns_fp_target(mom), mom.tc
+
+
+def ns_fp_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
+               chain_kernel=False):
+    """Gram-path fixed-point update: ONE O(p²·m) GEMM per iteration."""
+    if bf16:
+        c0 = _mm_bf16(gram, ws.T, ws.dtype)
+        c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+    else:
+        c_xy = cxy_gram(gram, ws, eps)
+    if chain_kernel:
+        return _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip)
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    return mom.objective, ws - _ns_fp_target(mom), mom.tc
+
+
+# ---------------------------------------------------------------------------
 # Overlapping (discourage_overlap=False) objective: exact Gaussian bound
 # (SURVEY.md §2.5 — m x m solves, still never p x p)
 # ---------------------------------------------------------------------------

@@ -145,6 +145,15 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
         def obj_grad(ws, eps):
             c0 = apply_sigma(ws.T)
             c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+            if cfg.optimizer == "fixed_point":
+                # Ŵ is m x m algebra on the psum'd cross-moment — no
+                # further collectives needed
+                if cfg.use_pallas == "always":
+                    return M._ns_fp_from_chain(ws, c_xy, cfg.y_scale,
+                                               cfg.rho_clip)
+                mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale,
+                                         cfg.rho_clip)
+                return mom.objective, ws - M._ns_fp_target(mom), mom.tc
             if cfg.use_pallas == "always":
                 return M._ns_obj_grad_chain(
                     ws, c_xy,

