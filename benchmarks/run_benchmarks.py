@@ -22,24 +22,38 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
-# (name, n, p, m, strategy, matmul_dtype, numpy_baseline_s_per_iter)
-# NumPy baselines measured this machine (BASELINE.md §2; None = not measured)
+# (name, n, p, m, strategy, matmul_dtype, numpy_baseline_s_per_iter[, optimizer])
+# NumPy baselines measured this machine (BASELINE.md §2; None = not measured).
+# The *_fixed_point rows time the reference-style closed-form update
+# (optimizer='fixed_point'): ~half the GEMMs per iteration, ~1.5-2x the
+# iterations to converge — per-iteration rates are not directly comparable
+# to the gradient rows (see the e2e rows for time-to-convergence).
 CONFIGS = [
     ("cfg1_p128_m8_n1k", 1000, 128, 8, "samples", "float32", 0.00033),
     ("cfg2_p2k_m32_n10k", 10_000, 2048, 32, "gram", "float32", 0.161),
     ("cfg3_p10k_m64_n200", 200, 10_000, 64, "samples", "float32", 0.0326),
     ("northstar_p10k_m512_n10k", 10_000, 10_000, 512, "gram", "float32",
      12.72),
+    # like-for-like row (VERDICT r1 weak #6): same two-GEMM samples-path
+    # iteration structure as the NumPy baseline, so the hardware-vs-
+    # algorithm split stays visible (the gram rows also change the
+    # algorithm: ~20x fewer FLOPs/iter at this size)
+    ("northstar_p10k_m512_n10k_samples_likeforlike", 10_000, 10_000, 512,
+     "samples", "float32", 12.72),
     ("northstar_p10k_m512_n10k_bf16", 10_000, 10_000, 512, "gram",
      "bfloat16", 12.72),
     ("cfg5_p100k_m512_n10k_1chip", 10_000, 100_000, 512, "samples",
      "bfloat16", 130.7),
+    ("northstar_p10k_m512_fixed_point", 10_000, 10_000, 512, "gram",
+     "float32", None, "fixed_point"),
+    ("cfg5_p100k_m512_fixed_point", 10_000, 100_000, 512, "samples",
+     "bfloat16", None, "fixed_point"),
 ]
 
 SMALL = {"cfg1_p128_m8_n1k", "cfg3_p10k_m64_n200"}
 
 
-def run_one(name, n, p, m, strategy, mm_dtype, iters):
+def run_one(name, n, p, m, strategy, mm_dtype, iters, optimizer="momentum"):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -79,7 +93,7 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters):
     on_tpu = jax.devices()[0].platform != "cpu"
     cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
                       record_history=False, dtype="float32",
-                      matmul_dtype=mm_dtype,
+                      matmul_dtype=mm_dtype, optimizer=optimizer,
                       use_pallas="always" if (on_tpu and chain_supported(
                           p, m)) else "never")
 
@@ -95,9 +109,12 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters):
 
 
 def run_e2e_northstar():
-    """End-to-end annealed fit to tol=1e-5 at the north-star size: wall time
-    + iterations, vs the NumPy-estimated time (iterations x 12.72 s/iter,
+    """End-to-end annealed fit to tol=1e-5 at the north-star size, for both
+    optimizers (momentum = default; fixed_point = the reference-style
+    closed-form update, half the GEMMs per iteration): wall time +
+    iterations, vs the NumPy-estimated time (iterations x 12.72 s/iter,
     BASELINE.md §2)."""
+    import dataclasses
     import time
 
     import jax
@@ -131,16 +148,22 @@ def run_e2e_northstar():
 
     w0 = jnp.asarray(np.random.RandomState(1).normal(
         scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
-    run(gram, w0, cfg, "gram")[1].tc_per_stage.block_until_ready()  # compile
-    t0 = time.perf_counter()
-    ws, diag = run(gram, w0, cfg, "gram")
-    tc = float(diag.tc_per_stage[-1])
-    dt = time.perf_counter() - t0
-    total = int(np.asarray(diag.iters_per_stage).sum())
-    numpy_est = total * 12.72
-    return (f"| e2e annealed fit p=10k m=512 tol=1e-5 | {total} iters in "
-            f"{dt:.2f}s (TC={tc:.1f}) | {dt*1000/max(total,1):.2f} | "
-            f"{numpy_est/dt:,.0f}x (NumPy est. {numpy_est/3600:.1f} h) |")
+    rows = []
+    for opt in ("momentum", "fixed_point"):
+        cfg_o = dataclasses.replace(cfg, optimizer=opt)
+        run(gram, w0, cfg_o, "gram")[1].tc_per_stage.block_until_ready()
+        t0 = time.perf_counter()
+        ws, diag = run(gram, w0, cfg_o, "gram")
+        tc = float(diag.tc_per_stage[-1])
+        dt = time.perf_counter() - t0
+        total = int(np.asarray(diag.iters_per_stage).sum())
+        numpy_est = total * 12.72
+        rows.append(
+            f"| e2e annealed fit p=10k m=512 tol=1e-5 ({opt}) | {total} "
+            f"iters in {dt:.2f}s (TC={tc:.1f}) | "
+            f"{dt*1000/max(total,1):.2f} | {numpy_est/dt:,.0f}x "
+            f"(NumPy est. {numpy_est/3600:.1f} h) |")
+    return "\n".join(rows)
 
 
 def main():
@@ -162,12 +185,14 @@ def main():
     rows = []
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
-    for name, n, p, m, strategy, mm_dtype, base in CONFIGS:
+    for name, n, p, m, strategy, mm_dtype, base, *rest in CONFIGS:
         if args.small and name not in SMALL:
             continue
+        optimizer = rest[0] if rest else "momentum"
         print(f"running {name} ...", flush=True)
         try:
-            ips, dt = run_one(name, n, p, m, strategy, mm_dtype, args.iters)
+            ips, dt = run_one(name, n, p, m, strategy, mm_dtype, args.iters,
+                              optimizer)
             speedup = ips * base if base else float("nan")
             rows.append((name, f"{ips:.1f}", f"{1000.0/ips:.2f}",
                          f"{speedup:,.0f}x" if base else "n/a"))

@@ -52,12 +52,12 @@ class CorexConfig:
     # Fused Pallas CHAIN kernel (ops/pallas_moments.py :: ns_chain): the
     # whole elementwise moment chain + gradient algebra in one pass per
     # p-tile with the m x m ry VMEM-resident. 'auto' (default) enables it
-    # on TPU backends when m is lane-aligned and p tiles; measured on v5e:
-    # +9% at p=10k/m=512 (601 vs 553 it/s) and +13% at p=100k (33.7 vs
-    # 29.8 it/s). 'always' forces it; 'never' keeps the pure-XLA path.
-    # (A separate fused GEMM-products kernel, gram_products, exists but
-    # measured slower than XLA's matmul emitter and is not wired by
-    # default.)
+    # on TPU backends when m is lane-aligned and p tiles; measured on v5e
+    # at m=512: 1.61 vs 17.7 ms/iter at p=10k (gram path), 26.6 vs
+    # 30.0 ms/iter at p=100k (samples path). 'always' forces it; 'never'
+    # keeps the pure-XLA path. (A separate fused GEMM-products kernel,
+    # gram_products, was built in round 1 and deleted in round 2: measured
+    # integrated 447 it/s vs this kernel's 621 — see DESIGN.md.)
     use_pallas: str = "auto"
     # Deterministic first-order solver (mirrored exactly by the oracle):
     # 'momentum' = heavy-ball with momentum reset on rejected steps
@@ -86,6 +86,10 @@ class CorexConfig:
     eps_override: Optional[float] = None
 
     def __post_init__(self):
+        if self.moment_strategy not in ("auto", "samples", "gram"):
+            raise ValueError(
+                f"unknown moment_strategy: {self.moment_strategy!r} "
+                f"(expected 'auto', 'samples' or 'gram')")
         if self.optimizer not in ("momentum", "gd", "fixed_point"):
             raise ValueError(f"unknown optimizer: {self.optimizer!r} "
                              f"(expected 'momentum', 'gd' or 'fixed_point')")

@@ -60,8 +60,7 @@ def resolve_config(cfg: CorexConfig, nv: int,
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     """Close the active objective/direction over the data (samples or Gram).
 
-    strategy: 'samples' | 'gram' | 'gram_pallas' (gram with the fused
-    Pallas product kernel). cfg.use_pallas='always' additionally routes the
+    strategy: 'samples' | 'gram'. cfg.use_pallas='always' routes the
     elementwise chain through the fused Pallas chain kernel ('auto' must be
     resolved to 'always'/'never' by the caller — Corex.fit does). For
     optimizer='fixed_point' the returned "gradient" is the fixed-point
@@ -69,29 +68,21 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     turns into the damped update (1−γ)·ws + γ·Ŵ."""
     bf16 = cfg.matmul_dtype == "bfloat16"
     chain = cfg.use_pallas == "always"
+    gram = strategy == "gram"
     if cfg.optimizer == "fixed_point":
         if not cfg.discourage_overlap:
             raise ValueError(
                 "optimizer='fixed_point' implements the non-overlap "
                 "closed-form update; use 'momentum'/'gd' with "
                 "discourage_overlap=False")
-        if strategy in ("gram", "gram_pallas"):
-            return lambda ws, eps: M.ns_fp_gram(
-                ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
-                chain_kernel=chain and strategy == "gram")
-        return lambda ws, eps: M.ns_fp_samples(
-            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
-            chain_kernel=chain)
+        fn = M.ns_fp_gram if gram else M.ns_fp_samples
+        return lambda ws, eps: fn(ws, data, eps, cfg.y_scale, cfg.rho_clip,
+                                  bf16=bf16, chain_kernel=chain)
     if cfg.discourage_overlap:
-        if strategy in ("gram", "gram_pallas"):
-            return lambda ws, eps: M.ns_obj_grad_gram(
-                ws, data, eps, cfg.y_scale, cfg.rho_clip,
-                use_pallas=strategy == "gram_pallas", bf16=bf16,
-                chain_kernel=chain and strategy == "gram")
-        return lambda ws, eps: M.ns_obj_grad_samples(
-            ws, data, eps, cfg.y_scale, cfg.rho_clip, bf16=bf16,
-            chain_kernel=chain)
-    if strategy in ("gram", "gram_pallas"):
+        fn = M.ns_obj_grad_gram if gram else M.ns_obj_grad_samples
+        return lambda ws, eps: fn(ws, data, eps, cfg.y_scale, cfg.rho_clip,
+                                  bf16=bf16, chain_kernel=chain)
+    if gram:
         return lambda ws, eps: M.overlap_obj_grad_gram(
             ws, data, eps, cfg.y_scale)
     return lambda ws, eps: M.overlap_obj_grad_samples(
@@ -110,7 +101,7 @@ def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
         obj_grad = _make_obj_grad(data, cfg, strategy)
         ws, diag = fit_core(obj_grad, w0, cfg)
         zero = jnp.asarray(0.0, w0.dtype)
-        if strategy in ("gram", "gram_pallas"):
+        if strategy == "gram":
             c_xy = M.cxy_gram(data, ws, zero)
         else:
             c_xy = M.cxy_samples(data, ws, zero)
@@ -238,7 +229,7 @@ class Corex:
                 self.pre_config.missing_values)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
         cfg = resolve_config(self.config, self.nv)
-        data = M.compute_gram(xp) if strategy.startswith("gram") else xp
+        data = M.compute_gram(xp) if strategy == "gram" else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X
             # (samples) is read by every GEMM every iteration — halving it

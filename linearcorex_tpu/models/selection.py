@@ -99,11 +99,7 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     strategy = probe.pick_strategy(n, p)
-    if strategy == "gram_pallas":
-        # the fused product kernel needs lane-aligned m; this scan fits
-        # small n_hidden values, so fall back to the XLA gram path
-        strategy = "gram"
-    shared = M.compute_gram(xp) if strategy.startswith("gram") else xp
+    shared = M.compute_gram(xp) if strategy == "gram" else xp
 
     if padded_sweep:
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,

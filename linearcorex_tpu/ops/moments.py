@@ -121,15 +121,13 @@ def compute_gram(x: jax.Array) -> jax.Array:
 
 
 def moments_from_cxy(ws: jax.Array, c_xy: jax.Array, y_scale: float,
-                     rho_clip: float, cy: jax.Array | None = None) -> Moments:
+                     rho_clip: float) -> Moments:
     """All second-moment quantities + TC/MI given C_xy (SURVEY.md §2.3,
     [HIGH], numerically verified). Pure VPU algebra + one m x m and one
-    m x p GEMM; fuses fully under XLA. `cy` may be supplied precomputed
-    (fused Pallas path) — it must already include the y_scale² diagonal."""
+    m x p GEMM; fuses fully under XLA."""
     m = ws.shape[0]
     dt = ws.dtype
-    if cy is None:
-        cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(m, dtype=dt)
+    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(m, dtype=dt)
     z2 = jnp.diagonal(cy)
     sqz = jnp.sqrt(z2)
     ry = cy / jnp.outer(sqz, sqz)
@@ -259,38 +257,27 @@ def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
     return mom.objective, grad, mom.tc
 
 
-def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, use_pallas=False,
-                     bf16=False, chain_kernel=False):
+def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
+                     chain_kernel=False):
     """Same as `ns_obj_grad_samples` on the precomputed-Gram fast path:
     2 O(p²·m) GEMMs per evaluation, independent of n.
 
-    With use_pallas=True the C / W·C / W·Wᵀ products come from the fused
-    Pallas kernel (ops/pallas_moments.py) — one pass over Σ instead of
-    separate GEMMs. With bf16=True the two big GEMMs run with bfloat16
-    operands (store the Gram matrix in bf16 to also halve its HBM traffic);
-    the moment chain stays float32 — use a looser tol (~1e-4)."""
-    if use_pallas:
-        from linearcorex_tpu.ops.pallas_moments import gram_products
-        c0, wc0, wwt = gram_products(gram, ws)
-        c_xy = ((1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T).astype(ws.dtype)
-        mdim = ws.shape[0]
-        cy = ((1.0 - eps ** 2) * wc0 + (eps ** 2) * wwt).astype(ws.dtype) \
-            + (y_scale ** 2) * jnp.eye(mdim, dtype=ws.dtype)
-        mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip, cy=cy)
+    With bf16=True the two big GEMMs run with bfloat16 operands (store the
+    Gram matrix in bf16 to also halve its HBM traffic); the moment chain
+    stays float32 — use a looser tol (~1e-4)."""
+    if bf16:
+        c0 = _mm_bf16(gram, ws.T, ws.dtype)
+        c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
     else:
+        c_xy = cxy_gram(gram, ws, eps)
+    if chain_kernel:
         if bf16:
-            c0 = _mm_bf16(gram, ws.T, ws.dtype)
-            c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+            apply_sigma_t = lambda v: _mm_bf16(gram, v, ws.dtype)
         else:
-            c_xy = cxy_gram(gram, ws, eps)
-        if chain_kernel:
-            if bf16:
-                apply_sigma_t = lambda v: _mm_bf16(gram, v, ws.dtype)
-            else:
-                apply_sigma_t = lambda v: _mm(gram, v)
-            return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps,
-                                      y_scale, rho_clip)
-        mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+            apply_sigma_t = lambda v: _mm(gram, v)
+        return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps,
+                                  y_scale, rho_clip)
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     aas = _mm_bf16(aa, gram, ws.dtype) if bf16 else _mm(aa, gram)
     aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
@@ -319,10 +306,15 @@ def _ns_fp_target(mom: Moments) -> jax.Array:
     accept/reject damping is the TPU rendering of the reference's damped
     `_update_ws` fixed point (mirrored exactly by the float64 oracle).
     Measured iteration counts vs heavy-ball: ~2x at matched n_hidden,
-    similar TC (benchmarks/RESULTS.md)."""
+    similar TC (benchmarks/RESULTS.md).
+
+    The m x m system is applied as an explicit inverse followed by an MXU
+    matmul rather than jnp.linalg.solve: a triangular solve with p right-
+    hand sides does not map onto the MXU and measured ~6 ms/iter at
+    p=100k/m=512, vs ~0.3 ms for inv + GEMM."""
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     a_mat = jnp.diag(coef) - hmat
-    return jnp.linalg.solve(a_mat, aa) * sqz[:, None]
+    return _mm(jnp.linalg.inv(a_mat), aa) * sqz[:, None]
 
 
 def _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip):
@@ -339,7 +331,8 @@ def _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip):
         c_xy, ry, sqz, rho_clip)
     coef = (kappa + mu - 1.0).astype(dt)
     a_mat = jnp.diag(coef) - hmat.astype(dt)
-    target = jnp.linalg.solve(a_mat, aa_t.astype(dt).T) * sqz[:, None]
+    # inv + GEMM instead of solve: see _ns_fp_target
+    target = _mm(jnp.linalg.inv(a_mat), aa_t.astype(dt).T) * sqz[:, None]
     objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
     i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
     tc = jnp.sum(mi_sums.astype(dt) - i_y_x)

@@ -192,9 +192,12 @@ def ns_fixed_point_target(moments):
     W ← (1−γ)W + γŴ under the shared accept/reject rule converges to the
     same optima as heavy-ball on matched-n_hidden problems (validated in
     tests; on overcomplete n_hidden it can find better optima). Mirrored
-    exactly by the JAX path (`ops/moments.py :: _ns_fp_target`)."""
+    exactly by the JAX path (`ops/moments.py :: _ns_fp_target`) — including
+    the explicit inverse (the TPU path applies A⁻¹ as inv + MXU GEMM
+    because a p-RHS triangular solve is ~20x slower there; the oracle
+    matches the operation for step parity)."""
     aa, hmat, coef, sq = _ns_gradient_terms(moments)
-    return np.linalg.solve(np.diag(coef) - hmat, aa) * sq[:, None]
+    return np.linalg.inv(np.diag(coef) - hmat) @ aa * sq[:, None]
 
 
 

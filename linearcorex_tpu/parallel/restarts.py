@@ -60,7 +60,7 @@ def _fit_restarts_program(data, w0_batch, cfg: CorexConfig, strategy: str):
         ws, diag = fit_core(obj_grad, w0, cfg)
         zero = jnp.asarray(0.0, w0.dtype)
         c_xy = (M.cxy_gram(data, ws, zero)
-                if strategy.startswith("gram")
+                if strategy == "gram"
                 else M.cxy_samples(data, ws, zero))
         mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
         ws_sorted, order = sort_by_tcs(ws, mom.tcs)

@@ -109,7 +109,7 @@ def _fit_program_sharded(data, w0, cfg: CorexConfig, plan: ShardingPlan,
         obj_grad = _make_obj_grad(data, cfg, strategy)
         ws, diag = fit_core(obj_grad, w0, cfg)
         zero = jnp.asarray(0.0, w0.dtype)
-        c_xy = (M.cxy_gram(data, ws, zero) if strategy.startswith("gram")
+        c_xy = (M.cxy_gram(data, ws, zero) if strategy == "gram"
                 else M.cxy_samples(data, ws, zero))
         mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
         ws_sorted, order = sort_by_tcs(ws, mom.tcs)
@@ -224,13 +224,13 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         # (verified vs the XLA path to 1e-7 on an 8-device mesh); the
         # variable count is the trailing axis of X and of Σ alike
         cfg = resolve_config(cfg, data.shape[-1])
-    if strategy.startswith("gram"):
+    if strategy == "gram":
         data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
     else:
         data_spec = plan.x_spec()
     data = jax.device_put(data, NamedSharding(mesh, data_spec))
     w0 = jax.device_put(w0, NamedSharding(mesh, plan.w_spec()
-                                          if not strategy.startswith("gram")
+                                          if not strategy == "gram"
                                           else P(
         FACTOR_AXIS if plan.shard_factors else None, None)))
     with jax.set_mesh(mesh):

@@ -175,7 +175,7 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     @jax.jit
     def _finalize(d, w):
         zero = jnp.asarray(0.0, w.dtype)
-        c_xy = (M.cxy_gram(d, w, zero) if strategy.startswith("gram")
+        c_xy = (M.cxy_gram(d, w, zero) if strategy == "gram"
                 else M.cxy_samples(d, w, zero))
         mom = M.moments_from_cxy(w, c_xy, cfg.y_scale, cfg.rho_clip)
         w_sorted, order = sort_by_tcs(w, mom.tcs)

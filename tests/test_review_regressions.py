@@ -13,9 +13,10 @@ from linearcorex_tpu.parallel.restarts import fit_restarts, init_restarts
 from tests.conftest import block_data
 
 
-def test_fit_restarts_gram_pallas_final_moments(pallas_interpret):
-    """Final moments after a gram_pallas restart sweep must use the gram
-    path (regression: cxy_samples was applied to the Gram matrix)."""
+def test_fit_restarts_gram_chain_final_moments(pallas_interpret):
+    """Final moments after a chain-kernel gram restart sweep must use the
+    gram path (regression: cxy_samples was applied to the Gram matrix)."""
+    import dataclasses
     p, m = 256, 128
     x = block_data(n=600, p=p, m=8, seed=0)
     xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float32), "standard")
@@ -24,17 +25,16 @@ def test_fit_restarts_gram_pallas_final_moments(pallas_interpret):
                       record_history=False, max_iter=30, anneal=False)
     w0 = init_restarts(2, m, p, seed=0, dtype=jnp.float32)
     _, mom_plain, _ = fit_restarts(gram, w0, cfg, "gram")
-    _, mom_pallas, _ = fit_restarts(gram, w0, cfg, "gram_pallas")
+    cfg_chain = dataclasses.replace(cfg, use_pallas="always")
+    _, mom_chain, _ = fit_restarts(gram, w0, cfg_chain, "gram")
     tc_a = np.asarray(mom_plain.tc)
-    tc_b = np.asarray(mom_pallas.tc)
+    tc_b = np.asarray(mom_chain.tc)
     assert np.abs(tc_a - tc_b).max() / np.abs(tc_a).max() < 1e-3
 
 
-def test_gram_products_rejects_unsupported_shapes():
-    g = jnp.eye(200, dtype=jnp.float32)
-    w = jnp.zeros((128, 200), jnp.float32)
-    with pytest.raises(ValueError, match="gram_products requires"):
-        PM.gram_products(g, w, interpret=True)
+def test_unknown_moment_strategy_rejected():
+    with pytest.raises(ValueError, match="unknown moment_strategy"):
+        lc.Corex(n_hidden=2, moment_strategy="gram_pallas")
 
 
 def test_ns_chain_rejects_unsupported_shapes():
@@ -85,13 +85,13 @@ def test_covariance_matvec_unfitted_clear_error():
         lc.Corex(n_hidden=2).covariance_matvec(np.zeros(4))
 
 
-def test_pick_n_hidden_gram_pallas_strategy(pallas_interpret):
-    """pick_n_hidden with an explicit gram_pallas strategy computes the
-    shared Gram (regression: passed the sample matrix as a Gram)."""
+def test_pick_n_hidden_gram_strategy():
+    """pick_n_hidden with an explicit gram strategy computes the shared
+    Gram (regression: passed the sample matrix as a Gram)."""
     x = block_data(n=400, p=128, m=2, seed=9)
     best_n, scores = lc.pick_n_hidden(
         x, repeat=1, max_n_hidden=1, dtype="float32", seed=0,
-        max_iter=20, moment_strategy="gram_pallas")
+        max_iter=20, moment_strategy="gram")
     assert np.isfinite(scores).all()
 
 
