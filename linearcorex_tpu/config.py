@@ -65,8 +65,9 @@ class CorexConfig:
     # 'gd' = plain adaptive gradient descent; 'fixed_point' = the
     # reference-style damped closed-form update W ← (1−γ)W + γŴ with
     # Ŵ = diag(sqz)·(diag(coef)−H)⁻¹·AA from stationarity of F
-    # (`[U] :: _update_ws`) — 2 big GEMMs/iter instead of 4, ~1.5-2x the
-    # iterations; non-overlap path only.
+    # (`[U] :: _update_ws`) — 2 big GEMMs/iter instead of 4; measured
+    # better optima in fewer iterations on overcomplete/large-m fits,
+    # worse in the n<<p regime (DESIGN.md table); non-overlap path only.
     optimizer: str = "momentum"
     momentum_beta: float = 0.9
     lr_init: float = 0.05

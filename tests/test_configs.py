@@ -115,3 +115,29 @@ def test_config5_sharded_restart_sweep():
     # sharding suite (test_sharding.py) pins 1e-7 equivalence.
     assert np.abs(np.asarray(ws_sh) - np.asarray(ws_1)).max() < 5e-3
     assert abs(float(mom_sh.tc) - float(mom_1.tc)) / float(mom_1.tc) < 1e-3
+
+
+@pytest.mark.parametrize("cfg_name,n,p,m", [
+    ("cfg1", 1000, 128, 8),
+    ("cfg3_scaled", 120, 480, 4),
+])
+def test_fixed_point_on_configs(cfg_name, n, p, m):
+    """The fixed-point optimizer reaches the heavy-ball optimum on the
+    acceptance-config shapes (VERDICT r1 'done' criterion for the
+    reference-style update)."""
+    x = block_data(n=n, p=p, m=m, seed=2)
+    w0 = np.random.RandomState(1).normal(scale=1 / np.sqrt(p), size=(m, p))
+    fp = lc.Corex(n_hidden=m, dtype="float64",
+                  optimizer="fixed_point").fit(x, init_ws=w0)
+    hb = lc.Corex(n_hidden=m, dtype="float64").fit(x, init_ws=w0)
+    # same optimum to ~1e-4, or a better one (in the undersampled regime
+    # the two updates can land in different local optima; measured: fp
+    # found TC 403.0 vs heavy-ball's 400.8 on cfg3_scaled)
+    assert fp.tc > hb.tc * (1 - 1e-4)
+    assert abs(fp.tc - hb.tc) / abs(hb.tc) < 0.01
+    # both fits must recover the planted blocks (cluster LABELS may differ
+    # between optima; the partition may not)
+    k = p // m
+    for fit in (fp, hb):
+        cl = np.asarray(fit.clusters)
+        assert all(len(set(cl[j * k:(j + 1) * k])) == 1 for j in range(m))

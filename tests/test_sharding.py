@@ -204,3 +204,23 @@ def test_fit_sharded_executes_chain_kernel(pallas_interpret, monkeypatch):
                              ShardingPlan(shard_samples=True))
     assert calls["n"] > 0
     assert np.isfinite(float(mom.tc))
+
+
+def test_shard_map_fixed_point_matches_single_device():
+    """fit_shard_map with optimizer='fixed_point' (the psum'd cross-moment
+    feeds the m x m closed-form update locally) equals the single-device
+    fixed-point fit."""
+    x = block_data(n=512, p=64, m=8, seed=0)
+    w0 = np.random.RandomState(42).normal(scale=1 / 8, size=(8, 64))
+    xj = jnp.asarray(x, jnp.float64)
+    xp, _ = P.fit_preprocess(xj, "standard")
+    from linearcorex_tpu.parallel.sharding import fit_shard_map
+    cfg = CorexConfig(n_hidden=8, dtype="float64", record_history=False,
+                      optimizer="fixed_point")
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    ws, mom, _ = fit_shard_map(xp, w0, cfg, mesh)
+    ref = lc.Corex(n_hidden=8, dtype="float64", record_history=False,
+                   optimizer="fixed_point",
+                   moment_strategy="samples").fit(x, init_ws=w0)
+    assert np.abs(np.asarray(ws) - np.asarray(ref.ws)).max() < 1e-7
+    assert abs(float(mom.tc) - ref.tc) < 1e-7
