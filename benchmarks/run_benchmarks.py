@@ -166,12 +166,71 @@ def run_e2e_northstar():
     return "\n".join(rows)
 
 
+def run_e2e_cfg5():
+    """End-to-end annealed cfg5 fit (p=100k, m=512, n=10k, bf16 samples
+    path, one chip) to tol=1e-4 — the north-star time-to-TC-convergence
+    shape, both optimizers. NumPy estimate: iterations x 130.7 s/iter
+    (BASELINE.md §2)."""
+    import dataclasses
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.core.solver import fit_core
+    from linearcorex_tpu.models.corex import _make_obj_grad, resolve_config
+
+    n, p, m = 10_000, 100_000, 512
+    key_z, key_e = jax.random.split(jax.random.PRNGKey(0))
+
+    @jax.jit
+    def make_data():
+        z = jax.random.normal(key_z, (n, 100), jnp.float32)
+        e = jax.random.normal(key_e, (n, p), jnp.float32)
+        x = jnp.repeat(z, p // 100, axis=1) * 0.9 + 0.436 * e
+        return ((x - x.mean(0)) / x.std(0)).astype(jnp.bfloat16)
+
+    x = make_data()
+    x.block_until_ready()
+    # bf16 GEMM noise floor ~1e-3 relative => tol=1e-4 (config.py note)
+    cfg = CorexConfig(n_hidden=m, max_iter=1000, tol=1e-4, anneal=True,
+                      record_history=False, matmul_dtype="bfloat16")
+    cfg = resolve_config(cfg, p)
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(d, w0, cfg, strat):
+        return fit_core(_make_obj_grad(d, cfg, strat), w0, cfg)
+
+    w0 = jnp.asarray(np.random.RandomState(1).normal(
+        scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
+    rows = []
+    for opt in ("momentum", "fixed_point"):
+        cfg_o = dataclasses.replace(cfg, optimizer=opt)
+        run(x, w0, cfg_o, "samples")[1].tc_per_stage.block_until_ready()
+        t0 = time.perf_counter()
+        ws, diag = run(x, w0, cfg_o, "samples")
+        tc = float(diag.tc_per_stage[-1])
+        dt = time.perf_counter() - t0
+        total = int(np.asarray(diag.iters_per_stage).sum())
+        numpy_est = total * 130.7
+        rows.append(
+            f"| e2e annealed cfg5 p=100k tol=1e-4 ({opt}) | {total} iters "
+            f"in {dt:.1f}s (TC={tc:.0f}) | {dt*1000/max(total,1):.1f} | "
+            f"{numpy_est/dt:,.0f}x (NumPy est. {numpy_est/3600:.0f} h) |")
+    return "\n".join(rows)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--e2e", action="store_true",
                     help="also run the end-to-end annealed north-star fit")
+    ap.add_argument("--e2e-cfg5", action="store_true",
+                    help="also run the end-to-end annealed cfg5 (p=100k) "
+                         "fit, both optimizers (slow compiles)")
     args = ap.parse_args()
 
     import jax
@@ -211,6 +270,12 @@ def main():
             table += "\n" + run_e2e_northstar()
         except Exception as e:
             table += f"\n| e2e annealed fit | FAIL | - | {str(e)[:60]} |"
+    if args.e2e_cfg5 and not args.small:
+        print("running e2e annealed cfg5 fit ...", flush=True)
+        try:
+            table += "\n" + run_e2e_cfg5()
+        except Exception as e:
+            table += f"\n| e2e annealed cfg5 | FAIL | - | {str(e)[:60]} |"
     print("\n" + table)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")

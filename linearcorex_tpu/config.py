@@ -75,6 +75,12 @@ class CorexConfig:
     lr_cap: float = 2.0
     lr_halve: float = 0.5
     lr_min: float = 1e-14
+    # fixed_point damping γ ∈ (0, 1]: W ← (1−γ)W + γŴ. Starts at
+    # fp_gamma_init, grows by lr_growth to fp_gamma_cap (1.0 = undamped),
+    # halves by lr_halve on a rejected step. Separate from lr_init/lr_cap
+    # because γ is a convex-combination weight, not a step size.
+    fp_gamma_init: float = 0.5
+    fp_gamma_cap: float = 1.0
     rho_clip: float = 1.0 - 1e-6
     # Record the TC trajectory per (stage, iteration). Costs a
     # (n_stages x max_iter) carry; disable for large batched sweeps.

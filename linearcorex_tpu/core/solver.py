@@ -68,10 +68,10 @@ def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
     dt = ws0.dtype
     momentum = cfg.optimizer == "momentum"
     fixed_point = cfg.optimizer == "fixed_point"
-    # the fixed-point damping γ lives in (0, 1]: start at 0.5, cap at the
-    # undamped update (mirrored by the oracle)
-    lr_init = 0.5 if fixed_point else cfg.lr_init
-    lr_cap = 1.0 if fixed_point else cfg.lr_cap
+    # the fixed-point damping γ lives in (0, 1] and has its own config
+    # fields (defaults mirrored by the oracle)
+    lr_init = cfg.fp_gamma_init if fixed_point else cfg.lr_init
+    lr_cap = cfg.fp_gamma_cap if fixed_point else cfg.lr_cap
     hist_len = cfg.max_iter if cfg.record_history else 0
     f0, g0, tc0 = obj_grad(ws0, eps)
 

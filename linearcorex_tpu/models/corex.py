@@ -70,11 +70,7 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     chain = cfg.use_pallas == "always"
     gram = strategy == "gram"
     if cfg.optimizer == "fixed_point":
-        if not cfg.discourage_overlap:
-            raise ValueError(
-                "optimizer='fixed_point' implements the non-overlap "
-                "closed-form update; use 'momentum'/'gd' with "
-                "discourage_overlap=False")
+        # fixed_point + overlap is rejected by CorexConfig.__post_init__
         fn = M.ns_fp_gram if gram else M.ns_fp_samples
         return lambda ws, eps: fn(ws, data, eps, cfg.y_scale, cfg.rho_clip,
                                   bf16=bf16, chain_kernel=chain)
@@ -89,15 +85,21 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
         ws, data, eps, cfg.y_scale)
 
 
+def precision_ctx(cfg: CorexConfig):
+    """Matmul-precision scope for a fit program — single definition shared
+    by the single-device, sharded, and shard_map programs (the knob is the
+    difference between one-bf16-pass and true-f32 moment GEMMs on TPU)."""
+    import contextlib
+    if cfg.matmul_precision == "default":
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision(cfg.matmul_precision)
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
     """The complete fit as one XLA program: annealed solve → final moments →
     factor sort (SURVEY.md §3.1). Returns (ws, Moments, FitDiagnostics)."""
-    import contextlib
-    prec_ctx = (contextlib.nullcontext()
-                if cfg.matmul_precision == "default"
-                else jax.default_matmul_precision(cfg.matmul_precision))
-    with prec_ctx:
+    with precision_ctx(cfg):
         obj_grad = _make_obj_grad(data, cfg, strategy)
         ws, diag = fit_core(obj_grad, w0, cfg)
         zero = jnp.asarray(0.0, w0.dtype)
@@ -249,7 +251,9 @@ class Corex:
                     f"(n_hidden, n_variables)=({self.m}, {self.nv})")
             return w0
         if self.ws is not None and self.ws.shape == (self.m, self.nv):
-            return self.ws  # pretrained warm start (SURVEY.md §5)
+            # pretrained warm start (SURVEY.md §5); cast covers a dtype
+            # changed via set_params after a previous fit
+            return jnp.asarray(self.ws, dtype=self._dt)
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 

@@ -63,12 +63,18 @@ def _padded_inits(max_n: int, repeat: int, p: int, seed: Optional[int],
 
 
 def _best_n_from_scores(scores, tc_gain_tol: float) -> int:
-    """The reference's saturation rule over the score curve: best n is the
-    last candidate that improved best-so-far TC by more than tc_gain_tol."""
+    """The reference's saturation rule over the score curve, INCLUDING its
+    early stop: scanning in order, a candidate that improves best-so-far TC
+    by more than tc_gain_tol becomes best; two consecutive non-improving
+    candidates end the scan. Applying the identical rule here keeps the
+    padded sweep's best_n equal to the sequential loop's on any score
+    curve (a later rebound past the stop point is ignored by BOTH paths)."""
     best_n, best_tc = 1, -np.inf
     for k, tc in enumerate(scores, start=1):
         if tc > best_tc + tc_gain_tol:
             best_tc, best_n = tc, k
+        elif k > best_n + 1:
+            break
     return best_n
 
 

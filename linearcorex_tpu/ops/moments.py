@@ -192,12 +192,38 @@ def _ns_gradient_terms(mom: Moments):
     return aa, hmat, coef, jnp.sqrt(mom.z2)
 
 
-def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
-    """Objective/gradient via the fused Pallas chain kernel
-    (ops/pallas_moments.py :: ns_chain). Works in (p, m) layout end-to-end —
-    no (m, p) transposes materialize. `apply_sigma_t(v)` maps a (p, m)
-    matrix to Σ_emp·v (gram or samples backend); the eps blend is applied
-    here."""
+def _cxy_eff(data, ws, eps, bf16, gram):
+    """Annealed effective cross-moment C_xy = Σ_eff·Wᵀ from X (samples) or
+    Σ (gram), f32 or bf16 GEMMs — the one definition every objective /
+    fixed-point entry point shares."""
+    if not bf16:
+        return cxy_gram(data, ws, eps) if gram else cxy_samples(data, ws,
+                                                                eps)
+    if gram:
+        c0 = _mm_bf16(data, ws.T, ws.dtype)
+    else:
+        y = _mm_bf16(data, ws.T, ws.dtype)
+        c0 = _mm_bf16(data.T, y, ws.dtype) / data.shape[0]
+    return (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
+
+
+def _apply_sigma_t(data, bf16, gram, dtype):
+    """v (p, k) ↦ Σ_emp·v for the active backend (un-annealed; callers
+    blend eps themselves)."""
+    if gram:
+        if bf16:
+            return lambda v: _mm_bf16(data, v, dtype)
+        return lambda v: _mm(data, v)
+    n = data.shape[0]
+    if bf16:
+        return lambda v: _mm_bf16(data.T, _mm_bf16(data, v, dtype),
+                                  dtype) / n
+    return lambda v: _mm(data.T, _mm(data, v)) / n
+
+
+def _run_chain(ws, c_xy, y_scale, rho_clip):
+    """Shared prologue + fused chain call: cov(y) from C_xy, then the
+    Pallas chain kernel. Returns (dt, z2, sqz, chain outputs...)."""
     from linearcorex_tpu.ops.pallas_moments import ns_chain
     mdim = ws.shape[0]
     dt = ws.dtype
@@ -205,8 +231,25 @@ def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
     z2 = jnp.diagonal(cy)
     sqz = jnp.sqrt(z2)
     ry = cy / jnp.outer(sqz, sqz)
-    aa_t, hmat, kappa, mu, mi_sums, sum_log_vi = ns_chain(
-        c_xy, ry, sqz, rho_clip)
+    return dt, z2, sqz, ns_chain(c_xy, ry, sqz, rho_clip)
+
+
+def _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale):
+    """Objective F and TC from the chain kernel's reductions."""
+    objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
+    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
+    tc = jnp.sum(mi_sums.astype(dt) - i_y_x)
+    return objective, tc
+
+
+def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
+    """Objective/gradient via the fused Pallas chain kernel
+    (ops/pallas_moments.py :: ns_chain). Works in (p, m) layout end-to-end —
+    no (m, p) transposes materialize. `apply_sigma_t(v)` maps a (p, m)
+    matrix to Σ_emp·v (gram or samples backend); the eps blend is applied
+    here."""
+    dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, sum_log_vi) = _run_chain(
+        ws, c_xy, y_scale, rho_clip)
     aa_t = aa_t.astype(dt)
     coef = (kappa + mu - 1.0).astype(dt)
     aas_t = apply_sigma_t(aa_t)
@@ -215,9 +258,7 @@ def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
     rho_t = jnp.clip(c_xy * inv_sqz[jnp.newaxis, :], -rho_clip, rho_clip)
     grad_t = (aas_t + _mm(rho_t, hmat.astype(dt))
               - rho_t * coef[jnp.newaxis, :]) * inv_sqz[jnp.newaxis, :]
-    objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
-    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
-    tc = jnp.sum(mi_sums.astype(dt) - i_y_x)
+    objective, tc = _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale)
     return objective, grad_t.T, tc
 
 
@@ -230,31 +271,8 @@ def ns_obj_grad_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
     bf16=True runs the four big GEMMs with bfloat16 operands (f32 accum).
     chain_kernel=True fuses the whole elementwise chain into one Pallas
     kernel (see `_ns_obj_grad_chain`)."""
-    n = x.shape[0]
-    if bf16:
-        y = _mm_bf16(x, ws.T, ws.dtype)
-        c_xy = _mm_bf16(x.T, y, ws.dtype) / n
-        c_xy = (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
-    else:
-        c_xy = cxy_samples(x, ws, eps)
-    if chain_kernel:
-        if bf16:
-            apply_sigma_t = lambda v: _mm_bf16(
-                x.T, _mm_bf16(x, v, ws.dtype), ws.dtype) / n
-        else:
-            apply_sigma_t = lambda v: _mm(x.T, _mm(x, v)) / n
-        return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale,
-                                  rho_clip)
-    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
-    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
-    if bf16:
-        aas = _mm_bf16(_mm_bf16(aa, x.T, ws.dtype), x, ws.dtype) / n
-    else:
-        aas = _mm(_mm(aa, x.T), x) / n
-    aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
-    grad = (aas + _mm(hmat, mom.rho)
-            - coef[:, None] * mom.rho) / sqz[:, None]
-    return mom.objective, grad, mom.tc
+    return _ns_obj_grad(ws, x, eps, y_scale, rho_clip, bf16, chain_kernel,
+                        gram=False)
 
 
 def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
@@ -265,21 +283,26 @@ def ns_obj_grad_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
     With bf16=True the two big GEMMs run with bfloat16 operands (store the
     Gram matrix in bf16 to also halve its HBM traffic); the moment chain
     stays float32 — use a looser tol (~1e-4)."""
-    if bf16:
-        c0 = _mm_bf16(gram, ws.T, ws.dtype)
-        c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
-    else:
-        c_xy = cxy_gram(gram, ws, eps)
+    return _ns_obj_grad(ws, gram, eps, y_scale, rho_clip, bf16,
+                        chain_kernel, gram=True)
+
+
+def _ns_obj_grad(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel,
+                 gram):
+    c_xy = _cxy_eff(data, ws, eps, bf16, gram)
     if chain_kernel:
-        if bf16:
-            apply_sigma_t = lambda v: _mm_bf16(gram, v, ws.dtype)
-        else:
-            apply_sigma_t = lambda v: _mm(gram, v)
-        return _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps,
-                                  y_scale, rho_clip)
+        return _ns_obj_grad_chain(
+            ws, c_xy, _apply_sigma_t(data, bf16, gram, ws.dtype), eps,
+            y_scale, rho_clip)
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
-    aas = _mm_bf16(aa, gram, ws.dtype) if bf16 else _mm(aa, gram)
+    if gram:
+        aas = _mm_bf16(aa, data, ws.dtype) if bf16 else _mm(aa, data)
+    elif bf16:
+        aas = _mm_bf16(_mm_bf16(aa, data.T, ws.dtype), data,
+                       ws.dtype) / data.shape[0]
+    else:
+        aas = _mm(_mm(aa, data.T), data) / data.shape[0]
     aas = (1.0 - eps ** 2) * aas + (eps ** 2) * aa
     grad = (aas + _mm(hmat, mom.rho)
             - coef[:, None] * mom.rho) / sqz[:, None]
@@ -305,8 +328,8 @@ def _ns_fp_target(mom: Moments) -> jax.Array:
     gradient step's 4. The iterate W ← (1−γ)W + γŴ with the shared
     accept/reject damping is the TPU rendering of the reference's damped
     `_update_ws` fixed point (mirrored exactly by the float64 oracle).
-    Measured iteration counts vs heavy-ball: ~2x at matched n_hidden,
-    similar TC (benchmarks/RESULTS.md).
+    Measured convergence quality vs heavy-ball is regime-dependent — see
+    DESIGN.md's table (better on overcomplete m, worse for n ≪ p).
 
     The m x m system is applied as an explicit inverse followed by an MXU
     matmul rather than jnp.linalg.solve: a triangular solve with p right-
@@ -318,24 +341,14 @@ def _ns_fp_target(mom: Moments) -> jax.Array:
 
 
 def _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip):
-    """Fixed-point (objective, ws − Ŵ, TC) via the fused chain kernel,
-    staying in (p, m) layout."""
-    from linearcorex_tpu.ops.pallas_moments import ns_chain
-    mdim = ws.shape[0]
-    dt = ws.dtype
-    cy = _mm(ws, c_xy) + (y_scale ** 2) * jnp.eye(mdim, dtype=dt)
-    z2 = jnp.diagonal(cy)
-    sqz = jnp.sqrt(z2)
-    ry = cy / jnp.outer(sqz, sqz)
-    aa_t, hmat, kappa, mu, mi_sums, sum_log_vi = ns_chain(
-        c_xy, ry, sqz, rho_clip)
+    """Fixed-point (objective, ws − Ŵ, TC) via the fused chain kernel."""
+    dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, sum_log_vi) = _run_chain(
+        ws, c_xy, y_scale, rho_clip)
     coef = (kappa + mu - 1.0).astype(dt)
     a_mat = jnp.diag(coef) - hmat.astype(dt)
     # inv + GEMM instead of solve: see _ns_fp_target
     target = _mm(jnp.linalg.inv(a_mat), aa_t.astype(dt).T) * sqz[:, None]
-    objective = 0.5 * sum_log_vi.astype(dt) + 0.5 * jnp.sum(jnp.log(z2))
-    i_y_x = 0.5 * jnp.log(z2) - jnp.log(jnp.asarray(y_scale, dt))
-    tc = jnp.sum(mi_sums.astype(dt) - i_y_x)
+    objective, tc = _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale)
     return objective, ws - target, tc
 
 
@@ -345,27 +358,19 @@ def ns_fp_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
     path. The returned direction plugs into the solver's plain-GD step:
     ws − γ·(ws − Ŵ) = (1−γ)·ws + γ·Ŵ. Cost: 2 skinny MXU GEMMs — half the
     gradient step's 4."""
-    n = x.shape[0]
-    if bf16:
-        y = _mm_bf16(x, ws.T, ws.dtype)
-        c_xy = _mm_bf16(x.T, y, ws.dtype) / n
-        c_xy = (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
-    else:
-        c_xy = cxy_samples(x, ws, eps)
-    if chain_kernel:
-        return _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip)
-    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
-    return mom.objective, ws - _ns_fp_target(mom), mom.tc
+    return _ns_fp(ws, x, eps, y_scale, rho_clip, bf16, chain_kernel,
+                  gram=False)
 
 
 def ns_fp_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
                chain_kernel=False):
     """Gram-path fixed-point update: ONE O(p²·m) GEMM per iteration."""
-    if bf16:
-        c0 = _mm_bf16(gram, ws.T, ws.dtype)
-        c_xy = (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
-    else:
-        c_xy = cxy_gram(gram, ws, eps)
+    return _ns_fp(ws, gram, eps, y_scale, rho_clip, bf16, chain_kernel,
+                  gram=True)
+
+
+def _ns_fp(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel, gram):
+    c_xy = _cxy_eff(data, ws, eps, bf16, gram)
     if chain_kernel:
         return _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip)
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)

@@ -75,6 +75,9 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str):
     Returns (ws_batch, Moments_batch, FitDiagnostics_batch); reduce with
     `best_restart`. Tip: pass cfg with record_history=False for large sweeps
     (history costs batch x n_stages x max_iter)."""
+    from linearcorex_tpu.models.corex import resolve_config
+
+    cfg = resolve_config(cfg, w0_batch.shape[-1])  # 'auto' → chain on TPU
     return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
@@ -87,6 +90,10 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
     shards the data instead (one big fit)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from linearcorex_tpu.models.corex import resolve_config
+
+    cfg = resolve_config(cfg, w0_batch.shape[-1],
+                         platform=mesh.devices.flat[0].platform)
     w0_batch = jax.device_put(
         w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
     data = jax.device_put(data, NamedSharding(mesh, P()))

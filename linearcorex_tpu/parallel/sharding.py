@@ -38,18 +38,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from linearcorex_tpu.config import CorexConfig
 from linearcorex_tpu.core.solver import fit_core, sort_by_tcs
-from linearcorex_tpu.models.corex import _make_obj_grad, resolve_config
+from linearcorex_tpu.models.corex import (_make_obj_grad, precision_ctx,
+                                          resolve_config)
 from linearcorex_tpu.ops import moments as M
 
 
-def _precision_ctx(cfg: CorexConfig):
-    """The same matmul-precision scope `models.corex._fit_program` uses —
-    the sharded programs must honor the knob too (it is the difference
-    between one-bf16-pass and true-f32 moment GEMMs on TPU)."""
-    import contextlib
-    if cfg.matmul_precision == "default":
-        return contextlib.nullcontext()
-    return jax.default_matmul_precision(cfg.matmul_precision)
+def _mesh_platform(mesh: Mesh) -> str:
+    """Platform of the mesh's own devices — NOT jax.devices()[0]: a CPU
+    mesh on a TPU-default host (this environment's documented test setup)
+    must resolve use_pallas='auto' to 'never'."""
+    return mesh.devices.flat[0].platform
 
 __all__ = ["ShardingPlan", "make_mesh", "fit_sharded", "fit_shard_map"]
 
@@ -105,7 +103,7 @@ def _fit_program_sharded(data, w0, cfg: CorexConfig, plan: ShardingPlan,
     operands makes GSPMD partition every GEMM and insert the ICI
     collectives. Keeping one code path for 1-chip and N-chip execution is
     the point: sharded-vs-single equivalence is a test invariant."""
-    with _precision_ctx(cfg):
+    with precision_ctx(cfg):
         obj_grad = _make_obj_grad(data, cfg, strategy)
         ws, diag = fit_core(obj_grad, w0, cfg)
         zero = jnp.asarray(0.0, w0.dtype)
@@ -175,7 +173,7 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
         ws_sorted, order = sort_by_tcs(ws, mom.tcs)
         return ws_sorted, M.permute_moments(mom, order), diag
 
-    with _precision_ctx(cfg):
+    with precision_ctx(cfg):
         return shard_map(
             sharded_fit, mesh=mesh,
             in_specs=(PS(mesh_axis, None), PS()),
@@ -195,7 +193,8 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
     if not cfg.discourage_overlap:
         raise ValueError("fit_shard_map supports discourage_overlap=True "
                          "only; use fit_sharded for the overlap path")
-    cfg = resolve_config(cfg, x.shape[1])  # 'auto' → chain kernel on TPU
+    cfg = resolve_config(cfg, x.shape[1],
+                         platform=_mesh_platform(mesh))  # 'auto' → chain
     x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
     w0 = jax.device_put(w0, NamedSharding(mesh, P()))
     return _fit_program_shard_map(x, w0, cfg, axis_name, mesh)
@@ -213,9 +212,10 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     ΣWᵀ row-blocks are chip-local, and the small m x m products reduce over
     ICI). Returns (ws, Moments, FitDiagnostics) with ws replicated (m x p —
     small, needed by every chip each iteration)."""
-    if plan.shard_vars:
+    if plan.shard_vars or plan.shard_factors:
         # the chain kernel runs on the full (p, m) cross-moment; under a
-        # var-sharded layout that would force an all-gather of C_xy every
+        # var- or factor-sharded layout GSPMD would have to all-gather /
+        # replicate C_xy into the unpartitionable pallas_call every
         # iteration — keep the partitionable XLA chain instead
         if cfg.use_pallas == "auto":
             cfg = dataclasses.replace(cfg, use_pallas="never")
@@ -223,7 +223,8 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         # GSPMD executes the kernel on the replicated cross-moment
         # (verified vs the XLA path to 1e-7 on an 8-device mesh); the
         # variable count is the trailing axis of X and of Σ alike
-        cfg = resolve_config(cfg, data.shape[-1])
+        cfg = resolve_config(cfg, data.shape[-1],
+                             platform=_mesh_platform(mesh))
     if strategy == "gram":
         data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
     else:

@@ -105,3 +105,22 @@ def test_init_restarts_unseeded_not_deterministic():
     c = np.asarray(init_restarts(2, 3, 16, 7, jnp.float32))
     d = np.asarray(init_restarts(2, 3, 16, 7, jnp.float32))
     assert np.array_equal(c, d)
+
+
+def test_set_params_dtype_change_then_refit():
+    """set_params(dtype=...) after a fit must not crash the next fit
+    (round-2 review: the warm-start path returned stale-dtype weights)."""
+    x = block_data(n=300, p=16, m=2, seed=0)
+    c = lc.Corex(n_hidden=2, seed=0).fit(x)
+    c.set_params(dtype="float64")
+    c.fit(x)  # warm-starts from the float32 ws, cast to float64
+    assert c.ws.dtype == jnp.float64
+    assert np.isfinite(c.tc)
+
+
+def test_padded_best_n_rule_matches_sequential_early_stop():
+    """_best_n_from_scores applies the sequential loop's early stop, so a
+    TC rebound after two flat candidates is ignored by BOTH paths."""
+    from linearcorex_tpu.models.selection import _best_n_from_scores
+    assert _best_n_from_scores([10.0, 10.5, 10.4, 10.45, 12.0], 1e-3) == 2
+    assert _best_n_from_scores([1.0, 2.0, 3.0, 3.0005, 3.0006], 1e-3) == 3
