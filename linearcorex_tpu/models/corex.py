@@ -121,6 +121,64 @@ def _details_program(x, ws, theta, pre_cfg: PreprocessConfig,
     return y, M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
 
 
+# Inference programs are jitted: each eager op dispatch costs ~35 ms of
+# host-sync latency on this TPU attachment (BASELINE.md §2), so the
+# serving path must be one dispatch, like the fit path.
+@partial(jax.jit, static_argnums=(3,))
+def _transform_program(x, ws, theta, pre_cfg: PreprocessConfig):
+    xp = P.preprocess(x, pre_cfg.gaussianize, theta, pre_cfg.missing_values)
+    return M._mm(xp, ws.T)
+
+
+@jax.jit
+def _predict_ns_program(y, rhoinvrho, si, z2, theta):
+    rec_w = (rhoinvrho.T / (1.0 + si)[:, None]
+             / jnp.sqrt(z2)[jnp.newaxis, :])
+    return P.invert(M._mm(y, rec_w.T), theta)
+
+
+@jax.jit
+def _predict_overlap_program(y, cy, c_xy, theta):
+    coef = jnp.linalg.solve(cy, c_xy.T)
+    return P.invert(M._mm(y, coef), theta)
+
+
+def _unit_diag_scaled(cov, std):
+    nv = cov.shape[0]
+    cov = cov - jnp.diag(jnp.diagonal(cov)) + jnp.eye(nv, dtype=cov.dtype)
+    return std[:, jnp.newaxis] * std[jnp.newaxis, :] * cov
+
+
+@jax.jit
+def _cov_ns_program(rhoinvrho, si, std):
+    z = rhoinvrho / (1.0 + si)[jnp.newaxis, :]
+    return _unit_diag_scaled(M._mm(z.T, z), std)
+
+
+@jax.jit
+def _cov_overlap_program(cy, c_xy, std):
+    sol = jnp.linalg.solve(cy, c_xy.T)
+    return _unit_diag_scaled(M._mm(c_xy, sol), std)
+
+
+@jax.jit
+def _matvec_ns_program(rhoinvrho, si, std, v):
+    z = rhoinvrho / (1.0 + si)[jnp.newaxis, :]
+    sv = std * v
+    low = z.T @ (z @ sv)
+    diag = jnp.sum(z * z, axis=0)
+    return std * (low + (1.0 - diag) * sv)
+
+
+@jax.jit
+def _matvec_overlap_program(cy, c_xy, std, v):
+    sol = jnp.linalg.solve(cy, c_xy.T)                   # m x p
+    sv = std * v
+    low = c_xy @ (sol @ sv)
+    diag = jnp.sum(c_xy * sol.T, axis=1)
+    return std * (low + (1.0 - diag) * sv)
+
+
 class Corex:
     """TPU-native Linear CorEx estimator (reference-compatible surface)."""
 
@@ -303,9 +361,7 @@ class Corex:
             y, mom = _details_program(x, self.ws, self.theta,
                                       self.pre_config, self.config)
             return y, mom.asdict()
-        xp = P.preprocess(x, self.pre_config.gaussianize, self.theta,
-                          self.pre_config.missing_values)
-        return M._mm(xp, self.ws.T)
+        return _transform_program(x, self.ws, self.theta, self.pre_config)
 
     def predict(self, y):
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
@@ -313,12 +369,11 @@ class Corex:
         self._check_fitted()
         y = jnp.asarray(y, dtype=self._dt)
         if self.config.discourage_overlap:
-            r = M.reconstruction_weights(self.moments)
-            xhat = M._mm(y, r.T)
-        else:
-            coef = jnp.linalg.solve(self.moments.cy, self.moments.c_xy.T)
-            xhat = M._mm(y, coef)
-        return P.invert(xhat, self.theta)
+            mom = self.moments
+            return _predict_ns_program(y, mom.rhoinvrho, mom.si, mom.z2,
+                                       self.theta)
+        return _predict_overlap_program(y, self.moments.cy,
+                                        self.moments.c_xy, self.theta)
 
     def get_covariance(self):
         """Dense p x p factor-model covariance estimate
@@ -327,15 +382,8 @@ class Corex:
         self._check_fitted()
         mom = self.moments
         if self.config.discourage_overlap:
-            z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
-            cov = M._mm(z.T, z)
-        else:
-            sol = jnp.linalg.solve(mom.cy, mom.c_xy.T)
-            cov = M._mm(mom.c_xy, sol)
-        cov = cov - jnp.diag(jnp.diagonal(cov)) + jnp.eye(self.nv,
-                                                          dtype=self._dt)
-        std = self.theta.std
-        return std[:, jnp.newaxis] * std[jnp.newaxis, :] * cov
+            return _cov_ns_program(mom.rhoinvrho, mom.si, self.theta.std)
+        return _cov_overlap_program(mom.cy, mom.c_xy, self.theta.std)
 
     def covariance_matvec(self, v):
         """Σ̂·v via skinny GEMMs — the blocked/matvec form required at
@@ -346,17 +394,10 @@ class Corex:
         self._check_fitted()
         mom = self.moments
         v = jnp.asarray(v, dtype=self._dt)
-        std = self.theta.std
-        sv = std * v
         if self.config.discourage_overlap:
-            z = mom.rhoinvrho / (1.0 + mom.si)[jnp.newaxis, :]
-            low = z.T @ (z @ sv)
-            diag = jnp.sum(z * z, axis=0)
-        else:
-            sol = jnp.linalg.solve(mom.cy, mom.c_xy.T)       # m x p
-            low = mom.c_xy @ (sol @ sv)
-            diag = jnp.sum(mom.c_xy * sol.T, axis=1)
-        return std * (low + (1.0 - diag) * sv)
+            return _matvec_ns_program(mom.rhoinvrho, mom.si,
+                                      self.theta.std, v)
+        return _matvec_overlap_program(mom.cy, mom.c_xy, self.theta.std, v)
 
     # -- sklearn estimator protocol (works inside sklearn Pipelines) -----
     _PARAM_NAMES = (
