@@ -51,13 +51,14 @@ class CorexConfig:
     gram_max_p: int = 20000
     # Fused Pallas CHAIN kernel (ops/pallas_moments.py :: ns_chain): the
     # whole elementwise moment chain + gradient algebra in one pass per
-    # p-tile with the m x m ry VMEM-resident. 'auto' (default) enables it
-    # on TPU backends when m is lane-aligned and p tiles; measured on v5e
-    # at m=512: 1.61 vs 17.7 ms/iter at p=10k (gram path), 26.6 vs
-    # 30.0 ms/iter at p=100k (samples path). 'always' forces it; 'never'
-    # keeps the pure-XLA path. (A separate fused GEMM-products kernel,
-    # gram_products, was built in round 1 and deleted in round 2: measured
-    # integrated 447 it/s vs this kernel's 621 — see DESIGN.md.)
+    # p-tile with the m x m ry VMEM-resident; unaligned shapes are
+    # zero-padded exactly. 'auto' (default) enables it on TPU backends for
+    # m >= 128 (measured on v5e, production harness: +7-9% at m=512 on
+    # the gram path, +11-13% at p=100k samples; a wash below m=128).
+    # 'always' forces it for any m <= 1024; 'never' keeps the pure-XLA
+    # path. (A separate fused GEMM-products kernel, gram_products, was
+    # built in round 1 and deleted in round 2: measured integrated 272 vs
+    # 591 it/s (r1) / 447 vs 621 (r2) against this path — see DESIGN.md.)
     use_pallas: str = "auto"
     # Deterministic first-order solver (mirrored exactly by the oracle):
     # 'momentum' = heavy-ball with momentum reset on rejected steps

@@ -9,8 +9,10 @@ and every reduction the solver needs) fused per p-tile with the m x m `ry`
 VMEM-resident. XLA cannot fuse across the qij = ry·rhoinvrho GEMM in the
 middle of the chain and materializes ~6 (m x p) intermediates to HBM per
 evaluation; the kernel's HBM traffic is one read of C_xy and one write of
-AA. Measured on v5e at m=512: grad iteration 1.61 ms vs 17.7 ms unfused at
-p=10k (gram path), 26.6 vs 30.0 ms/iter at p=100k (samples path).
+AA. Measured on v5e at m=512 (production fit_core harness): +9% at
+p=10k/m=512 (601 vs 553 it/s), +11-13% at p=100k samples (26.6 vs
+30.0 ms/iter); a wash below m=128, where resolve_config's 'auto' leaves
+it off.
 
 A second kernel (`gram_products`: C=Σ·Wᵀ with the m x m W·C / W·Wᵀ products
 in a VMEM epilogue) lived here through round 1; measured INTEGRATED on v5e
@@ -91,8 +93,22 @@ def _pick_tp(p: int, m: int) -> int:
     return 0
 
 
+def _pad_shapes(p: int, m: int):
+    """(p_pad, m_pad) making the kernel applicable: m lane-aligned (x128),
+    p padded to the next multiple of 512 if no sublane-aligned tile divides
+    it. Zero-padding is EXACT for the chain math: a zero rho row or column
+    contributes 0 to every reduction (si/qi/kappa/mu/mi/log vi), a zero AA
+    row/column, and zero H entries — validated by tests against the
+    unpadded reference."""
+    m_pad = -(-m // 128) * 128
+    p_pad = p if _pick_tp(p, m_pad) > 0 else -(-p // 512) * 512
+    return p_pad, m_pad
+
+
 def chain_supported(p: int, m: int) -> bool:
-    return _pick_tp(p, m) > 0 and m % 128 == 0 and m <= 1024
+    """The padding wrapper makes every m <= 1024 (post-padding) and any p
+    supported; the only hard limit is the VMEM-resident (m, m) ry block."""
+    return _pad_shapes(p, m)[1] <= 1024
 
 
 def ns_chain(c_xy: jax.Array, ry: jax.Array, sqz: jax.Array,
@@ -122,43 +138,50 @@ def ns_chain(c_xy: jax.Array, ry: jax.Array, sqz: jax.Array,
             "float64 parity runs")
     if not chain_supported(p, m):
         raise ValueError(
-            f"the fused chain kernel requires m%128==0 (m<=1024) and a "
-            f"sublane-aligned tile dividing p; got p={p}, m={m} — set "
-            f"use_pallas='never' (or 'auto') to use the XLA chain")
-    tp = _pick_tp(p, m)
-    grid = (p // tp,)
+            f"the fused chain kernel supports m up to 1024 after lane "
+            f"padding (the (m, m) ry block must fit VMEM); got p={p}, "
+            f"m={m} — set use_pallas='never' (or 'auto') for the XLA chain")
+    p_pad, m_pad = _pad_shapes(p, m)
+    if (p_pad, m_pad) != (p, m):
+        # exact zero-padding (see _pad_shapes); sqz pads with 1 so the
+        # inverse stays finite — padded rho entries are then exactly 0
+        c_xy = jnp.pad(c_xy, ((0, p_pad - p), (0, m_pad - m)))
+        ry = jnp.pad(ry, ((0, m_pad - m), (0, m_pad - m)))
+        sqz = jnp.pad(sqz, (0, m_pad - m), constant_values=1.0)
+    tp = _pick_tp(p_pad, m_pad)
+    grid = (p_pad // tp,)
     aa, hmat, red = pl.pallas_call(
         _chain_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),          # rho_clip
-            pl.BlockSpec((tp, m), lambda i: (i, 0)),        # c_xy tile
-            pl.BlockSpec((m, m), lambda i: (0, 0)),         # ry (resident)
-            pl.BlockSpec((1, m), lambda i: (0, 0)),         # 1/sqz row
+            pl.BlockSpec((tp, m_pad), lambda i: (i, 0)),    # c_xy tile
+            pl.BlockSpec((m_pad, m_pad), lambda i: (0, 0)),  # ry (resident)
+            pl.BlockSpec((1, m_pad), lambda i: (0, 0)),     # 1/sqz row
         ],
         out_specs=[
-            pl.BlockSpec((tp, m), lambda i: (i, 0)),        # aa tile
-            pl.BlockSpec((m, m), lambda i: (0, 0)),         # hmat accum
-            pl.BlockSpec((8, m), lambda i: (0, 0)),         # reductions
+            pl.BlockSpec((tp, m_pad), lambda i: (i, 0)),    # aa tile
+            pl.BlockSpec((m_pad, m_pad), lambda i: (0, 0)),  # hmat accum
+            pl.BlockSpec((8, m_pad), lambda i: (0, 0)),     # reductions
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((p, m), _F32),
-            jax.ShapeDtypeStruct((m, m), _F32),
-            jax.ShapeDtypeStruct((8, m), _F32),
+            jax.ShapeDtypeStruct((p_pad, m_pad), _F32),
+            jax.ShapeDtypeStruct((m_pad, m_pad), _F32),
+            jax.ShapeDtypeStruct((8, m_pad), _F32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         cost_estimate=pl.CostEstimate(
-            flops=4 * p * m * m + 20 * p * m,
-            bytes_accessed=8 * p * m + 8 * m * m,
-            transcendentals=2 * p * m,
+            flops=4 * p_pad * m_pad * m_pad + 20 * p_pad * m_pad,
+            bytes_accessed=8 * p_pad * m_pad + 8 * m_pad * m_pad,
+            transcendentals=2 * p_pad * m_pad,
         ),
         interpret=interpret,
     )(jnp.asarray([[rho_clip]], _F32), c_xy.astype(_F32),
-      ry.astype(_F32), (1.0 / sqz).astype(_F32).reshape(1, m))
-    kappa, mu, mi_sums = red[0], red[1], red[2]
-    return aa, hmat, kappa, mu, mi_sums, red[3, 0]
+      ry.astype(_F32), (1.0 / sqz).astype(_F32).reshape(1, m_pad))
+    kappa, mu, mi_sums = red[0, :m], red[1, :m], red[2, :m]
+    return (aa[:p, :m], hmat[:m, :m], kappa, mu, mi_sums, red[3, 0])
 
 
 def ns_chain_reference(c_xy, ry, sqz, rho_clip):

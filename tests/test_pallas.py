@@ -12,7 +12,34 @@ from linearcorex_tpu.ops import moments as M
 def test_chain_supported_shapes():
     assert PM.chain_supported(10000, 512)
     assert PM.chain_supported(256, 128)
-    assert not PM.chain_supported(256, 100)   # m not lane-aligned
+    # arbitrary shapes are handled via exact zero-padding
+    assert PM.chain_supported(256, 100)
+    assert PM.chain_supported(999, 7)
+    # the (m, m) ry block must fit VMEM: m > 1024 post-padding is out
+    assert not PM.chain_supported(256, 1025)
+
+
+@pytest.mark.parametrize("p,m", [(400, 100), (999, 7), (257, 130)])
+def test_ns_chain_padded_shapes_match_reference(p, m):
+    """Unaligned (p, m) run through the zero-padding wrapper and must
+    equal the unpadded XLA reference exactly (the padding is exact, not
+    approximate)."""
+    rng = np.random.RandomState(1)
+    w = rng.normal(scale=0.1, size=(m, p))
+    x = rng.normal(size=(600, p))
+    x = (x - x.mean(0)) / x.std(0)
+    cxy = jnp.asarray(x.T @ (x @ w.T) / 600, jnp.float32)
+    cy = w @ np.asarray(cxy) + np.eye(m)
+    z2 = np.diag(cy)
+    sqz = jnp.asarray(np.sqrt(z2), jnp.float32)
+    ry = jnp.asarray(cy / np.sqrt(np.outer(z2, z2)), jnp.float32)
+    got = PM.ns_chain(cxy, ry, sqz, 1 - 1e-6, interpret=True)
+    want = PM.ns_chain_reference(cxy, ry, sqz, 1 - 1e-6)
+    for g, w_ in zip(got, want):
+        assert g.shape == jnp.asarray(w_).shape
+        denom = float(jnp.max(jnp.abs(jnp.asarray(w_)))) + 1e-12
+        assert float(jnp.max(jnp.abs(jnp.asarray(g) - jnp.asarray(w_)))) \
+            / denom < 1e-5
 
 
 def test_ns_chain_matches_reference():

@@ -38,18 +38,27 @@ def test_unknown_moment_strategy_rejected():
 
 
 def test_ns_chain_rejects_unsupported_shapes():
-    c = jnp.zeros((10, 128), jnp.float32)
-    ry = jnp.eye(128, dtype=jnp.float32)
-    sqz = jnp.ones(128, jnp.float32)
-    with pytest.raises(ValueError, match="chain kernel requires"):
+    """Unaligned shapes are now zero-padded (exactly); the one hard limit
+    left is m > 1024 post-padding (the ry block must fit VMEM)."""
+    m = 1030
+    c = jnp.zeros((16, m), jnp.float32)
+    ry = jnp.eye(m, dtype=jnp.float32)
+    sqz = jnp.ones(m, jnp.float32)
+    with pytest.raises(ValueError, match="chain kernel supports"):
         PM.ns_chain(c, ry, sqz, 1 - 1e-6, interpret=True)
+    # small / unaligned shapes go through the padding wrapper fine
+    out = PM.ns_chain(jnp.zeros((10, 12), jnp.float32),
+                      jnp.eye(12, dtype=jnp.float32),
+                      jnp.ones(12, jnp.float32), 1 - 1e-6, interpret=True)
+    assert out[0].shape == (10, 12)
 
 
-def test_use_pallas_always_bad_shape_clear_error(small_block_data):
-    """use_pallas='always' with untileable shapes raises a named error,
-    not ZeroDivisionError."""
-    with pytest.raises(ValueError, match="chain kernel requires"):
-        lc.Corex(n_hidden=10, use_pallas="always").fit(small_block_data)
+def test_use_pallas_always_oversized_m_clear_error(small_block_data):
+    """use_pallas='always' beyond the kernel's VMEM limit raises a named
+    error, not ZeroDivisionError."""
+    x = np.random.RandomState(0).normal(size=(50, 1100))
+    with pytest.raises(ValueError, match="chain kernel supports"):
+        lc.Corex(n_hidden=1030, use_pallas="always", max_iter=2).fit(x)
 
 
 def test_checkpointed_fit_history_works(tmp_path, small_block_data):
