@@ -274,13 +274,15 @@ class Corex:
                 "input contains NaN; pass missing_values=<sentinel> after "
                 "encoding missing entries, or impute beforehand")
 
-    def _prepare_fit(self, x):
+    def _prepare_fit(self, x, resolve=True):
         """Shared data preparation for every fit driver (`fit`,
         `fit_with_checkpoints`): input validation, host/device
         preprocessing (sets self.theta/nv/n_samples), moment-strategy
         choice, and use_pallas resolution. Returns (data, cfg, strategy)
         where `data` is the solver operand (X or the Gram matrix, bf16-cast
-        when matmul_dtype='bfloat16')."""
+        when matmul_dtype='bfloat16'). resolve=False leaves
+        use_pallas='auto' for a downstream driver that resolves against
+        its own mesh (fit_sharded)."""
         self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
@@ -292,7 +294,8 @@ class Corex:
                 x, self.pre_config.gaussianize,
                 self.pre_config.missing_values)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        cfg = resolve_config(self.config, self.nv)
+        cfg = resolve_config(self.config, self.nv) if resolve \
+            else self.config
         data = M.compute_gram(xp) if strategy == "gram" else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X
@@ -319,11 +322,24 @@ class Corex:
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 
-    def fit(self, x, init_ws=None):
-        data, cfg, strategy = self._prepare_fit(x)
+    def fit(self, x, init_ws=None, mesh=None, sharding_plan=None):
+        """Fit the model. `mesh` (a jax.sharding.Mesh) runs the identical
+        annealed program sharded over the mesh's devices — the estimator
+        surface's bridge to `parallel.fit_sharded`; `sharding_plan` (a
+        `ShardingPlan`, default sample-sharding) maps the n/p/m axes onto
+        the mesh's named axes. Learned state comes back replicated, so
+        transform/predict/get_covariance work unchanged."""
+        data, cfg, strategy = self._prepare_fit(x, resolve=mesh is None)
         w0 = self._resolve_w0(init_ws)
-        self.ws, self.moments, self.diagnostics = _fit_program(
-            data, w0, cfg, strategy)
+        if mesh is not None:
+            from linearcorex_tpu.parallel.sharding import (ShardingPlan,
+                                                           fit_sharded)
+            plan = sharding_plan or ShardingPlan()
+            self.ws, self.moments, self.diagnostics = fit_sharded(
+                data, w0, cfg, mesh, plan, strategy)
+        else:
+            self.ws, self.moments, self.diagnostics = _fit_program(
+                data, w0, cfg, strategy)
         if self.verbose:
             self._print_verbose()
         return self

@@ -224,3 +224,34 @@ def test_shard_map_fixed_point_matches_single_device():
                    moment_strategy="samples").fit(x, init_ws=w0)
     assert np.abs(np.asarray(ws) - np.asarray(ref.ws)).max() < 1e-7
     assert abs(float(mom.tc) - ref.tc) < 1e-7
+
+
+def test_corex_fit_with_mesh_matches_plain_fit(setup):
+    """The estimator-surface mesh bridge: Corex.fit(x, mesh=...) equals the
+    single-device fit (GSPMD over 8 virtual devices), and inference from
+    the replicated state works unchanged."""
+    x = block_data(n=512, p=64, m=8, seed=0)
+    w0 = np.random.RandomState(42).normal(scale=1 / 8, size=(8, 64))
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    cm = lc.Corex(n_hidden=8, dtype="float64", record_history=False).fit(
+        x, init_ws=w0, mesh=mesh)
+    cs = lc.Corex(n_hidden=8, dtype="float64", record_history=False,
+                  moment_strategy="samples").fit(x, init_ws=w0)
+    assert abs(cm.tc - cs.tc) < 1e-7
+    assert np.abs(np.asarray(cm.ws) - np.asarray(cs.ws)).max() < 1e-7
+    y = cm.transform(x)
+    assert np.abs(np.asarray(y) - np.asarray(cs.transform(x))).max() < 1e-7
+    assert np.isfinite(np.asarray(cm.get_covariance())).all()
+
+
+def test_corex_fit_with_mesh_and_plan(setup):
+    """An explicit 2-D dp x tp plan through the estimator surface."""
+    x = block_data(n=512, p=64, m=8, seed=0)
+    w0 = np.random.RandomState(42).normal(scale=1 / 8, size=(8, 64))
+    mesh = make_mesh(((DATA_AXIS, 4), (FACTOR_AXIS, 2)))
+    plan = ShardingPlan(shard_samples=True, shard_factors=True)
+    cm = lc.Corex(n_hidden=8, dtype="float64", record_history=False).fit(
+        x, init_ws=w0, mesh=mesh, sharding_plan=plan)
+    cs = lc.Corex(n_hidden=8, dtype="float64", record_history=False,
+                  moment_strategy="samples").fit(x, init_ws=w0)
+    assert abs(cm.tc - cs.tc) < 1e-7
