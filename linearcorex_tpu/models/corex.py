@@ -472,6 +472,17 @@ class Corex:
         return self
 
     # ------------------------------------------------------------------
+    def __repr__(self):
+        cfg = self.config
+        fitted = "" if self.ws is None else (
+            f", fitted: nv={self.nv}, n_samples={self.n_samples}, "
+            f"tc={self.tc:.4f}")
+        return (f"Corex(n_hidden={cfg.n_hidden}, "
+                f"discourage_overlap={cfg.discourage_overlap}, "
+                f"gaussianize={self.pre_config.gaussianize!r}, "
+                f"optimizer={cfg.optimizer!r}, dtype={cfg.dtype!r}"
+                f"{fitted})")
+
     @property
     def tcs(self):
         """Per-factor total correlation (sorted decreasing)."""

@@ -126,3 +126,18 @@ def test_init_ws_shape_mismatch_raises(small_block_data):
     c = lc.Corex(n_hidden=3)
     with pytest.raises(ValueError, match="init_ws shape"):
         c.fit(small_block_data, init_ws=np.zeros((3, 7)))
+
+
+def test_fixed_point_degenerate_rank1_no_crash():
+    """Near-rank-1 data drives rho to the clip boundary; the fixed-point
+    update's m x m system approaches singularity — the damped accept/
+    reject must still finish with a finite (if suboptimal, per DESIGN.md)
+    fit rather than NaN weights."""
+    import linearcorex_tpu as lc
+    rng = np.random.RandomState(0)
+    z = rng.normal(size=(400, 1))
+    x = np.repeat(z, 16, axis=1) + 1e-6 * rng.normal(size=(400, 16))
+    m = lc.Corex(n_hidden=3, seed=0, optimizer="fixed_point",
+                 dtype="float64").fit(x)
+    assert np.isfinite(m.tc)
+    assert np.isfinite(np.asarray(m.ws)).all()
