@@ -255,3 +255,41 @@ def test_corex_fit_with_mesh_and_plan(setup):
     cs = lc.Corex(n_hidden=8, dtype="float64", record_history=False,
                   moment_strategy="samples").fit(x, init_ws=w0)
     assert abs(cm.tc - cs.tc) < 1e-7
+
+
+def test_dp_comm_surface_is_pxm_allreduce_only():
+    """Mechanical check of SURVEY §2.8's comm-surface claim: the compiled
+    sample-sharded (DP) program's ONLY collectives are all-reduces whose
+    payloads are p x m cross-moments (plus scalars) — no all-gathers, no
+    all-to-alls, nothing O(n) or O(p²)."""
+    from linearcorex_tpu.parallel.audit import audit_fit
+    p, m, n = 64, 8, 512
+    x = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    cfg = CorexConfig(n_hidden=m, record_history=False, max_iter=50)
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    ops = audit_fit(x, w, cfg, mesh, ShardingPlan())
+    assert ops, "expected collectives in the sharded program"
+    assert all(o.kind == "all-reduce" for o in ops), \
+        [o.kind for o in ops]
+    pm_bytes = p * m * 4
+    assert all(o.bytes <= pm_bytes for o in ops), \
+        [(o.kind, o.shapes, o.bytes) for o in ops]
+
+
+def test_var_sharded_comm_is_nm_and_mm():
+    """Variable-sharded layout: collectives are the n x m factor
+    reduction and m-sized blocks — never p-sized."""
+    from linearcorex_tpu.parallel.audit import audit_fit
+    p, m, n = 64, 8, 512
+    x = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    cfg = CorexConfig(n_hidden=m, record_history=False, max_iter=50)
+    mesh = make_mesh(((VAR_AXIS, 8),))
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    ops = audit_fit(x, w, cfg, mesh, plan)
+    assert all(o.kind == "all-reduce" for o in ops)
+    # the fused multi-payload reduce carries one n x m block plus O(m)
+    # blocks; nothing reaches O(p^2) or O(n x p)
+    assert all(o.bytes <= max(n * m, m * p) * 4 + 512 for o in ops), \
+        [(o.shapes, o.bytes) for o in ops]
