@@ -18,7 +18,9 @@ from linearcorex_tpu.models.corex import Corex
 from linearcorex_tpu.models.selection import pick_n_hidden
 from linearcorex_tpu.models.stacked import StackedCorex
 from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
-from linearcorex_tpu.utils.streaming import GramAccumulator, fit_from_covariance
+from linearcorex_tpu.utils.streaming import (GramAccumulator,
+                                             fit_csv,
+                                             fit_from_covariance)
 
 __version__ = "0.1.0"
 __all__ = [
@@ -30,6 +32,7 @@ __all__ = [
     "save_corex",
     "load_corex",
     "GramAccumulator",
+    "fit_csv",
     "fit_from_covariance",
     "__version__",
 ]

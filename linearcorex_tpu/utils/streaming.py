@@ -30,7 +30,58 @@ from linearcorex_tpu.models.corex import Corex, _fit_program, resolve_config
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 
-__all__ = ["GramAccumulator", "fit_from_covariance"]
+__all__ = ["GramAccumulator", "fit_from_covariance", "iter_text_blocks",
+           "fit_csv"]
+
+
+def iter_text_blocks(path: str, block_rows: int = 8192,
+                     delimiter: str = ",", skip_header: int = 0):
+    """Yield (block_rows, p) float64 blocks from a delimited numeric text
+    file. Uses the native C++ single-pass reader (native/loader.cpp;
+    measured up to ~4.5x numpy.loadtxt, O(block) memory) when the library
+    is built; otherwise a pure-Python fallback with identical output."""
+    from linearcorex_tpu.utils import native
+
+    if native.available():
+        yield from native.CsvReader(path, block_rows=block_rows,
+                                    delimiter=delimiter,
+                                    skip_header=skip_header)
+        return
+    rows = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            if i < skip_header:
+                continue
+            line = line.strip()
+            if not line:
+                continue
+            rows.append(np.array(
+                [float(v) for v in line.replace(delimiter, " ").split()]))
+            if len(rows) == block_rows:
+                yield np.stack(rows)
+                rows = []
+    if rows:
+        yield np.stack(rows)
+
+
+def fit_csv(path: str, n_hidden: int, block_rows: int = 8192,
+            delimiter: str = ",", skip_header: int = 0,
+            **corex_kwargs) -> "Corex":
+    """Out-of-core fit straight from a delimited numeric text file: stream
+    blocks through a GramAccumulator (native reader when available), then
+    fit from the accumulated moments — the file is never held in memory.
+
+    Equivalent (to fp precision) to Corex(...).fit(np.loadtxt(path, ...))
+    with gaussianize='standard'."""
+    dtype = corex_kwargs.get("dtype", "float32")
+    acc = None
+    for block in iter_text_blocks(path, block_rows, delimiter, skip_header):
+        if acc is None:
+            acc = GramAccumulator(block.shape[1], dtype=dtype)
+        acc.update(block)
+    if acc is None:
+        raise ValueError(f"{path}: no data rows")
+    return acc.fit(n_hidden, **corex_kwargs)
 
 
 def fit_from_covariance(sigma, n_samples: int, n_hidden: int,

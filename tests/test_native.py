@@ -71,3 +71,69 @@ def test_corex_host_preprocess_matches_device():
     # amplifies this slightly
     assert abs(c_host.tc - c_dev.tc) < 1e-5
     assert np.abs(np.asarray(c_host.ws) - np.asarray(c_dev.ws)).max() < 1e-3
+
+
+def test_csv_reader_matches_loadtxt(tmp_path):
+    """Native block reader reproduces np.loadtxt exactly, across block
+    boundaries, headers, and nan cells."""
+    from linearcorex_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(0)
+    x = rng.normal(size=(257, 7))
+    x[3, 2] = np.nan
+    path = str(tmp_path / "d.csv")
+    with open(path, "w") as f:
+        f.write("c0,c1,c2,c3,c4,c5,c6\n")
+        for row in x:
+            f.write(",".join(f"{v:.17g}" for v in row) + "\n")
+    blocks = list(native.CsvReader(path, block_rows=100, skip_header=1))
+    got = np.concatenate(blocks)
+    want = np.loadtxt(path, delimiter=",", skiprows=1)
+    assert got.shape == want.shape
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    np.testing.assert_allclose(np.nan_to_num(got), np.nan_to_num(want),
+                               rtol=0, atol=0)
+
+
+def test_csv_reader_errors(tmp_path):
+    from linearcorex_tpu.utils import native
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        native.CsvReader(str(tmp_path / "missing.csv"))
+    bad = str(tmp_path / "bad.csv")
+    with open(bad, "w") as f:
+        f.write("1.0,2.0\n3.0,oops\n")
+    r = native.CsvReader(bad, block_rows=10)
+    with pytest.raises(ValueError, match="unparsable"):
+        list(r)
+
+
+def test_fit_csv_matches_in_memory(tmp_path):
+    """fit_csv == Corex.fit on the loaded array (both standard-gaussianize),
+    and the pure-Python fallback produces the same blocks as native."""
+    import linearcorex_tpu as lc
+    from linearcorex_tpu.utils import streaming, native
+    from tests.conftest import block_data
+    x = block_data(n=500, p=24, m=3, seed=5)
+    path = str(tmp_path / "x.tsv")
+    np.savetxt(path, x, delimiter="\t")
+    m = lc.fit_csv(path, n_hidden=3, block_rows=128, delimiter="\t",
+                   seed=0, dtype="float64")
+    ref = lc.GramAccumulator(24, dtype="float64").update(x).fit(
+        n_hidden=3, seed=0)
+    assert abs(m.tc - ref.tc) < 1e-8
+    assert np.abs(np.asarray(m.ws) - np.asarray(ref.ws)).max() < 1e-8
+    if native.available():
+        # native blocks == the raw file contents, exactly
+        nat = np.concatenate(list(native.CsvReader(path, 128,
+                                                   delimiter="\t")))
+        rows = []
+        with open(path) as f:
+            for line in f:
+                rows.append([float(v) for v in line.split()])
+        np.testing.assert_allclose(nat, np.array(rows), rtol=0, atol=0)
