@@ -48,6 +48,10 @@ CONFIGS = [
      "float32", None, "fixed_point"),
     ("cfg5_p100k_m512_fixed_point", 10_000, 100_000, 512, "samples",
      "bfloat16", None, "fixed_point"),
+    # the production config bench.py measures: optimizer='auto' resolves
+    # to fixed_point at this fully-sampled shape (n = p)
+    ("northstar_p10k_m512_auto_production", 10_000, 10_000, 512, "gram",
+     "float32", 12.72, "auto"),
 ]
 
 SMALL = {"cfg1_p128_m8_n1k", "cfg3_p10k_m64_n200"}
@@ -60,7 +64,7 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters, optimizer="momentum"):
 
     from linearcorex_tpu.config import CorexConfig
     from linearcorex_tpu.core.solver import fit_core
-    from linearcorex_tpu.models.corex import _make_obj_grad
+    from linearcorex_tpu.models.corex import _make_obj_grad, resolve_config
     from linearcorex_tpu.ops import moments as M
     from linearcorex_tpu.utils.profiling import iteration_rate
 
@@ -96,6 +100,8 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters, optimizer="momentum"):
                       matmul_dtype=mm_dtype, optimizer=optimizer,
                       use_pallas="always" if (on_tpu and chain_supported(
                           p, m)) else "never")
+    if optimizer == "auto":
+        cfg = resolve_config(cfg, p, n_samples=n)
 
     @functools.partial(jax.jit, static_argnums=(2, 3))
     def run(d, w0, cfg, strat):
@@ -280,8 +286,48 @@ def main():
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "RESULTS.md")
     with open(out, "w") as f:
-        f.write(f"# Benchmark results\n\ndevice: {dev}\n\n{table}\n")
+        f.write(f"# Benchmark results\n\ndevice: {dev}\n\n{table}\n"
+                f"{RESULTS_FOOTER}")
     print(f"\nwrote {out}")
+
+
+# Measured once-off sections preserved across table regenerations (the
+# table above is rewritten by every run; these numbers are separate
+# measurement scripts' results, kept with their context).
+RESULTS_FOOTER = """
+Timing: min over 3 repeats per row (utils/profiling.py :: iteration_rate);
+this TPU attachment shows rare ~0.5 s host-side hiccups that corrupt
+single-shot timings. The small-shape rows (cfg1-cfg3, <0.5 ms/iter) are
+device/attachment latency floors, not compute — they vary ~2x between
+sessions. `northstar_p10k_m512_auto_production` is the bench.py
+configuration: optimizer='auto' resolved at n=p (fixed_point + gram +
+chain kernel); bench.py's dedicated-process run of the same program
+measures 757 it/s.
+
+## Public-API serving latencies at cfg5 scale (p=100k, m=512, one v5e chip)
+
+Measured via the jitted inference programs (each call = one dispatch;
+eager dispatch costs ~35 ms host-sync latency on this attachment):
+
+| call | steady-state latency |
+|---|---|
+| `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters; +~87 s first-call compile) |
+| `transform(X)` n=10k | 37 ms |
+| `covariance_matvec(v)` | 449 ms |
+
+`pick_n_hidden` padded one-compile sweep (p=1024, max_n=8, repeat=4,
+max_iter=2000): 12.2 s vs 16.1 s sequential (1.33x end-to-end; the win
+scales with per-candidate compile cost).
+
+## Scale ceiling on one chip (measured probe, not a maintained benchmark row)
+
+p=500,000 variables (5x the cfg5 north-star), n=10k, m=512, bf16 X (9.3 GB
+of the 15.75 GB HBM): `optimizer='fixed_point'` runs at 86.1 ms/iter
+(11.6 it/s) on ONE v5e chip — its iteration carries ~3 fewer W-sized
+(1 GB) buffers than the gradient path. `optimizer='momentum'` exhausts HBM
+at this size on one chip; use the sample-sharded multi-chip path (or
+fixed_point) beyond p~300k.
+"""
 
 
 if __name__ == "__main__":

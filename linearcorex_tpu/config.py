@@ -69,6 +69,10 @@ class CorexConfig:
     # (`[U] :: _update_ws`) — 2 big GEMMs/iter instead of 4; measured
     # better optima in fewer iterations on overcomplete/large-m fits,
     # worse in the n<<p regime (DESIGN.md table); non-overlap path only.
+    # 'auto' = the measured regime policy: fixed_point when n >= p (full-
+    # rank Σ̂) on the non-overlap path, momentum otherwise — resolved
+    # against the data shapes by models.corex.resolve_config. 'momentum'
+    # stays the constructor default (regime-independent robustness).
     optimizer: str = "momentum"
     momentum_beta: float = 0.9
     lr_init: float = 0.05
@@ -98,9 +102,10 @@ class CorexConfig:
             raise ValueError(
                 f"unknown moment_strategy: {self.moment_strategy!r} "
                 f"(expected 'auto', 'samples' or 'gram')")
-        if self.optimizer not in ("momentum", "gd", "fixed_point"):
-            raise ValueError(f"unknown optimizer: {self.optimizer!r} "
-                             f"(expected 'momentum', 'gd' or 'fixed_point')")
+        if self.optimizer not in ("auto", "momentum", "gd", "fixed_point"):
+            raise ValueError(
+                f"unknown optimizer: {self.optimizer!r} (expected 'auto', "
+                f"'momentum', 'gd' or 'fixed_point')")
         if self.optimizer == "fixed_point" and not self.discourage_overlap:
             raise ValueError(
                 "optimizer='fixed_point' implements the non-overlap "

@@ -36,11 +36,26 @@ __all__ = ["Corex"]
 
 
 def resolve_config(cfg: CorexConfig, nv: int,
-                   platform: Optional[str] = None) -> CorexConfig:
-    """Resolve use_pallas='auto' against the backend and shapes.
+                   platform: Optional[str] = None,
+                   n_samples: Optional[int] = None) -> CorexConfig:
+    """Resolve the 'auto' config knobs against the backend and shapes.
 
     Single source of truth shared by Corex.fit, sharded fits, streaming
-    fits, and checkpointed fits: the fused chain kernel requires the
+    fits, and checkpointed fits.
+
+    optimizer='auto' → 'fixed_point' when the problem is fully sampled
+    (n_samples >= nv, so Σ̂ is full rank) on the non-overlap path, else
+    'momentum'. Measured basis (DESIGN.md table): at n >= p the damped
+    closed-form fixed point is both ~2x cheaper per iteration (2 big GEMMs
+    vs 4) and converges to equal-or-better TC in fewer iterations
+    (north-star p=10k/m=512: TC 12810 in 179 iters / 0.25 s vs heavy-ball's
+    11564 in 401 iters / 0.83 s); in the undersampled n < p clipping regime
+    it commits to visibly worse optima (cfg5: TC 130k vs momentum's 204k),
+    so heavy-ball stays the choice there. Unknown n_samples (e.g. a
+    fit_from_covariance Gram with no sample count) resolves to the robust
+    'momentum'.
+
+    use_pallas='auto' → the fused chain kernel when supported: requires the
     non-overlap path, float32/bfloat16 compute, a TPU backend ("axon" is
     this environment's TPU attachment platform name), and m <= 1024
     (unaligned shapes are zero-padded exactly). The m >= 128 gate is
@@ -48,9 +63,14 @@ def resolve_config(cfg: CorexConfig, nv: int,
     kernel is +7-9% at m=512 and a wash to slightly negative below m=128
     — force use_pallas='always' to override. `platform` defaults to the
     first device's platform; it is injectable for tests."""
+    import dataclasses
+    if cfg.optimizer == "auto":
+        fp_ok = (cfg.discourage_overlap and n_samples is not None
+                 and n_samples >= nv)
+        cfg = dataclasses.replace(
+            cfg, optimizer="fixed_point" if fp_ok else "momentum")
     if cfg.use_pallas != "auto":
         return cfg
-    import dataclasses
     from linearcorex_tpu.ops.pallas_moments import chain_supported
     if platform is None:
         platform = jax.devices()[0].platform
@@ -70,6 +90,12 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     optimizer='fixed_point' the returned "gradient" is the fixed-point
     residual ws − Ŵ (`[U] :: _update_ws`), which the solver's plain-GD step
     turns into the damped update (1−γ)·ws + γ·Ŵ."""
+    if cfg.optimizer == "auto":
+        raise ValueError(
+            "optimizer='auto' must be resolved against the data shapes "
+            "before building the objective — call resolve_config(cfg, nv, "
+            "n_samples=n) first (Corex.fit and the sharded/streaming "
+            "drivers do)")
     bf16 = cfg.matmul_dtype == "bfloat16"
     chain = cfg.use_pallas == "always"
     gram = strategy == "gram"
@@ -294,7 +320,8 @@ class Corex:
                 x, self.pre_config.gaussianize,
                 self.pre_config.missing_values)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        cfg = resolve_config(self.config, self.nv) if resolve \
+        cfg = resolve_config(self.config, self.nv,
+                             n_samples=self.n_samples) if resolve \
             else self.config
         data = M.compute_gram(xp) if strategy == "gram" else xp
         if self.config.matmul_dtype == "bfloat16":

@@ -314,8 +314,9 @@ def _ns_obj_grad(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel,
 # closed-form iteration style (`[U] :: _update_ws`, SURVEY.md §2.5/§7.0)
 # ---------------------------------------------------------------------------
 
-def _ns_fp_target(mom: Moments) -> jax.Array:
-    """Closed-form fixed-point target Ŵ from stationarity of F.
+def ns_fp_parts(ws, data, eps, y_scale, rho_clip, bf16=False,
+                chain_kernel=False, gram=False):
+    """Pieces of the closed-form fixed-point target, before the m x m solve.
 
     Setting the exact gradient to zero and substituting
     rho = diag(1/sqz)·W·Σ_eff gives (for invertible Σ_eff)
@@ -327,29 +328,59 @@ def _ns_fp_target(mom: Moments) -> jax.Array:
     fixed-point iteration costs 2 big GEMMs (the C_xy pair) instead of the
     gradient step's 4. The iterate W ← (1−γ)W + γŴ with the shared
     accept/reject damping is the TPU rendering of the reference's damped
-    `_update_ws` fixed point (mirrored exactly by the float64 oracle).
-    Measured convergence quality vs heavy-ball is regime-dependent — see
-    DESIGN.md's table (better on overcomplete m, worse for n ≪ p).
+    `_update_ws` fixed point (`[U] :: _update_ws`; mirrored exactly by the
+    float64 oracle). Measured convergence quality vs heavy-ball is
+    regime-dependent — see DESIGN.md's table (better on overcomplete m,
+    worse for n ≪ p).
+
+    Returns (objective, tc, a_mat (m, m), aa_t (p, m), sqz (m,)); the
+    target is assembled by `fp_target_from_parts`. NOTE a measured dead
+    end, for future optimizers: a_mat is NEAR-SINGULAR whenever surplus
+    factors have died (the overcomplete regime fixed_point is best at) —
+    estimated Frobenius condition ~1e18 in f32 at p=10k/m=512/100 blocks.
+    The damped accept/reject iteration tolerates the resulting inaccurate
+    f32 LU inverse, but iteratively TRACKING the inverse (Newton–Schulz,
+    2 steps/iter; prototyped round 2) diverges immediately — ‖I−AM‖_F ≈
+    2.6e4 one step after an exact inverse — so the ~0.4 ms/iter LU cost
+    is irreducible here."""
+    c_xy = _cxy_eff(data, ws, eps, bf16, gram)
+    return fp_parts_from_cxy(ws, c_xy, y_scale, rho_clip, chain_kernel)
+
+
+def fp_parts_from_cxy(ws, c_xy, y_scale, rho_clip, chain_kernel=False):
+    """`ns_fp_parts` given an already-annealed C_xy (the explicit-psum
+    shard_map path reduces C_xy itself before calling this)."""
+    if chain_kernel:
+        dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, slv) = _run_chain(
+            ws, c_xy, y_scale, rho_clip)
+        coef = (kappa + mu - 1.0).astype(dt)
+        a_mat = jnp.diag(coef) - hmat.astype(dt)
+        objective, tc = _chain_obj_tc(dt, z2, slv, mi_sums, y_scale)
+        return objective, tc, a_mat, aa_t.astype(dt), sqz
+    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
+    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
+    a_mat = jnp.diag(coef) - hmat
+    return mom.objective, mom.tc, a_mat, aa.T, sqz
+
+
+def ns_fp_from_cxy(ws, c_xy, y_scale, rho_clip, chain_kernel=False):
+    """Fixed-point (objective, ws − Ŵ, TC) from an already-annealed C_xy."""
+    obj, tc, a_mat, aa_t, sqz = fp_parts_from_cxy(ws, c_xy, y_scale,
+                                                  rho_clip, chain_kernel)
+    return obj, fp_target_from_parts(ws, jnp.linalg.inv(a_mat), aa_t,
+                                     sqz), tc
+
+
+def fp_target_from_parts(ws, a_mat_inv, aa_t, sqz):
+    """Ŵ and the solver direction ws − Ŵ from `ns_fp_parts` pieces and the
+    inverse of a_mat.
 
     The m x m system is applied as an explicit inverse followed by an MXU
     matmul rather than jnp.linalg.solve: a triangular solve with p right-
     hand sides does not map onto the MXU and measured ~6 ms/iter at
     p=100k/m=512, vs ~0.3 ms for inv + GEMM."""
-    aa, hmat, coef, sqz = _ns_gradient_terms(mom)
-    a_mat = jnp.diag(coef) - hmat
-    return _mm(jnp.linalg.inv(a_mat), aa) * sqz[:, None]
-
-
-def _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip):
-    """Fixed-point (objective, ws − Ŵ, TC) via the fused chain kernel."""
-    dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, sum_log_vi) = _run_chain(
-        ws, c_xy, y_scale, rho_clip)
-    coef = (kappa + mu - 1.0).astype(dt)
-    a_mat = jnp.diag(coef) - hmat.astype(dt)
-    # inv + GEMM instead of solve: see _ns_fp_target
-    target = _mm(jnp.linalg.inv(a_mat), aa_t.astype(dt).T) * sqz[:, None]
-    objective, tc = _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale)
-    return objective, ws - target, tc
+    target = _mm(a_mat_inv, aa_t.T) * sqz[:, None]
+    return ws - target
 
 
 def ns_fp_samples(ws, x, eps, y_scale, rho_clip, bf16=False,
@@ -370,11 +401,10 @@ def ns_fp_gram(ws, gram, eps, y_scale, rho_clip, bf16=False,
 
 
 def _ns_fp(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel, gram):
-    c_xy = _cxy_eff(data, ws, eps, bf16, gram)
-    if chain_kernel:
-        return _ns_fp_from_chain(ws, c_xy, y_scale, rho_clip)
-    mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
-    return mom.objective, ws - _ns_fp_target(mom), mom.tc
+    obj, tc, a_mat, aa_t, sqz = ns_fp_parts(
+        ws, data, eps, y_scale, rho_clip, bf16, chain_kernel, gram)
+    return obj, fp_target_from_parts(ws, jnp.linalg.inv(a_mat), aa_t,
+                                     sqz), tc
 
 
 # ---------------------------------------------------------------------------

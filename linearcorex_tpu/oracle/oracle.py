@@ -192,7 +192,7 @@ def ns_fixed_point_target(moments):
     W ← (1−γ)W + γŴ under the shared accept/reject rule converges to the
     same optima as heavy-ball on matched-n_hidden problems (validated in
     tests; on overcomplete n_hidden it can find better optima). Mirrored
-    exactly by the JAX path (`ops/moments.py :: _ns_fp_target`) — including
+    exactly by the JAX path (`ops/moments.py :: ns_fp_parts`) — including
     the explicit inverse (the TPU path applies A⁻¹ as inv + MXU GEMM
     because a p-RHS triangular solve is ~20x slower there; the oracle
     matches the operation for step parity)."""

@@ -77,9 +77,9 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples"):
         import dataclasses
         if cfg.use_pallas == "auto":
             cfg = dataclasses.replace(cfg, use_pallas="never")
-    else:
-        cfg = resolve_config(cfg, data.shape[-1],
-                             platform=mesh.devices.flat[0].platform)
+    cfg = resolve_config(
+        cfg, data.shape[-1], platform=mesh.devices.flat[0].platform,
+        n_samples=data.shape[0] if strategy == "samples" else None)
     if strategy == "gram":
         data_spec = S.P(S.VAR_AXIS if plan.shard_vars else None, None)
         w_spec = S.P(S.FACTOR_AXIS if plan.shard_factors else None, None)

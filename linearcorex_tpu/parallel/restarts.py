@@ -77,7 +77,9 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str):
     (history costs batch x n_stages x max_iter)."""
     from linearcorex_tpu.models.corex import resolve_config
 
-    cfg = resolve_config(cfg, w0_batch.shape[-1])  # 'auto' → chain on TPU
+    cfg = resolve_config(
+        cfg, w0_batch.shape[-1],
+        n_samples=data.shape[0] if strategy == "samples" else None)
     return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
@@ -92,8 +94,9 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
 
     from linearcorex_tpu.models.corex import resolve_config
 
-    cfg = resolve_config(cfg, w0_batch.shape[-1],
-                         platform=mesh.devices.flat[0].platform)
+    cfg = resolve_config(
+        cfg, w0_batch.shape[-1], platform=mesh.devices.flat[0].platform,
+        n_samples=data.shape[0] if strategy == "samples" else None)
     w0_batch = jax.device_put(
         w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
     data = jax.device_put(data, NamedSharding(mesh, P()))

@@ -146,12 +146,9 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
             if cfg.optimizer == "fixed_point":
                 # Ŵ is m x m algebra on the psum'd cross-moment — no
                 # further collectives needed
-                if cfg.use_pallas == "always":
-                    return M._ns_fp_from_chain(ws, c_xy, cfg.y_scale,
-                                               cfg.rho_clip)
-                mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale,
-                                         cfg.rho_clip)
-                return mom.objective, ws - M._ns_fp_target(mom), mom.tc
+                return M.ns_fp_from_cxy(
+                    ws, c_xy, cfg.y_scale, cfg.rho_clip,
+                    chain_kernel=cfg.use_pallas == "always")
             if cfg.use_pallas == "always":
                 return M._ns_obj_grad_chain(
                     ws, c_xy,
@@ -193,8 +190,8 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
     if not cfg.discourage_overlap:
         raise ValueError("fit_shard_map supports discourage_overlap=True "
                          "only; use fit_sharded for the overlap path")
-    cfg = resolve_config(cfg, x.shape[1],
-                         platform=_mesh_platform(mesh))  # 'auto' → chain
+    cfg = resolve_config(cfg, x.shape[1], platform=_mesh_platform(mesh),
+                         n_samples=x.shape[0])  # 'auto' knobs
     x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
     w0 = jax.device_put(w0, NamedSharding(mesh, P()))
     return _fit_program_shard_map(x, w0, cfg, axis_name, mesh)
@@ -219,12 +216,12 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         # iteration — keep the partitionable XLA chain instead
         if cfg.use_pallas == "auto":
             cfg = dataclasses.replace(cfg, use_pallas="never")
-    else:
-        # GSPMD executes the kernel on the replicated cross-moment
-        # (verified vs the XLA path to 1e-7 on an 8-device mesh); the
-        # variable count is the trailing axis of X and of Σ alike
-        cfg = resolve_config(cfg, data.shape[-1],
-                             platform=_mesh_platform(mesh))
+    # optimizer='auto' (and, off the var/factor-sharded layouts, the chain
+    # kernel) resolve against the shapes; a Gram operand carries no sample
+    # count, so 'auto' falls back to the robust momentum there
+    cfg = resolve_config(
+        cfg, data.shape[-1], platform=_mesh_platform(mesh),
+        n_samples=data.shape[0] if strategy == "samples" else None)
     if strategy == "gram":
         data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
     else:

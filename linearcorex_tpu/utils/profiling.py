@@ -48,20 +48,24 @@ def fit_report(diagnostics, schedule=None) -> str:
 
 
 def iteration_rate(run_fn, *args, warmup: bool = True,
-                   n_timed: Optional[int] = None):
+                   n_timed: Optional[int] = None, reps: int = 3):
     """Time a compiled fit program safely on this attachment.
 
-    run_fn(*args) must return (ws, diagnostics) and be jitted; the timed
-    region is one call (one host sync via a scalar fetch). Returns
+    run_fn(*args) must return (ws, diagnostics) and be jitted; each timed
+    region is one call (one host sync via a scalar fetch), repeated `reps`
+    times taking the minimum — this TPU attachment shows rare ~0.5 s
+    host-side hiccups that corrupt single-shot timings. Returns
     (iterations_per_second, total_iterations, seconds).
     """
     if warmup:
         ws, diag = run_fn(*args)
         float(np.asarray(diag.tc_per_stage)[-1])
-    t0 = time.perf_counter()
-    ws, diag = run_fn(*args)
-    float(np.asarray(diag.tc_per_stage)[-1])
-    dt = time.perf_counter() - t0
+    dt = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        ws, diag = run_fn(*args)
+        float(np.asarray(diag.tc_per_stage)[-1])
+        dt = min(dt, time.perf_counter() - t0)
     total = int(np.asarray(diag.iters_per_stage).sum())
     if n_timed is not None:
         total = n_timed

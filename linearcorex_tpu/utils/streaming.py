@@ -110,7 +110,7 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
             else jnp.asarray(variable_means))
     model.theta = P.Theta(mean=mean.astype(model._dt),
                           std=std.astype(model._dt))
-    cfg = resolve_config(model.config, p)
+    cfg = resolve_config(model.config, p, n_samples=model.n_samples)
     data = corr.astype(model._dt)
     if cfg.matmul_dtype == "bfloat16":
         data = data.astype(jnp.bfloat16)
@@ -205,7 +205,7 @@ class GramAccumulator:
         model.n_samples, model.nv = self._n, self.p
         model.theta = P.Theta(mean=mean.astype(model._dt),
                               std=std.astype(model._dt))
-        cfg = resolve_config(model.config, self.p)
+        cfg = resolve_config(model.config, self.p, n_samples=self._n)
         data = corr.astype(model._dt)
         if cfg.matmul_dtype == "bfloat16":
             data = data.astype(jnp.bfloat16)

@@ -94,3 +94,48 @@ def test_fixed_point_rejects_overlap():
 def test_unknown_optimizer_rejected():
     with pytest.raises(ValueError, match="unknown optimizer"):
         lc.Corex(n_hidden=4, optimizer="adam")
+
+
+def test_optimizer_auto_resolution():
+    """'auto' = fixed_point when n >= p on the non-overlap path (full-rank
+    Σ̂ — measured faster AND better TC there), momentum otherwise
+    (undersampled clipping regime / unknown n / overlap path)."""
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.models.corex import resolve_config
+
+    cfg = CorexConfig(n_hidden=8, optimizer="auto")
+    assert resolve_config(cfg, 64, platform="cpu",
+                          n_samples=64).optimizer == "fixed_point"
+    assert resolve_config(cfg, 64, platform="cpu",
+                          n_samples=63).optimizer == "momentum"
+    assert resolve_config(cfg, 64, platform="cpu").optimizer == "momentum"
+    overlap = CorexConfig(n_hidden=8, optimizer="auto",
+                          discourage_overlap=False)
+    assert resolve_config(overlap, 64, platform="cpu",
+                          n_samples=1000).optimizer == "momentum"
+
+
+def test_optimizer_auto_unresolved_rejected():
+    """Building an objective from an unresolved 'auto' config must fail
+    loudly — the solver would otherwise silently run plain GD."""
+    import jax.numpy as jnp
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.models.corex import _make_obj_grad
+
+    with pytest.raises(ValueError, match="auto"):
+        _make_obj_grad(jnp.zeros((8, 4)), CorexConfig(optimizer="auto"),
+                       "samples")
+
+
+def test_optimizer_auto_estimator_matches_explicit(med_block_data):
+    """Corex(optimizer='auto') on fully-sampled data reproduces the
+    explicit fixed_point fit bit-for-bit (same resolved program)."""
+    x = med_block_data          # n=2000 >= p=64
+    w0 = _shared_init(8, 64)
+    auto = lc.Corex(n_hidden=8, dtype="float64",
+                    optimizer="auto").fit(x, init_ws=w0)
+    fp = lc.Corex(n_hidden=8, dtype="float64",
+                  optimizer="fixed_point").fit(x, init_ws=w0)
+    assert auto.tc == fp.tc
+    assert np.array_equal(np.asarray(auto.ws), np.asarray(fp.ws))
