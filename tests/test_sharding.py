@@ -293,3 +293,19 @@ def test_var_sharded_comm_is_nm_and_mm():
     # blocks; nothing reaches O(p^2) or O(n x p)
     assert all(o.bytes <= max(n * m, m * p) * 4 + 512 for o in ops), \
         [(o.shapes, o.bytes) for o in ops]
+
+
+def test_sharded_fit_resolves_optimizer_auto(setup):
+    """fit_sharded resolves optimizer='auto' against the data shapes: on
+    fully-sampled data (n >= p) the sharded program runs the fixed-point
+    update and reproduces the explicit-fixed_point sharded fit exactly."""
+    import dataclasses
+
+    xp, w0, cfg, _ = setup                 # n=500 >= p=32
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    cfg_auto = dataclasses.replace(cfg, optimizer="auto")
+    cfg_fp = dataclasses.replace(cfg, optimizer="fixed_point")
+    ws_a, mom_a, _ = fit_sharded(xp, w0, cfg_auto, mesh, ShardingPlan())
+    ws_f, mom_f, _ = fit_sharded(xp, w0, cfg_fp, mesh, ShardingPlan())
+    assert float(mom_a.tc) == float(mom_f.tc)
+    assert np.array_equal(np.asarray(ws_a), np.asarray(ws_f))
