@@ -190,3 +190,28 @@ def test_set_params_preserves_fitted_state(small_block_data):
     assert c.pre_config.missing_values == -1.0
     with pytest.raises(ValueError, match="unknown gaussianize"):
         c.set_params(gaussianize="bogus")
+
+
+def test_covariance_beats_sample_cov_undersampled():
+    """The reference's headline use case (paper §'blessing of
+    dimensionality'; SURVEY.md §2.0): at n < p, get_covariance() is a
+    materially better estimate of the TRUE covariance than the sample
+    covariance. Full comparison incl. Ledoit-Wolf shrinkage (measured
+    corex 0.35 vs LW 0.59 vs sample 0.70 rel. Frobenius at p=256/n=64):
+    examples/covariance_quality.py."""
+    p, n, n_blocks, r = 96, 32, 8, 0.7
+    k = p // n_blocks
+    sigma_true = np.eye(p)
+    for b in range(n_blocks):
+        s = slice(b * k, (b + 1) * k)
+        sigma_true[s, s] = r
+    np.fill_diagonal(sigma_true, 1.0)
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(n, p)) @ np.linalg.cholesky(sigma_true).T
+
+    xc = x - x.mean(0)
+    err_sample = np.linalg.norm(xc.T @ xc / n - sigma_true)
+    model = lc.Corex(n_hidden=n_blocks, seed=0).fit(x)
+    err_corex = np.linalg.norm(
+        np.asarray(model.get_covariance()) - sigma_true)
+    assert err_corex < 0.7 * err_sample, (err_corex, err_sample)
