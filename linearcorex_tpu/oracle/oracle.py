@@ -347,6 +347,10 @@ class OracleCorex:
         self.update_iter = update_iter
         self.verbose = verbose
         self.seed = seed
+        if optimizer not in ("auto", "momentum", "gd", "fixed_point"):
+            raise ValueError(
+                f"unknown optimizer: {optimizer!r} (expected 'auto', "
+                f"'momentum', 'gd' or 'fixed_point')")
         self.optimizer = optimizer
         self.momentum_beta = momentum_beta
         self.pre = _Preprocessor(gaussianize, missing_values)
@@ -369,6 +373,13 @@ class OracleCorex:
     def fit(self, x, init_ws=None):
         x = self.pre.fit_transform(x)
         self.n_samples, self.nv = x.shape
+        if self.optimizer == "auto":
+            # mirror models.corex.resolve_config's measured regime policy:
+            # fixed_point iff fully sampled (n >= p) on the non-overlap path
+            self.optimizer = ("fixed_point"
+                              if self.discourage_overlap
+                              and self.n_samples >= self.nv
+                              else "momentum")
         if init_ws is not None:
             self.ws = np.asarray(init_ws, dtype=np.float64).copy()
         elif self.ws is None:

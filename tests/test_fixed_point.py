@@ -139,3 +139,17 @@ def test_optimizer_auto_estimator_matches_explicit(med_block_data):
                   optimizer="fixed_point").fit(x, init_ws=w0)
     assert auto.tc == fp.tc
     assert np.array_equal(np.asarray(auto.ws), np.asarray(fp.ws))
+
+
+def test_optimizer_auto_oracle_parity(med_block_data):
+    """The oracle resolves 'auto' with the same regime policy, so
+    seed-matched auto-vs-auto runs stay step-matched in float64."""
+    x = med_block_data          # n=1000 >= p=64 -> both resolve fixed_point
+    w0 = _shared_init(8, 64)
+    c = lc.Corex(n_hidden=8, dtype="float64", optimizer="auto").fit(
+        x, init_ws=w0)
+    o = OracleCorex(n_hidden=8, optimizer="auto").fit(x, init_ws=w0)
+    assert o.optimizer == "fixed_point"
+    assert np.asarray(c.diagnostics.iters_per_stage).tolist() == \
+        o.history["iters_per_stage"]
+    assert abs(c.tc - o.tc) < 1e-5
