@@ -13,9 +13,17 @@ damped accept/reject update. Measured context (benchmarks/RESULTS.md): at
 this shape the fixed point also CONVERGES better than heavy-ball — e2e
 annealed TC 12810 in 179 iters / 0.25 s vs 11564 in 401 iters / 0.83 s —
 so this is a faithful per-update throughput of the best end-to-end
-configuration, not a cheapened iteration. (The momentum rows and a
-samples-path like-for-like row against the NumPy baseline's exact
-iteration structure live in benchmarks/RESULTS.md.)
+configuration, not a cheapened iteration. On like-for-likeness of the
+vs_baseline ratio: the NumPy 12.72 s/iter baseline is the reference's
+per-iteration cost — `_calculate_moments` (two GEMMs) feeding its
+`_update_ws` fixed-point update. The fixed-point iteration measured here
+is therefore the SAME iteration type as the baseline's; it is the
+gradient rows (4 GEMMs for an exact gradient the reference never forms)
+that are the less comparable ones. Longitudinal note: rounds before
+2026-08-16 reported this metric for the heavy-ball iteration (604 it/s /
+7,685x); the config switch to 'auto' is the production default change,
+disclosed here and in benchmarks/RESULTS.md, where the momentum rows and
+a samples-path like-for-like row continue to be reported.
 
 Measurement protocol for this TPU attachment (BASELINE.md §2 trap list):
 - the whole K-iteration loop runs as ONE compiled program (a fit_core call

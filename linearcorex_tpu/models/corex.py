@@ -51,9 +51,9 @@ def resolve_config(cfg: CorexConfig, nv: int,
     (north-star p=10k/m=512: TC 12810 in 179 iters / 0.25 s vs heavy-ball's
     11564 in 401 iters / 0.83 s); in the undersampled n < p clipping regime
     it commits to visibly worse optima (cfg5: TC 130k vs momentum's 204k),
-    so heavy-ball stays the choice there. Unknown n_samples (e.g. a
-    fit_from_covariance Gram with no sample count) resolves to the robust
-    'momentum'.
+    so heavy-ball stays the choice there. Unknown n_samples (a raw Gram
+    operand passed to a low-level driver without its sample count)
+    resolves to the robust 'momentum'.
 
     use_pallas='auto' → the fused chain kernel when supported: requires the
     non-overlap path, float32/bfloat16 compute, a TPU backend ("axon" is
@@ -64,11 +64,7 @@ def resolve_config(cfg: CorexConfig, nv: int,
     — force use_pallas='always' to override. `platform` defaults to the
     first device's platform; it is injectable for tests."""
     import dataclasses
-    if cfg.optimizer == "auto":
-        fp_ok = (cfg.discourage_overlap and n_samples is not None
-                 and n_samples >= nv)
-        cfg = dataclasses.replace(
-            cfg, optimizer="fixed_point" if fp_ok else "momentum")
+    cfg = resolve_optimizer(cfg, nv, n_samples)
     if cfg.use_pallas != "auto":
         return cfg
     from linearcorex_tpu.ops.pallas_moments import chain_supported
@@ -79,6 +75,20 @@ def resolve_config(cfg: CorexConfig, nv: int,
           and platform in ("tpu", "axon") and cfg.dtype != "float64")
     return dataclasses.replace(
         cfg, use_pallas="always" if ok else "never")
+
+
+def resolve_optimizer(cfg: CorexConfig, nv: int,
+                      n_samples: Optional[int]) -> CorexConfig:
+    """Resolve optimizer='auto' alone (platform-independent — usable by
+    drivers that resolve use_pallas later against their own mesh). Policy
+    and measured basis: see `resolve_config`."""
+    if cfg.optimizer != "auto":
+        return cfg
+    import dataclasses
+    fp_ok = (cfg.discourage_overlap and n_samples is not None
+             and n_samples >= nv)
+    return dataclasses.replace(
+        cfg, optimizer="fixed_point" if fp_ok else "momentum")
 
 
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
@@ -320,9 +330,15 @@ class Corex:
                 x, self.pre_config.gaussianize,
                 self.pre_config.missing_values)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        cfg = resolve_config(self.config, self.nv,
-                             n_samples=self.n_samples) if resolve \
-            else self.config
+        if resolve:
+            cfg = resolve_config(self.config, self.nv,
+                                 n_samples=self.n_samples)
+        else:
+            # the downstream sharded driver resolves use_pallas against
+            # its own mesh, but the optimizer policy depends only on the
+            # data shapes — resolve it HERE, where n is still known (a
+            # Gram operand handed to fit_sharded carries no sample count)
+            cfg = resolve_optimizer(self.config, self.nv, self.n_samples)
         data = M.compute_gram(xp) if strategy == "gram" else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X

@@ -111,7 +111,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
                           record_history=False, **corex_kwargs)
         w0 = _padded_inits(max_n_hidden, repeat, p, seed, jnp.dtype(dtype))
-        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy)
+        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
+                                   n_samples=n)
         tc = np.asarray(mom_b.tc).reshape(max_n_hidden, repeat)
         scores = tc.max(axis=1)
         if verbose:
@@ -126,7 +127,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         cfg = CorexConfig(n_hidden=nh, dtype=dtype, record_history=False,
                           **corex_kwargs)
         w0 = init_restarts(repeat, nh, p, seed, jnp.dtype(dtype))
-        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy)
+        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
+                                   n_samples=n)
         tc_best = float(np.max(np.asarray(mom_b.tc)))
         scores.append(tc_best)
         if verbose:

@@ -352,6 +352,9 @@ class OracleCorex:
                 f"unknown optimizer: {optimizer!r} (expected 'auto', "
                 f"'momentum', 'gd' or 'fixed_point')")
         self.optimizer = optimizer
+        # per-fit resolution of 'auto' (fit() overwrites); pre-fit direct
+        # calls into _obj_grad/_fit_stage see the constructor value
+        self.resolved_optimizer_ = optimizer
         self.momentum_beta = momentum_beta
         self.pre = _Preprocessor(gaussianize, missing_values)
         self.ws = None if pretrained_weights is None else np.asarray(
@@ -374,12 +377,17 @@ class OracleCorex:
         x = self.pre.fit_transform(x)
         self.n_samples, self.nv = x.shape
         if self.optimizer == "auto":
-            # mirror models.corex.resolve_config's measured regime policy:
-            # fixed_point iff fully sampled (n >= p) on the non-overlap path
-            self.optimizer = ("fixed_point"
-                              if self.discourage_overlap
-                              and self.n_samples >= self.nv
-                              else "momentum")
+            # mirror models.corex.resolve_optimizer's measured regime
+            # policy: fixed_point iff fully sampled (n >= p) on the
+            # non-overlap path. Resolved PER FIT into a separate attribute
+            # — self.optimizer stays 'auto' so a refit on data in a
+            # different regime re-resolves instead of reusing stale state.
+            self.resolved_optimizer_ = ("fixed_point"
+                                        if self.discourage_overlap
+                                        and self.n_samples >= self.nv
+                                        else "momentum")
+        else:
+            self.resolved_optimizer_ = self.optimizer
         if init_ws is not None:
             self.ws = np.asarray(init_ws, dtype=np.float64).copy()
         elif self.ws is None:
@@ -407,11 +415,11 @@ class OracleCorex:
         if self.discourage_overlap:
             m = calculate_moments(x, ws, eps=eps, y_scale=self.y_scale,
                                   quick=True)
-            if self.optimizer == "fixed_point":
+            if self.resolved_optimizer_ == "fixed_point":
                 return (m["objective"], ws - ns_fixed_point_target(m),
                         m["TC"])
             return m["objective"], ns_gradient(m, x, ws, eps), m["TC"]
-        if self.optimizer == "fixed_point":
+        if self.resolved_optimizer_ == "fixed_point":
             raise ValueError(
                 "optimizer='fixed_point' implements the non-overlap "
                 "closed-form update; use 'momentum'/'gd' with "
@@ -432,10 +440,10 @@ class OracleCorex:
         damped closed-form update with γ starting at 0.5, capped at 1.0
         (undamped).
         """
-        fixed_point = self.optimizer == "fixed_point"
+        fixed_point = self.resolved_optimizer_ == "fixed_point"
         lr = 0.5 if fixed_point else 0.05
         lr_cap = 1.0 if fixed_point else 2.0
-        use_momentum = self.optimizer == "momentum"
+        use_momentum = self.resolved_optimizer_ == "momentum"
         v = np.zeros_like(self.ws)
         f, g, tc = self._obj_grad(self.ws, x, eps)
         it = 0

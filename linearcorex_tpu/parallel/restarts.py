@@ -69,22 +69,26 @@ def _fit_restarts_program(data, w0_batch, cfg: CorexConfig, strategy: str):
     return jax.vmap(one)(w0_batch)
 
 
-def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str):
+def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str,
+                 n_samples=None):
     """Run `len(w0_batch)` independent annealed fits in one batched program.
 
     Returns (ws_batch, Moments_batch, FitDiagnostics_batch); reduce with
     `best_restart`. Tip: pass cfg with record_history=False for large sweeps
-    (history costs batch x n_stages x max_iter)."""
+    (history costs batch x n_stages x max_iter). `n_samples` feeds the
+    optimizer='auto' policy when `data` is a Gram matrix (which carries no
+    sample count); on the samples strategy it is inferred from the data."""
     from linearcorex_tpu.models.corex import resolve_config
 
-    cfg = resolve_config(
-        cfg, w0_batch.shape[-1],
-        n_samples=data.shape[0] if strategy == "samples" else None)
+    if n_samples is None and strategy == "samples":
+        n_samples = data.shape[0]
+    cfg = resolve_config(cfg, w0_batch.shape[-1], n_samples=n_samples)
     return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
 def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
-                         mesh, axis_name: str = "restarts"):
+                         mesh, axis_name: str = "restarts",
+                         n_samples=None):
     """Restart sweep with the RESTART axis sharded over a device mesh: each
     chip runs its slice of the batch on a replicated copy of the data — the
     zero-communication layout for many small/medium fits (the EP-analog row
@@ -94,9 +98,11 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
 
     from linearcorex_tpu.models.corex import resolve_config
 
-    cfg = resolve_config(
-        cfg, w0_batch.shape[-1], platform=mesh.devices.flat[0].platform,
-        n_samples=data.shape[0] if strategy == "samples" else None)
+    if n_samples is None and strategy == "samples":
+        n_samples = data.shape[0]
+    cfg = resolve_config(cfg, w0_batch.shape[-1],
+                         platform=mesh.devices.flat[0].platform,
+                         n_samples=n_samples)
     w0_batch = jax.device_put(
         w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
     data = jax.device_put(data, NamedSharding(mesh, P()))

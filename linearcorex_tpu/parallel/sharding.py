@@ -199,7 +199,7 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
 
 def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
                 plan: ShardingPlan = ShardingPlan(),
-                strategy: str = "samples"):
+                strategy: str = "samples", n_samples=None):
     """Run the annealed fit with the data laid out per `plan` on `mesh`.
 
     strategy='samples': `data` is X (n x p); shardable along samples and/or
@@ -217,11 +217,14 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         if cfg.use_pallas == "auto":
             cfg = dataclasses.replace(cfg, use_pallas="never")
     # optimizer='auto' (and, off the var/factor-sharded layouts, the chain
-    # kernel) resolve against the shapes; a Gram operand carries no sample
-    # count, so 'auto' falls back to the robust momentum there
-    cfg = resolve_config(
-        cfg, data.shape[-1], platform=_mesh_platform(mesh),
-        n_samples=data.shape[0] if strategy == "samples" else None)
+    # kernel) resolve against the shapes. A Gram operand carries no sample
+    # count — pass `n_samples` explicitly there (Corex.fit(mesh=...) has
+    # already resolved the optimizer before reaching here), else 'auto'
+    # falls back to the robust momentum
+    if n_samples is None and strategy == "samples":
+        n_samples = data.shape[0]
+    cfg = resolve_config(cfg, data.shape[-1],
+                         platform=_mesh_platform(mesh), n_samples=n_samples)
     if strategy == "gram":
         data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
     else:

@@ -90,11 +90,12 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     matrix — no sample matrix needed.
 
     Common when only the second-moment matrix is available (e.g. shared
-    summary statistics). `n_samples` is the sample count behind sigma
-    (affects nothing in the solver — moments are exact inputs here — but is
-    recorded on the model). `variable_means` (default zeros) populates the
-    model's theta so `transform`/`predict` standardize new data with
-    sigma's scale.
+    summary statistics). `n_samples` is the sample count behind sigma; the
+    moments are exact inputs so it does not enter the moment math, but it
+    IS recorded on the model and feeds the optimizer='auto' regime policy
+    (fixed_point iff n_samples >= p) — pass the real count.
+    `variable_means` (default zeros) populates the model's theta so
+    `transform`/`predict` standardize new data with sigma's scale.
     """
     sigma = jnp.asarray(sigma)
     p = sigma.shape[0]

@@ -131,7 +131,7 @@ def test_optimizer_auto_unresolved_rejected():
 def test_optimizer_auto_estimator_matches_explicit(med_block_data):
     """Corex(optimizer='auto') on fully-sampled data reproduces the
     explicit fixed_point fit bit-for-bit (same resolved program)."""
-    x = med_block_data          # n=2000 >= p=64
+    x = med_block_data          # n=1000 >= p=64
     w0 = _shared_init(8, 64)
     auto = lc.Corex(n_hidden=8, dtype="float64",
                     optimizer="auto").fit(x, init_ws=w0)
@@ -149,7 +149,32 @@ def test_optimizer_auto_oracle_parity(med_block_data):
     c = lc.Corex(n_hidden=8, dtype="float64", optimizer="auto").fit(
         x, init_ws=w0)
     o = OracleCorex(n_hidden=8, optimizer="auto").fit(x, init_ws=w0)
-    assert o.optimizer == "fixed_point"
+    assert o.optimizer == "auto"            # constructor value untouched
+    assert o.resolved_optimizer_ == "fixed_point"
     assert np.asarray(c.diagnostics.iters_per_stage).tolist() == \
         o.history["iters_per_stage"]
     assert abs(c.tc - o.tc) < 1e-5
+    # refit in the undersampled regime re-resolves instead of reusing the
+    # stale fixed_point resolution
+    o.fit(x[:32])
+    assert o.resolved_optimizer_ == "momentum"
+
+
+def test_optimizer_auto_mesh_gram_resolves_fixed_point(med_block_data):
+    """Corex.fit(mesh=...) with the gram strategy must resolve 'auto'
+    identically to the unsharded fit: the estimator resolves the optimizer
+    BEFORE handing the (sample-count-less) Gram operand to fit_sharded."""
+    import jax
+    from jax.sharding import Mesh
+
+    x = med_block_data          # n=1000 >= p=64, p <= gram_max_p -> gram
+    w0 = _shared_init(8, 64)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    meshed = lc.Corex(n_hidden=8, dtype="float64", optimizer="auto")
+    meshed.fit(x, init_ws=w0, mesh=mesh)
+    plain = lc.Corex(n_hidden=8, dtype="float64",
+                     optimizer="fixed_point").fit(x, init_ws=w0)
+    assert meshed.config.pick_strategy(1000, 64) == "gram"
+    assert abs(meshed.tc - plain.tc) < 1e-9
+    assert np.asarray(meshed.diagnostics.iters_per_stage).tolist() == \
+        np.asarray(plain.diagnostics.iters_per_stage).tolist()
