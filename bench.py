@@ -39,7 +39,6 @@ Prints exactly one JSON line:
 
 import json
 import sys
-import time
 
 import numpy as np
 
@@ -67,6 +66,7 @@ def main():
     from linearcorex_tpu.core.solver import fit_core
     from linearcorex_tpu.models.corex import _make_obj_grad, resolve_config
     from linearcorex_tpu.ops import moments as M
+    from linearcorex_tpu.utils.profiling import iteration_rate
 
     if quick:
         n, p, m, iters = 1024, 512, 32, 50
@@ -113,20 +113,10 @@ def main():
     w0 = jnp.asarray(
         np.random.RandomState(1).normal(scale=1.0 / np.sqrt(p),
                                         size=(m, p)), jnp.float32)
-    # warmup/compile (untimed)
-    ws, diag = run(gram, w0, cfg, "gram")
-    float(diag.tc_per_stage[-1])
-
-    best_dt, n_iter = float("inf"), iters
-    for _ in range(3):
-        t0 = time.perf_counter()
-        ws, diag = run(gram, w0, cfg, "gram")
-        tc = float(diag.tc_per_stage[-1])  # scalar fetch closes the timing
-        dt = time.perf_counter() - t0
-        n_iter = int(np.asarray(diag.iters_per_stage).sum())
-        best_dt = min(best_dt, dt)
-
-    ips = n_iter / best_dt
+    # untimed warmup + min-of-3 timed calls, each closed by a scalar TC
+    # fetch — the one shared implementation of the measurement protocol
+    ips, n_iter, dt = iteration_rate(
+        functools.partial(run, gram, w0, cfg, "gram"))
     result = {
         "metric": "fit_iterations_per_sec_p10k_m512"
         if not quick else "fit_iterations_per_sec_quick",

@@ -93,15 +93,13 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters, optimizer="momentum"):
         data = data.astype(jnp.bfloat16)   # halve the per-iter HBM traffic
     data.block_until_ready()
 
-    from linearcorex_tpu.ops.pallas_moments import chain_supported
-    on_tpu = jax.devices()[0].platform != "cpu"
-    cfg = CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
-                      record_history=False, dtype="float32",
-                      matmul_dtype=mm_dtype, optimizer=optimizer,
-                      use_pallas="always" if (on_tpu and chain_supported(
-                          p, m)) else "never")
-    if optimizer == "auto":
-        cfg = resolve_config(cfg, p, n_samples=n)
+    # the production resolution (single source of truth: resolve_config)
+    # for BOTH 'auto' knobs — rows measure exactly what Corex.fit would run
+    cfg = resolve_config(
+        CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
+                    record_history=False, dtype="float32",
+                    matmul_dtype=mm_dtype, optimizer=optimizer),
+        p, n_samples=n)
 
     @functools.partial(jax.jit, static_argnums=(2, 3))
     def run(d, w0, cfg, strat):

@@ -252,6 +252,8 @@ class Corex:
         self.diagnostics: Optional[FitDiagnostics] = None
         self.nv: Optional[int] = None
         self.n_samples: Optional[int] = None
+        # set by fit(): the optimizer the fit actually ran ('auto' resolved)
+        self.resolved_optimizer_: Optional[str] = None
 
     # ------------------------------------------------------------------
     @property
@@ -339,6 +341,10 @@ class Corex:
             # data shapes — resolve it HERE, where n is still known (a
             # Gram operand handed to fit_sharded carries no sample count)
             cfg = resolve_optimizer(self.config, self.nv, self.n_samples)
+        # record what 'auto' resolved to (sklearn-style fitted attribute,
+        # mirrored by OracleCorex.resolved_optimizer_) — config.optimizer
+        # stays 'auto' so refits re-resolve against their own shapes
+        self.resolved_optimizer_ = cfg.optimizer
         data = M.compute_gram(xp) if strategy == "gram" else xp
         if self.config.matmul_dtype == "bfloat16":
             # store the data operand in bf16 as well: Σ (gram) or X

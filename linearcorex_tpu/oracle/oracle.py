@@ -412,6 +412,13 @@ class OracleCorex:
         optimizer='fixed_point' returns the fixed-point residual ws − Ŵ so
         the plain-GD step ws − γ·(ws − Ŵ) realizes the damped closed-form
         update (1−γ)·ws + γ·Ŵ — identical structure to the JAX solver."""
+        if self.resolved_optimizer_ == "auto":
+            # mirror the JAX guard (models.corex._make_obj_grad): an
+            # unresolved 'auto' would silently run plain GD below
+            raise ValueError(
+                "optimizer='auto' is resolved against the data shapes by "
+                "fit(); call fit() (or set an explicit optimizer) before "
+                "driving _obj_grad/_fit_stage directly")
         if self.discourage_overlap:
             m = calculate_moments(x, ws, eps=eps, y_scale=self.y_scale,
                                   quick=True)

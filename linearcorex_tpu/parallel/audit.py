@@ -63,9 +63,14 @@ def hlo_collectives(hlo_text: str) -> List[CollectiveOp]:
     return ops
 
 
-def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples"):
+def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
+              n_samples=None):
     """Compile (without executing) the sharded fit for `mesh` and return
-    its collectives. Uses the same program `fit_sharded` runs."""
+    its collectives. Uses the same program `fit_sharded` runs — including
+    its config resolution, so pass the same `n_samples` you would pass to
+    `fit_sharded` for a Gram operand with optimizer='auto' (otherwise the
+    audit would report the momentum program's collectives while the fit
+    runs the fixed-point one)."""
     import jax
     from jax.sharding import NamedSharding
 
@@ -77,9 +82,11 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples"):
         import dataclasses
         if cfg.use_pallas == "auto":
             cfg = dataclasses.replace(cfg, use_pallas="never")
-    cfg = resolve_config(
-        cfg, data.shape[-1], platform=mesh.devices.flat[0].platform,
-        n_samples=data.shape[0] if strategy == "samples" else None)
+    if n_samples is None and strategy == "samples":
+        n_samples = data.shape[0]
+    cfg = resolve_config(cfg, data.shape[-1],
+                         platform=mesh.devices.flat[0].platform,
+                         n_samples=n_samples)
     if strategy == "gram":
         data_spec = S.P(S.VAR_AXIS if plan.shard_vars else None, None)
         w_spec = S.P(S.FACTOR_AXIS if plan.shard_factors else None, None)

@@ -112,6 +112,7 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     model.theta = P.Theta(mean=mean.astype(model._dt),
                           std=std.astype(model._dt))
     cfg = resolve_config(model.config, p, n_samples=model.n_samples)
+    model.resolved_optimizer_ = cfg.optimizer
     data = corr.astype(model._dt)
     if cfg.matmul_dtype == "bfloat16":
         data = data.astype(jnp.bfloat16)
@@ -207,6 +208,7 @@ class GramAccumulator:
         model.theta = P.Theta(mean=mean.astype(model._dt),
                               std=std.astype(model._dt))
         cfg = resolve_config(model.config, self.p, n_samples=self._n)
+        model.resolved_optimizer_ = cfg.optimizer
         data = corr.astype(model._dt)
         if cfg.matmul_dtype == "bfloat16":
             data = data.astype(jnp.bfloat16)

@@ -178,3 +178,24 @@ def test_optimizer_auto_mesh_gram_resolves_fixed_point(med_block_data):
     assert abs(meshed.tc - plain.tc) < 1e-9
     assert np.asarray(meshed.diagnostics.iters_per_stage).tolist() == \
         np.asarray(plain.diagnostics.iters_per_stage).tolist()
+
+
+def test_resolved_optimizer_recorded(med_block_data):
+    """Corex records which optimizer 'auto' resolved to (sklearn-style
+    fitted attribute, mirroring OracleCorex)."""
+    x = med_block_data
+    c = lc.Corex(n_hidden=8, optimizer="auto").fit(x)
+    assert c.resolved_optimizer_ == "fixed_point"
+    assert c.config.optimizer == "auto"     # refits re-resolve
+    c.fit(x[:32])
+    assert c.resolved_optimizer_ == "momentum"
+    e = lc.Corex(n_hidden=8, optimizer="momentum").fit(x)
+    assert e.resolved_optimizer_ == "momentum"
+
+
+def test_oracle_prefit_auto_drive_rejected():
+    """Driving the oracle's internals with an unresolved 'auto' raises
+    (the JAX side has the same guard in _make_obj_grad)."""
+    o = OracleCorex(n_hidden=4, optimizer="auto")
+    with pytest.raises(ValueError, match="auto"):
+        o._obj_grad(np.zeros((4, 8)), np.zeros((10, 8)), 0.0)
