@@ -97,6 +97,7 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     `variable_means` (default zeros) populates the model's theta so
     `transform`/`predict` standardize new data with sigma's scale.
     """
+    _reject_missing_values(corex_kwargs, "fit_from_covariance")
     sigma = jnp.asarray(sigma)
     p = sigma.shape[0]
     if sigma.shape != (p, p):
@@ -120,6 +121,18 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     model.ws, model.moments, model.diagnostics = _fit_program(
         data, w0, cfg, "gram")
     return model
+
+
+def _reject_missing_values(corex_kwargs, where):
+    """Moment-input fits never see the raw samples, so the estimator's
+    mean-imputation path cannot run — accepting the kwarg would silently
+    skip imputation (the wrong model, no error)."""
+    if corex_kwargs.get("missing_values") is not None:
+        raise ValueError(
+            f"{where} fits from accumulated second moments and cannot "
+            f"mean-impute missing_values (imputation needs the samples); "
+            f"impute each batch before accumulation, or use Corex.fit on "
+            f"the full sample matrix")
 
 
 @jax.jit
@@ -162,6 +175,14 @@ class GramAccumulator:
         self._n = 0
 
     def update(self, x) -> "GramAccumulator":
+        # NaN screening on host arrays is free and a NaN batch poisons the
+        # whole accumulated Gram irreversibly (TC=nan after fit); on-device
+        # batches skip the check rather than force a sync per batch,
+        # mirroring Corex._validate_input.
+        if isinstance(x, np.ndarray) and np.isnan(x).any():
+            raise ValueError(
+                "batch contains NaN; impute before accumulation (the "
+                "accumulated Gram cannot be repaired afterwards)")
         x = jnp.asarray(x, self.dtype)
         if x.ndim != 2 or x.shape[1] != self.p:
             raise ValueError(
@@ -198,6 +219,7 @@ class GramAccumulator:
         gaussianize='standard'."""
         if self._n < 2:
             raise ValueError("need at least 2 accumulated samples")
+        _reject_missing_values(corex_kwargs, "GramAccumulator.fit")
         corex_kwargs.setdefault("dtype", str(self.dtype))
         model = Corex(n_hidden=n_hidden, gaussianize="standard",
                       **corex_kwargs)

@@ -79,3 +79,29 @@ def test_fit_from_covariance_validation():
     from linearcorex_tpu.utils.streaming import fit_from_covariance
     with pytest.raises(ValueError, match="square"):
         fit_from_covariance(np.zeros((4, 5)), 100, 2)
+
+
+def test_streaming_rejects_nan_batch():
+    """A NaN batch poisons the accumulated Gram irreversibly (TC=nan after
+    fit, no error) — reject it at update() for host arrays."""
+    from linearcorex_tpu.utils.streaming import GramAccumulator
+
+    x = np.random.RandomState(0).normal(size=(100, 8))
+    x[3, 2] = np.nan
+    acc = GramAccumulator(8)
+    with pytest.raises(ValueError, match="NaN"):
+        acc.update(x)
+
+
+def test_streaming_rejects_missing_values():
+    """Moment-input fits cannot mean-impute (no samples to impute) — the
+    kwarg must raise, not be silently ignored."""
+    from linearcorex_tpu.utils.streaming import (GramAccumulator,
+                                                 fit_from_covariance)
+
+    x = np.random.RandomState(0).normal(size=(100, 8))
+    acc = GramAccumulator(8).update(x)
+    with pytest.raises(ValueError, match="missing_values"):
+        acc.fit(n_hidden=2, missing_values=-999.0)
+    with pytest.raises(ValueError, match="missing_values"):
+        fit_from_covariance(np.eye(8), 100, 2, missing_values=-999.0)
