@@ -35,7 +35,15 @@ class CorexConfig:
     # Throughput mode for the big moment GEMMs: 'bfloat16' runs them with
     # bf16 operands (halves Σ/X HBM traffic; f32 accumulation and a f32
     # elementwise chain). The gradient noise floor rises to ~1e-3 relative —
-    # pair with tol>=1e-4. 'float32' is the accuracy default.
+    # pair with tol>=1e-4. 'int8' (samples path, non-overlap only)
+    # quantizes X once to int8 (per-tensor scale; the data is standardized
+    # so the dynamic range is homogeneous) and the application operands
+    # per-column, running the big GEMMs as int8 x int8 → int32 on the MXU
+    # at 2x the bf16 rate with another 2x off the HBM footprint. Measured
+    # at cfg5 (p=100k, annealed to tol=1e-4): identical TC to bf16
+    # (204368 vs 204386) in 2.6 s vs 4.0 s — the accept/reject solver
+    # absorbs the quantization noise; keep tol >= 1e-4 (the gradient noise
+    # floor is above bf16's). 'float32' is the accuracy default.
     matmul_dtype: str = "float32"
     # XLA matmul precision for f32 operands on TPU. NOTE: 'default' lets the
     # MXU compute f32 matmuls with ONE bf16 pass (measured: f32 and explicit
@@ -111,6 +119,25 @@ class CorexConfig:
                 "optimizer='fixed_point' implements the non-overlap "
                 "closed-form update; use 'momentum'/'gd' with "
                 "discourage_overlap=False")
+        if self.matmul_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                f"unknown matmul_dtype: {self.matmul_dtype!r} (expected "
+                f"'float32', 'bfloat16' or 'int8')")
+        if self.matmul_dtype == "int8":
+            if self.moment_strategy == "gram":
+                raise ValueError(
+                    "matmul_dtype='int8' quantizes the SAMPLES matrix; "
+                    "the gram strategy is unsupported (use "
+                    "moment_strategy='samples' or 'auto')")
+            if not self.discourage_overlap:
+                raise ValueError(
+                    "matmul_dtype='int8' supports the non-overlap solver "
+                    "path only")
+            if self.dtype != "float32":
+                raise ValueError(
+                    "matmul_dtype='int8' requires dtype='float32' (the "
+                    "quantization noise floor is far above float64 "
+                    "parity tolerances)")
 
     def anneal_schedule(self) -> Tuple[float, ...]:
         """Annealing eps schedule (SURVEY.md §2.4): geometric 0.6**k ending
@@ -122,6 +149,10 @@ class CorexConfig:
         return (0.0,)
 
     def pick_strategy(self, n: int, p: int) -> str:
+        if self.matmul_dtype == "int8":
+            # int8 quantizes the samples matrix ('gram' is rejected by
+            # __post_init__; 'auto' resolves to the supported strategy)
+            return "samples"
         if self.moment_strategy != "auto":
             return self.moment_strategy
         if p <= self.gram_max_p and 2 * n >= p:

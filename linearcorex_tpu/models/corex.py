@@ -106,6 +106,14 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
             "before building the objective — call resolve_config(cfg, nv, "
             "n_samples=n) first (Corex.fit and the sharded/streaming "
             "drivers do)")
+    if cfg.matmul_dtype == "int8" and not isinstance(data,
+                                                     M.QuantizedData):
+        # the int8 mode is carried by the operand (ops.moments dispatches
+        # on QuantizedData); a plain array here would SILENTLY run f32
+        raise ValueError(
+            "matmul_dtype='int8' requires the quantized samples operand — "
+            "pass M.quantize_samples(x) (Corex.fit and the restart/"
+            "selection drivers do this)")
     bf16 = cfg.matmul_dtype == "bfloat16"
     chain = cfg.use_pallas == "always"
     gram = strategy == "gram"
@@ -352,6 +360,10 @@ class Corex:
             # halves the dominant HBM traffic (X at p=100k is 4 GB in f32,
             # read 4x per iteration on the samples path)
             data = data.astype(jnp.bfloat16)
+        elif self.config.matmul_dtype == "int8":
+            # quantize once, AFTER preprocessing (the per-tensor scale
+            # relies on the standardized columns' homogeneous range)
+            data = M.quantize_samples(data)
         return data, cfg, strategy
 
     def _resolve_w0(self, init_ws):
@@ -378,6 +390,11 @@ class Corex:
         `ShardingPlan`, default sample-sharding) maps the n/p/m axes onto
         the mesh's named axes. Learned state comes back replicated, so
         transform/predict/get_covariance work unchanged."""
+        if mesh is not None and self.config.matmul_dtype == "int8":
+            raise ValueError(
+                "matmul_dtype='int8' is single-device for now (the "
+                "sharded drivers take plain array operands); use "
+                "'bfloat16' with mesh=")
         data, cfg, strategy = self._prepare_fit(x, resolve=mesh is None)
         w0 = self._resolve_w0(init_ws)
         if mesh is not None:

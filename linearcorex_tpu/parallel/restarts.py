@@ -79,9 +79,11 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str,
     optimizer='auto' policy when `data` is a Gram matrix (which carries no
     sample count); on the samples strategy it is inferred from the data."""
     from linearcorex_tpu.models.corex import resolve_config
+    from linearcorex_tpu.ops.moments import QuantizedData
 
     if n_samples is None and strategy == "samples":
-        n_samples = data.shape[0]
+        n_samples = (data.q if isinstance(data, QuantizedData)
+                     else data).shape[0]
     cfg = resolve_config(cfg, w0_batch.shape[-1], n_samples=n_samples)
     return _fit_restarts_program(data, w0_batch, cfg, strategy)
 

@@ -133,6 +133,11 @@ def _reject_missing_values(corex_kwargs, where):
             f"mean-impute missing_values (imputation needs the samples); "
             f"impute each batch before accumulation, or use Corex.fit on "
             f"the full sample matrix")
+    if corex_kwargs.get("matmul_dtype") == "int8":
+        raise ValueError(
+            f"{where} runs the gram strategy; matmul_dtype='int8' "
+            f"quantizes the samples matrix and is unsupported here (use "
+            f"'bfloat16' to halve the Gram's HBM traffic)")
 
 
 @jax.jit
