@@ -56,6 +56,8 @@ CONFIGS = [
     # rate; measured IDENTICAL converged TC at this shape (RESULTS e2e)
     ("cfg5_p100k_m512_int8", 10_000, 100_000, 512, "samples",
      "int8", 130.7),
+    ("northstar_p10k_m512_int8_gram", 10_000, 10_000, 512, "gram",
+     "int8", 12.72),
 ]
 
 SMALL = {"cfg1_p128_m8_n1k", "cfg3_p10k_m64_n200"}
@@ -97,7 +99,8 @@ def run_one(name, n, p, m, strategy, mm_dtype, iters, optimizer="momentum"):
         data = data.astype(jnp.bfloat16)   # halve the per-iter HBM traffic
         data.block_until_ready()
     elif mm_dtype == "int8":
-        data = jax.jit(M.quantize_samples)(x)
+        # quantize the strategy's operand: X (samples) or Σ (gram)
+        data = jax.jit(M.quantize_samples)(data)
         data.q.block_until_ready()
     else:
         data.block_until_ready()

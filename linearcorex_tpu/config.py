@@ -35,15 +35,17 @@ class CorexConfig:
     # Throughput mode for the big moment GEMMs: 'bfloat16' runs them with
     # bf16 operands (halves Σ/X HBM traffic; f32 accumulation and a f32
     # elementwise chain). The gradient noise floor rises to ~1e-3 relative —
-    # pair with tol>=1e-4. 'int8' (samples path, non-overlap only)
-    # quantizes X once to int8 (per-tensor scale; the data is standardized
-    # so the dynamic range is homogeneous) and the application operands
+    # pair with tol>=1e-4. 'int8' (non-overlap path only) quantizes the
+    # data operand once to int8 — X on the samples strategy, Σ on the gram
+    # strategy (per-tensor scale: standardized columns / correlation
+    # entries are range-homogeneous) — and the application operands
     # per-column, running the big GEMMs as int8 x int8 → int32 on the MXU
     # at 2x the bf16 rate with another 2x off the HBM footprint. Measured
-    # at cfg5 (p=100k, annealed to tol=1e-4): identical TC to bf16
-    # (204368 vs 204386) in 2.6 s vs 4.0 s — the accept/reject solver
-    # absorbs the quantization noise; keep tol >= 1e-4 (the gradient noise
-    # floor is above bf16's). 'float32' is the accuracy default.
+    # (annealed to tol=1e-4): cfg5 samples path identical TC to bf16
+    # (204368 vs 204386) in 2.6 s vs 4.0 s; north-star gram path TC 11888
+    # vs f32's 11902 at 0.98 vs 1.71 ms/iter. The accept/reject solver
+    # absorbs the quantization noise; keep tol >= 1e-4 (the gradient
+    # noise floor is above bf16's). 'float32' is the accuracy default.
     matmul_dtype: str = "float32"
     # XLA matmul precision for f32 operands on TPU. NOTE: 'default' lets the
     # MXU compute f32 matmuls with ONE bf16 pass (measured: f32 and explicit
@@ -124,11 +126,6 @@ class CorexConfig:
                 f"unknown matmul_dtype: {self.matmul_dtype!r} (expected "
                 f"'float32', 'bfloat16' or 'int8')")
         if self.matmul_dtype == "int8":
-            if self.moment_strategy == "gram":
-                raise ValueError(
-                    "matmul_dtype='int8' quantizes the SAMPLES matrix; "
-                    "the gram strategy is unsupported (use "
-                    "moment_strategy='samples' or 'auto')")
             if not self.discourage_overlap:
                 raise ValueError(
                     "matmul_dtype='int8' supports the non-overlap solver "
@@ -149,10 +146,6 @@ class CorexConfig:
         return (0.0,)
 
     def pick_strategy(self, n: int, p: int) -> str:
-        if self.matmul_dtype == "int8":
-            # int8 quantizes the samples matrix ('gram' is rejected by
-            # __post_init__; 'auto' resolves to the supported strategy)
-            return "samples"
         if self.moment_strategy != "auto":
             return self.moment_strategy
         if p <= self.gram_max_p and 2 * n >= p:

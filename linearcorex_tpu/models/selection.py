@@ -107,7 +107,7 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     strategy = probe.pick_strategy(n, p)
     shared = M.compute_gram(xp) if strategy == "gram" else xp
     if probe.matmul_dtype == "int8":
-        shared = M.quantize_samples(shared)   # strategy is forced 'samples'
+        shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
 
     if padded_sweep:
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,

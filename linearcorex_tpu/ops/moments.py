@@ -55,29 +55,40 @@ def _mm_bf16(a, b, out_dtype):
 # ---------------------------------------------------------------------------
 
 class QuantizedData(NamedTuple):
-    """int8-quantized samples matrix: X ≈ scale · q (per-tensor scale).
+    """int8-quantized data operand: X (or Σ) ≈ scale · q, per-tensor scale.
 
     The MXU runs int8 x int8 → int32 at 2x the bf16 rate (measured on v5e:
-    6.6 vs 11.7 ms per Σ-application pair at p=100k/m=512, 311 effective
-    Tops), and the int8 X halves bf16's HBM footprint again. A per-tensor
-    scale suffices because the solver standardizes X column-wise first
-    (unit variance ⇒ homogeneous dynamic range). Measured end-to-end at
-    cfg5 (p=100k, annealed to tol=1e-4): TC 204368 vs 204386 for bf16 —
-    identical to 0.01% — in 135 vs 133 iterations, 2.6 s vs 4.0 s wall;
-    the accept/reject line search plus annealing absorb the quantization
-    noise (gradient cosine vs f32 is 0.9999 far from the optimum and
-    ~0.89 near it — the noise floor is why tol must stay >= 1e-4)."""
+    6.6 vs 11.7 ms per samples-path Σ-application pair at p=100k/m=512,
+    311 effective Tops), and the int8 operand halves bf16's HBM footprint
+    again. A per-tensor scale suffices for both operand kinds: the solver
+    standardizes X column-wise (unit variance ⇒ homogeneous range) and
+    the Gram matrix is a correlation matrix (entries in [−1, 1]).
 
-    q: jax.Array       # (n, p) int8
+    Measured end-to-end quality (annealed to tol=1e-4): cfg5 samples path
+    TC 204368 vs bf16's 204386 — identical to 0.01% — in 135 vs 133
+    iterations, 2.6 s vs 4.0 s; north-star gram path (p=10k, heavy-ball)
+    TC 11888 vs f32's 11902 at 0.98 vs 1.71 ms/iter. The accept/reject
+    line search plus annealing absorb the quantization noise (gradient
+    cosine vs f32 is 0.9999 far from the optimum and ~0.89 near it — the
+    noise floor is why tol must stay >= 1e-4 and int8 is excluded from
+    the f64 parity surface)."""
+
+    q: jax.Array       # (n, p) samples or (p, p) Gram, int8
     scale: jax.Array   # () float32
 
 
 def quantize_samples(x) -> QuantizedData:
-    """Quantize a standardized samples matrix to int8 with one global
-    scale (see QuantizedData)."""
+    """Quantize a standardized samples matrix (or a correlation-scaled
+    Gram matrix — see `quantize_gram`) to int8 with one global scale."""
     s = jnp.maximum(jnp.max(jnp.abs(x)).astype(_F32) / 127.0, 1e-30)
     q = jnp.clip(jnp.round(x.astype(_F32) / s), -127, 127).astype(jnp.int8)
     return QuantizedData(q=q, scale=s)
+
+
+def quantize_gram(g) -> QuantizedData:
+    """Quantize a Gram/correlation matrix to int8 (per-tensor scale —
+    correlation entries live in [−1, 1], so the range is homogeneous)."""
+    return quantize_samples(g)
 
 
 def _quant_cols(v):
@@ -89,7 +100,8 @@ def _quant_cols(v):
 
 
 def _apply_sigma_int8(qd: QuantizedData, v):
-    """v (p, k) f32 ↦ Σ_emp·v via two int8 MXU GEMMs (int32 accumulation).
+    """v (p, k) f32 ↦ Σ_emp·v via two int8 MXU GEMMs (int32 accumulation),
+    samples operand.
 
     Scales factor out of the contractions: X ≈ sx·q (per-tensor) and
     v ≈ q_v·diag(s_v) (per-column) give X·v ≈ sx·(q @ q_v)·diag(s_v); the
@@ -100,6 +112,17 @@ def _apply_sigma_int8(qd: QuantizedData, v):
     tq, st = _quant_cols(t)
     r = jnp.matmul(qd.q.T, tq, preferred_element_type=jnp.int32)
     return r.astype(_F32) * (qd.scale * st)[None, :] / qd.q.shape[0]
+
+
+def _apply_gram_int8(qd: QuantizedData, v):
+    """v (p, k) f32 ↦ Σ·v via ONE int8 MXU GEMM (Gram operand)."""
+    vq, sv = _quant_cols(v)
+    r = jnp.matmul(qd.q, vq, preferred_element_type=jnp.int32)
+    return r.astype(_F32) * (qd.scale * sv)[None, :]
+
+
+def _apply_int8(qd: QuantizedData, v, gram: bool):
+    return _apply_gram_int8(qd, v) if gram else _apply_sigma_int8(qd, v)
 
 
 def _dequantized(x):
@@ -165,9 +188,11 @@ def cxy_samples(x, ws: jax.Array, eps) -> jax.Array:
     return (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
 
 
-def cxy_gram(gram: jax.Array, ws: jax.Array, eps) -> jax.Array:
+def cxy_gram(gram, ws: jax.Array, eps) -> jax.Array:
     """C_xy = Sigma·Wᵀ, annealed — single O(p²·m) MXU GEMM against the
-    precomputed Gram matrix (TPU-native fast path; no reference analog)."""
+    precomputed Gram matrix (TPU-native fast path; no reference analog).
+    A QuantizedData operand is dequantized here (one-time exact path)."""
+    gram = _dequantized(gram)
     c_xy = _mm(gram, ws.T)
     return (1.0 - eps ** 2) * c_xy + (eps ** 2) * ws.T
 
@@ -261,7 +286,7 @@ def _cxy_eff(data, ws, eps, bf16, gram):
     Σ (gram), or int8-quantized X — the one definition every objective /
     fixed-point entry point shares."""
     if isinstance(data, QuantizedData):
-        c0 = _apply_sigma_int8(data, ws.T).astype(ws.dtype)
+        c0 = _apply_int8(data, ws.T, gram).astype(ws.dtype)
         return (1.0 - eps ** 2) * c0 + (eps ** 2) * ws.T
     if not bf16:
         return cxy_gram(data, ws, eps) if gram else cxy_samples(data, ws,
@@ -278,7 +303,7 @@ def _apply_sigma_t(data, bf16, gram, dtype):
     """v (p, k) ↦ Σ_emp·v for the active backend (un-annealed; callers
     blend eps themselves)."""
     if isinstance(data, QuantizedData):
-        return lambda v: _apply_sigma_int8(data, v).astype(dtype)
+        return lambda v: _apply_int8(data, v, gram).astype(dtype)
     if gram:
         if bf16:
             return lambda v: _mm_bf16(data, v, dtype)
@@ -366,7 +391,7 @@ def _ns_obj_grad(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel,
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     if isinstance(data, QuantizedData):
-        aas = _apply_sigma_int8(data, aa.T).T.astype(ws.dtype)
+        aas = _apply_int8(data, aa.T, gram).T.astype(ws.dtype)
     elif gram:
         aas = _mm_bf16(aa, data, ws.dtype) if bf16 else _mm(aa, data)
     elif bf16:

@@ -117,6 +117,8 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     data = corr.astype(model._dt)
     if cfg.matmul_dtype == "bfloat16":
         data = data.astype(jnp.bfloat16)
+    elif cfg.matmul_dtype == "int8":
+        data = M.quantize_gram(data)
     w0 = jnp.asarray(model._init_ws(p), dtype=model._dt)
     model.ws, model.moments, model.diagnostics = _fit_program(
         data, w0, cfg, "gram")
@@ -133,11 +135,6 @@ def _reject_missing_values(corex_kwargs, where):
             f"mean-impute missing_values (imputation needs the samples); "
             f"impute each batch before accumulation, or use Corex.fit on "
             f"the full sample matrix")
-    if corex_kwargs.get("matmul_dtype") == "int8":
-        raise ValueError(
-            f"{where} runs the gram strategy; matmul_dtype='int8' "
-            f"quantizes the samples matrix and is unsupported here (use "
-            f"'bfloat16' to halve the Gram's HBM traffic)")
 
 
 @jax.jit
@@ -239,6 +236,8 @@ class GramAccumulator:
         data = corr.astype(model._dt)
         if cfg.matmul_dtype == "bfloat16":
             data = data.astype(jnp.bfloat16)
+        elif cfg.matmul_dtype == "int8":
+            data = M.quantize_gram(data)
         w0 = jnp.asarray(model._init_ws(self.p), dtype=model._dt)
         model.ws, model.moments, model.diagnostics = _fit_program(
             data, w0, cfg, "gram")

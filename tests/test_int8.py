@@ -16,6 +16,15 @@ def _data(n=1500, p=48, m=6, seed=2):
     return (x - x.mean(0)) / x.std(0)
 
 
+def _same_partition(a, b):
+    """Cluster labels up to factor relabeling: quantization noise can swap
+    the order of near-equal-TC factors, permuting every label while the
+    variable partition is identical."""
+    a, b = np.asarray(a), np.asarray(b)
+    return bool(np.all((a[:, None] == a[None, :])
+                       == (b[:, None] == b[None, :])))
+
+
 def test_apply_sigma_int8_accuracy():
     """Two-GEMM int8 Σ-application tracks the f32 one to ~1% relative
     (per-tensor X scale + per-column operand scales; standardized data)."""
@@ -43,7 +52,7 @@ def test_int8_fit_matches_f32_quality():
                   tol=1e-4).fit(x, init_ws=w0)
     assert i8.resolved_optimizer_ == f32.resolved_optimizer_
     assert abs(float(i8.tc) - float(f32.tc)) / float(f32.tc) < 0.02
-    assert np.array_equal(np.asarray(i8.clusters), np.asarray(f32.clusters))
+    assert _same_partition(i8.clusters, f32.clusters)
     # inference surface works off the quantized fit
     y = i8.transform(x)
     assert np.isfinite(np.asarray(i8.get_covariance())).all()
@@ -62,8 +71,6 @@ def test_int8_fixed_point_path():
 
 def test_int8_config_validation():
     with pytest.raises(ValueError, match="int8"):
-        lc.Corex(n_hidden=4, matmul_dtype="int8", moment_strategy="gram")
-    with pytest.raises(ValueError, match="int8"):
         lc.Corex(n_hidden=4, matmul_dtype="int8", dtype="float64")
     with pytest.raises(ValueError, match="int8"):
         lc.Corex(n_hidden=4, matmul_dtype="int8",
@@ -72,11 +79,19 @@ def test_int8_config_validation():
         lc.Corex(n_hidden=4, matmul_dtype="float16")
 
 
-def test_int8_forces_samples_strategy():
-    from linearcorex_tpu.config import CorexConfig
-
-    cfg = CorexConfig(n_hidden=4, matmul_dtype="int8")
-    assert cfg.pick_strategy(10_000, 128) == "samples"  # gram shape
+def test_int8_gram_strategy_quality():
+    """int8 also quantizes the GRAM operand (one int8 GEMM per
+    application; measured 0.98 vs 1.71 ms/iter at the north-star shape
+    with TC 11888 vs 11902) — same clusters as the f32 gram fit."""
+    x = _data()
+    w0 = np.random.RandomState(42).normal(scale=1.0 / np.sqrt(48),
+                                          size=(6, 48))
+    f32 = lc.Corex(n_hidden=6, moment_strategy="gram",
+                   tol=1e-4).fit(x, init_ws=w0)
+    i8 = lc.Corex(n_hidden=6, moment_strategy="gram",
+                  matmul_dtype="int8", tol=1e-4).fit(x, init_ws=w0)
+    assert abs(float(i8.tc) - float(f32.tc)) / float(f32.tc) < 0.02
+    assert _same_partition(i8.clusters, f32.clusters)
 
 
 def test_int8_mesh_rejected():
@@ -89,16 +104,16 @@ def test_int8_mesh_rejected():
         lc.Corex(n_hidden=4, matmul_dtype="int8").fit(x, mesh=mesh)
 
 
-def test_int8_streaming_rejected():
-    from linearcorex_tpu.utils.streaming import (GramAccumulator,
-                                                 fit_from_covariance)
+def test_int8_streaming_supported():
+    """Streaming/covariance fits quantize the accumulated Gram."""
+    from linearcorex_tpu.utils.streaming import GramAccumulator
 
-    acc = GramAccumulator(8).update(np.random.RandomState(0).normal(
-        size=(64, 8)))
-    with pytest.raises(ValueError, match="int8"):
-        acc.fit(2, matmul_dtype="int8")
-    with pytest.raises(ValueError, match="int8"):
-        fit_from_covariance(np.eye(8), 64, 2, matmul_dtype="int8")
+    x = _data(n=900, p=32, m=4)
+    acc = GramAccumulator(32).update(x)
+    i8 = acc.fit(4, matmul_dtype="int8", tol=1e-4, seed=0)
+    f32 = acc.fit(4, tol=1e-4, seed=0)
+    assert abs(float(i8.tc) - float(f32.tc)) / float(f32.tc) < 0.03
+    assert _same_partition(i8.clusters, f32.clusters)
 
 
 def test_int8_obj_grad_guard():
