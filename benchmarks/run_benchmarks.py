@@ -58,6 +58,10 @@ CONFIGS = [
      "int8", 130.7),
     ("northstar_p10k_m512_int8_gram", 10_000, 10_000, 512, "gram",
      "int8", 12.72),
+    # bench.py's headline: the recommended throughput config at this
+    # shape — int8 gram + optimizer='auto' (→ fixed_point at n = p)
+    ("northstar_p10k_m512_int8_gram_fp", 10_000, 10_000, 512, "gram",
+     "int8", 12.72, "auto"),
 ]
 
 SMALL = {"cfg1_p128_m8_n1k", "cfg3_p10k_m64_n200"}
