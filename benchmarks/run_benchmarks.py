@@ -346,12 +346,14 @@ scales with per-candidate compile cost).
 
 ## Scale ceiling on one chip (measured probe, not a maintained benchmark row)
 
-p=500,000 variables (5x the cfg5 north-star), n=10k, m=512, bf16 X (9.3 GB
-of the 15.75 GB HBM): `optimizer='fixed_point'` runs at 86.1 ms/iter
-(11.6 it/s) on ONE v5e chip — its iteration carries ~3 fewer W-sized
-(1 GB) buffers than the gradient path. `optimizer='momentum'` exhausts HBM
-at this size on one chip; use the sample-sharded multi-chip path (or
-fixed_point) beyond p~300k.
+p=500,000 variables (5x the cfg5 north-star), n=10k, m=512, on ONE v5e
+chip. bf16 X (9.3 GB of the 15.75 GB HBM): `optimizer='fixed_point'`
+runs at 86.1 ms/iter (11.6 it/s) — its iteration carries ~3 fewer
+W-sized (1 GB) buffers than the gradient path — while
+`optimizer='momentum'` exhausts HBM. **matmul_dtype='int8' (5.0 GB X)
+moves the ceiling: heavy-ball RUNS at this size (97.4 ms/iter,
+10.3 it/s) and fixed_point reaches 57.2 ms/iter (17.5 it/s, 1.5x its
+bf16 rate).** Beyond that, use the sample-sharded multi-chip path.
 """
 
 
