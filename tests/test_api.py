@@ -215,3 +215,43 @@ def test_covariance_beats_sample_cov_undersampled():
     err_corex = np.linalg.norm(
         np.asarray(model.get_covariance()) - sigma_true)
     assert err_corex < 0.7 * err_sample, (err_corex, err_sample)
+
+
+def _dense_ll(x, cov, mean, std):
+    """Reference mean log-likelihood via dense slogdet (test-only)."""
+    xc = np.asarray(x, np.float64) - np.asarray(mean, np.float64)
+    c = np.asarray(cov, np.float64)
+    sign, logdet = np.linalg.slogdet(c)
+    assert sign > 0
+    sol = np.linalg.solve(c, xc.T)
+    quad = np.sum(xc.T * sol, axis=0)
+    p = c.shape[0]
+    return float(np.mean(-0.5 * (quad + logdet + p * np.log(2 * np.pi))))
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_score_matches_dense_loglik(small_block_data, overlap):
+    """score() (Woodbury, O(npm)) equals the dense slogdet log-likelihood
+    of get_covariance() on both solver paths."""
+    x = small_block_data
+    c = lc.Corex(n_hidden=4, seed=0, dtype="float64",
+                 discourage_overlap=not overlap).fit(x)
+    got = float(c.score(x))
+    want = _dense_ll(x, c.get_covariance(), c.theta.mean, c.theta.std)
+    assert abs(got - want) < 1e-6 * max(1.0, abs(want)), (got, want)
+
+
+def test_score_ranks_model_data_above_noise(small_block_data):
+    """In-model data scores higher than permutation-destroyed data."""
+    x = small_block_data
+    c = lc.Corex(n_hidden=4, seed=0).fit(x)
+    rng = np.random.RandomState(0)
+    x_shuf = np.column_stack([rng.permutation(col) for col in x.T])
+    assert float(c.score(x)) > float(c.score(x_shuf))
+
+
+def test_score_rejects_nonaffine_gaussianize(small_block_data):
+    c = lc.Corex(n_hidden=4, seed=0, gaussianize="empirical").fit(
+        small_block_data)
+    with pytest.raises(ValueError, match="affine|empirical|standard"):
+        c.score(small_block_data)
