@@ -71,6 +71,22 @@ def streaming_demo():
     print(f"fit from covariance matrix:     TC {model2.tc:.3f}")
 
 
+def int8_demo():
+    """Quantized throughput mode: int8 x int8 -> int32 on the MXU at 2x
+    the bf16 rate (measured identical converged TC — benchmarks/RESULTS.md;
+    pair with tol >= 1e-4)."""
+    import linearcorex_tpu as lc
+
+    x = make_data(n=4096, p=256, m=8, seed=2)
+    i8 = lc.Corex(n_hidden=8, seed=0, matmul_dtype="int8",
+                  tol=1e-4).fit(x)
+    f32 = lc.Corex(n_hidden=8, seed=0, tol=1e-4).fit(x)
+    print(f"int8 fit: TC {float(i8.tc):.3f} "
+          f"(f32: {float(f32.tc):.3f}; optimizer ran: "
+          f"{i8.resolved_optimizer_})")
+
+
 if __name__ == "__main__":
     main()
     streaming_demo()
+    int8_demo()

@@ -94,6 +94,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
 
     if repeat < 1:
         raise ValueError(f"repeat must be >= 1, got {repeat}")
+    if max_n_hidden is not None and max_n_hidden < 1:
+        raise ValueError(f"max_n_hidden must be >= 1, got {max_n_hidden}")
     x = jnp.asarray(np.asarray(data), dtype=jnp.dtype(dtype))
     n, p = x.shape
     if max_n_hidden is None:

@@ -90,3 +90,13 @@ def test_pick_n_hidden_padded_is_one_program(monkeypatch):
                                      dtype="float32", seed=0, max_iter=500)
     assert calls["n"] == 1
     assert len(scores) == 4 and np.isfinite(scores).all()
+
+
+def test_pick_n_hidden_rejects_bad_bounds():
+    import pytest
+
+    x = np.random.RandomState(0).normal(size=(50, 8))
+    with pytest.raises(ValueError, match="repeat"):
+        pick_n_hidden(x, repeat=0)
+    with pytest.raises(ValueError, match="max_n_hidden"):
+        pick_n_hidden(x, repeat=1, max_n_hidden=0)
