@@ -62,6 +62,16 @@ def _padded_inits(max_n: int, repeat: int, p: int, seed: Optional[int],
     return jnp.asarray(w0.reshape(max_n * repeat, max_n, p), dtype=dtype)
 
 
+def _smallest_within_tol(scores, tol: float) -> int:
+    """Parsimony rule for the held-out criterion: the SMALLEST n_hidden
+    whose score is within `tol` of the best. The non-overlap solver kills
+    surplus factors (they converge to exactly zero), so past the supported
+    model size the held-out likelihood plateaus rather than declining —
+    a bare argmax would pick the largest candidate by float noise."""
+    scores = np.asarray(scores)
+    return int(np.argmax(scores >= scores.max() - tol)) + 1
+
+
 def _best_n_from_scores(scores, tc_gain_tol: float) -> int:
     """The reference's saturation rule over the score curve, INCLUDING its
     early stop: scanning in order, a candidate that improves best-so-far TC
@@ -78,38 +88,106 @@ def _best_n_from_scores(scores, tc_gain_tol: float) -> int:
     return best_n
 
 
+def _heldout_scorer(overlap: bool):
+    """Jitted vmapped scorer: mean Gaussian log-likelihood of the
+    (preprocessed) validation rows under each batched model's factor
+    covariance, via the same Woodbury form `Corex.score` uses. Computed in
+    the standardized space (the affine-Jacobian constant is identical
+    across candidates, so rankings are unaffected). Padded candidates
+    score correctly as-is: dead surplus factors have rhoinvrho rows ~0 and
+    contribute nothing to ZᵀZ."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearcorex_tpu.models.corex import _gaussian_ll
+
+    if not overlap:
+        def one(xv, rr, si):
+            z = rr / (1.0 + si)[jnp.newaxis, :]
+            return _gaussian_ll(xv, z, jnp.ones((1,), xv.dtype))
+    else:
+        def one(xv, cy, c_xy):
+            lchol = jnp.linalg.cholesky(cy)
+            z = jax.scipy.linalg.solve_triangular(lchol, c_xy.T,
+                                                  lower=True)
+            return _gaussian_ll(xv, z, jnp.ones((1,), xv.dtype))
+    return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
+
+
+def _score_batch(xv, mom_b, overlap: bool):
+    scorer = _heldout_scorer(overlap)
+    if not overlap:
+        return np.asarray(scorer(xv, mom_b.rhoinvrho, mom_b.si))
+    return np.asarray(scorer(xv, mom_b.cy, mom_b.c_xy))
+
+
 def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
                   verbose: bool = False, tc_gain_tol: float = 1e-3,
                   dtype: str = "float32", seed: Optional[int] = None,
-                  padded_sweep: bool = True, **corex_kwargs):
-    """Scan n_hidden until TC saturates; returns (best_n, scores).
+                  padded_sweep: bool = True, criterion: str = "tc",
+                  val_fraction: float = 0.2, **corex_kwargs):
+    """Choose n_hidden; returns (best_n, scores).
 
-    scores[k] is the best TC over `repeat` restarts at n_hidden = k+1.
+    criterion='tc' (the reference's rule, `[U] :: pick_n_hidden`): scan
+    until the training TC saturates; scores[k] is the best TC over
+    `repeat` restarts at n_hidden = k+1. criterion='heldout' (TPU-native
+    addition): hold out `val_fraction` of the rows, fit candidates on the
+    rest, and pick the n_hidden whose model maximizes the held-out
+    Gaussian log-likelihood (the `Corex.score` quantity) — unlike training
+    TC, which never decreases with more factors, the held-out likelihood
+    stops improving at the supported model size (measured: it plateaus
+    rather than declines, because the non-overlap solver kills surplus
+    factors; `_smallest_within_tol` therefore picks the smallest candidate
+    within tc_gain_tol of the best). scores[k] is then the best held-out
+    mean log-likelihood per candidate.
+
     Extra kwargs flow into `CorexConfig` (max_iter, tol, anneal, ...).
     padded_sweep=True (default) runs the whole (candidate, restart) grid as
     ONE compiled batched program; False runs the sequential per-candidate
-    loop with early stopping.
-    """
+    loop (with the saturation early-stop under criterion='tc')."""
     import jax.numpy as jnp
 
     if repeat < 1:
         raise ValueError(f"repeat must be >= 1, got {repeat}")
     if max_n_hidden is not None and max_n_hidden < 1:
         raise ValueError(f"max_n_hidden must be >= 1, got {max_n_hidden}")
-    x = jnp.asarray(np.asarray(data), dtype=jnp.dtype(dtype))
+    if criterion not in ("tc", "heldout"):
+        raise ValueError(f"unknown criterion: {criterion!r} "
+                         f"(expected 'tc' or 'heldout')")
+    x = np.asarray(data)
     n, p = x.shape
+    xv = None
+    if criterion == "heldout":
+        if not 0.0 < val_fraction < 1.0:
+            raise ValueError(
+                f"val_fraction must be in (0, 1), got {val_fraction}")
+        n_val = max(1, int(round(n * val_fraction)))
+        if n - n_val < 2:
+            raise ValueError(
+                f"need >= 2 training rows after holding out {n_val}")
+        perm = np.random.RandomState(seed_base(seed)).permutation(n)
+        xv, x = x[perm[:n_val]], x[perm[n_val:]]
+        n = x.shape[0]
+    x = jnp.asarray(x, dtype=jnp.dtype(dtype))
     if max_n_hidden is None:
         max_n_hidden = min(p, 16)
-    # Preprocess once; every candidate fit shares the standardized data
-    # (and the Gram matrix, if the fast path applies).
-    xp, _ = P.fit_preprocess(x, corex_kwargs.pop("gaussianize", "standard"),
-                             corex_kwargs.pop("missing_values", None))
+    # Preprocess once (training rows only under 'heldout'); every
+    # candidate fit shares the standardized data (and the Gram matrix, if
+    # the fast path applies). Validation rows use the training theta.
+    gaussianize = corex_kwargs.pop("gaussianize", "standard")
+    missing_values = corex_kwargs.pop("missing_values", None)
+    xp, theta = P.fit_preprocess(x, gaussianize, missing_values)
+    if xv is not None:
+        xv = P.preprocess(jnp.asarray(xv, x.dtype), gaussianize, theta,
+                          missing_values)
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     strategy = probe.pick_strategy(n, p)
     shared = M.compute_gram(xp) if strategy == "gram" else xp
     if probe.matmul_dtype == "int8":
         shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
+    overlap = not probe.discourage_overlap
+    label = "TC" if criterion == "tc" else "held-out loglik"
 
     if padded_sweep:
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
@@ -117,12 +195,18 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         w0 = _padded_inits(max_n_hidden, repeat, p, seed, jnp.dtype(dtype))
         _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
                                    n_samples=n)
-        tc = np.asarray(mom_b.tc).reshape(max_n_hidden, repeat)
-        scores = tc.max(axis=1)
+        if criterion == "heldout":
+            per = _score_batch(xv, mom_b, overlap)
+        else:
+            per = np.asarray(mom_b.tc)
+        scores = per.reshape(max_n_hidden, repeat).max(axis=1)
         if verbose:
             for nh, s in enumerate(scores, start=1):
-                print(f"n_hidden={nh}: best TC over {repeat} restarts = "
-                      f"{s:.5f}")
+                print(f"n_hidden={nh}: best {label} over {repeat} "
+                      f"restarts = {s:.5f}")
+        if criterion == "heldout":
+            return _smallest_within_tol(scores, tc_gain_tol), \
+                np.array(scores)
         return _best_n_from_scores(scores, tc_gain_tol), np.array(scores)
 
     scores = []
@@ -133,13 +217,19 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         w0 = init_restarts(repeat, nh, p, seed, jnp.dtype(dtype))
         _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
                                    n_samples=n)
-        tc_best = float(np.max(np.asarray(mom_b.tc)))
-        scores.append(tc_best)
+        if criterion == "heldout":
+            s_best = float(np.max(_score_batch(xv, mom_b, overlap)))
+        else:
+            s_best = float(np.max(np.asarray(mom_b.tc)))
+        scores.append(s_best)
         if verbose:
-            print(f"n_hidden={nh}: best TC over {repeat} restarts = "
-                  f"{tc_best:.5f}")
-        if tc_best > best_tc_overall + tc_gain_tol:
-            best_tc_overall, best_n = tc_best, nh
-        elif nh > best_n + 1:
-            break  # two consecutive values added nothing: saturated
+            print(f"n_hidden={nh}: best {label} over {repeat} restarts = "
+                  f"{s_best:.5f}")
+        if criterion == "tc":
+            if s_best > best_tc_overall + tc_gain_tol:
+                best_tc_overall, best_n = s_best, nh
+            elif nh > best_n + 1:
+                break  # two consecutive values added nothing: saturated
+    if criterion == "heldout":
+        best_n = _smallest_within_tol(np.array(scores), tc_gain_tol)
     return best_n, np.array(scores)

@@ -100,3 +100,32 @@ def test_pick_n_hidden_rejects_bad_bounds():
         pick_n_hidden(x, repeat=0)
     with pytest.raises(ValueError, match="max_n_hidden"):
         pick_n_hidden(x, repeat=1, max_n_hidden=0)
+
+
+def test_pick_n_hidden_heldout_recovers_planted_m():
+    """criterion='heldout': the held-out Gaussian log-likelihood peaks at
+    the planted factor count instead of monotonically creeping like
+    training TC."""
+    x = block_data(n=1200, p=32, m=4, seed=7)
+    best, scores = pick_n_hidden(x, repeat=2, max_n_hidden=8, seed=0,
+                                 criterion="heldout", tol=1e-4)
+    assert len(scores) == 8
+    assert 3 <= best <= 5, (best, scores)
+    # both sweep modes agree on the criterion
+    best_seq, scores_seq = pick_n_hidden(x, repeat=2, max_n_hidden=8,
+                                         seed=0, criterion="heldout",
+                                         tol=1e-4, padded_sweep=False)
+    assert 3 <= best_seq <= 5
+
+
+def test_pick_n_hidden_heldout_validation():
+    import pytest
+
+    x = np.random.RandomState(0).normal(size=(50, 8))
+    with pytest.raises(ValueError, match="criterion"):
+        pick_n_hidden(x, criterion="bogus")
+    with pytest.raises(ValueError, match="val_fraction"):
+        pick_n_hidden(x, criterion="heldout", val_fraction=1.5)
+    with pytest.raises(ValueError, match="training rows"):
+        pick_n_hidden(np.random.RandomState(0).normal(size=(3, 8)),
+                      criterion="heldout", val_fraction=0.9)
