@@ -40,9 +40,15 @@ def main():
     sigma = model.get_covariance()
     print(f"covariance estimate shape:   {sigma.shape}")
 
+    # Held-out model evaluation (sklearn scoring convention)
+    print(f"mean log-likelihood:         {float(model.score(x)):.3f}")
+
     # Model selection: how many factors does the data support?
     best_n, scores = lc.pick_n_hidden(x, repeat=2, max_n_hidden=12, seed=0)
     print(f"pick_n_hidden chose:         {best_n}")
+    best_cv, _ = lc.pick_n_hidden(x, repeat=2, max_n_hidden=12, seed=0,
+                                  criterion="heldout")
+    print(f"held-out criterion chose:    {best_cv}")
 
     # Persistence
     lc.save_corex(model, "/tmp/corex_model.npz")

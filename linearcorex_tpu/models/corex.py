@@ -353,13 +353,14 @@ class Corex:
             warnings.warn(
                 f"n_hidden={self.m} exceeds n_variables={shape[1]}; "
                 f"surplus factors will converge to zero TC")
-        # NaN screening is free on host arrays; on-device we skip it rather
-        # than force a sync (NaNs would surface as non-finite TC anyway).
+        # Non-finite screening is free on host arrays; on-device we skip it
+        # rather than force a sync (non-finite values would surface as
+        # TC=nan anyway — this just makes the failure loud and early).
         if isinstance(x, np.ndarray) and self.pre_config.missing_values \
-                is None and np.isnan(x).any():
+                is None and not np.isfinite(x).all():
             raise ValueError(
-                "input contains NaN; pass missing_values=<sentinel> after "
-                "encoding missing entries, or impute beforehand")
+                "input contains NaN/inf; pass missing_values=<sentinel> "
+                "after encoding missing entries, or clean the data first")
 
     def _prepare_fit(self, x, resolve=True):
         """Shared data preparation for every fit driver (`fit`,

@@ -181,10 +181,10 @@ class GramAccumulator:
         # whole accumulated Gram irreversibly (TC=nan after fit); on-device
         # batches skip the check rather than force a sync per batch,
         # mirroring Corex._validate_input.
-        if isinstance(x, np.ndarray) and np.isnan(x).any():
+        if isinstance(x, np.ndarray) and not np.isfinite(x).all():
             raise ValueError(
-                "batch contains NaN; impute before accumulation (the "
-                "accumulated Gram cannot be repaired afterwards)")
+                "batch contains NaN/inf; clean it before accumulation "
+                "(the accumulated Gram cannot be repaired afterwards)")
         x = jnp.asarray(x, self.dtype)
         if x.ndim != 2 or x.shape[1] != self.p:
             raise ValueError(

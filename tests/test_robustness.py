@@ -69,6 +69,10 @@ def test_input_validation_errors():
         x = np.random.RandomState(0).normal(size=(50, 5))
         x[3, 2] = np.nan
         c.fit(x)
+    with pytest.raises(ValueError, match="NaN/inf"):
+        x = np.random.RandomState(0).normal(size=(50, 5))
+        x[3, 2] = np.inf
+        c.fit(x)
 
 
 def test_nan_ok_with_missing_values_sentinel():
