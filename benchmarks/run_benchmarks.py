@@ -336,7 +336,7 @@ eager dispatch costs ~35 ms host-sync latency on this attachment):
 
 | call | steady-state latency |
 |---|---|
-| `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters; +~87 s first-call compile) |
+| `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters; +~87 s first-call compile); 2.6 s with matmul_dtype='int8' (e2e row above) |
 | `transform(X)` n=10k | 37 ms |
 | `covariance_matvec(v)` | 449 ms |
 

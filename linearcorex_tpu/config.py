@@ -42,7 +42,7 @@ class CorexConfig:
     # per-column, running the big GEMMs as int8 x int8 → int32 on the MXU
     # at 2x the bf16 rate with another 2x off the HBM footprint. Measured
     # (annealed to tol=1e-4): cfg5 samples path identical TC to bf16
-    # (204368 vs 204386) in 2.6 s vs 4.0 s; north-star gram path TC 11888
+    # (204361 vs 204386) in 2.6 s vs 4.0 s; north-star gram path TC 11888
     # vs f32's 11902 at 0.98 vs 1.71 ms/iter. The accept/reject solver
     # absorbs the quantization noise; keep tol >= 1e-4 (the gradient
     # noise floor is above bf16's). 'float32' is the accuracy default.

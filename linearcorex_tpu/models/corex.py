@@ -218,6 +218,20 @@ def _matvec_ns_program(rhoinvrho, si, std, v):
     return std * (low + (1.0 - diag) * sv)
 
 
+def _factor_z_ns(rhoinvrho, si):
+    """Z with Σ_std = diag(d) + ZᵀZ, non-overlap path (the `get_covariance`
+    factorization) — single definition shared by score() and the
+    pick_n_hidden held-out scorer."""
+    return rhoinvrho / (1.0 + si)[jnp.newaxis, :]
+
+
+def _factor_z_overlap(cy, c_xy):
+    """Z for the overlap path: Σ_offdiag = C_xy·C_y⁻¹·C_xyᵀ = ZᵀZ with
+    Z = L⁻¹·C_xyᵀ, C_y = L·Lᵀ."""
+    lchol = jnp.linalg.cholesky(cy)
+    return jax.scipy.linalg.solve_triangular(lchol, c_xy.T, lower=True)
+
+
 def _gaussian_ll(xp, z, std):
     """Mean Gaussian log-likelihood of preprocessed rows under the factor
     covariance Σ_std = diag(d) + ZᵀZ (d = 1 − Σ_j z_ji², the unit-diagonal
@@ -246,17 +260,13 @@ def _gaussian_ll(xp, z, std):
 @partial(jax.jit, static_argnums=(4,))
 def _score_ns_program(x, rhoinvrho, si, theta, pre_cfg):
     xp = P.preprocess(x, pre_cfg.gaussianize, theta, pre_cfg.missing_values)
-    z = rhoinvrho / (1.0 + si)[jnp.newaxis, :]
-    return _gaussian_ll(xp, z, theta.std)
+    return _gaussian_ll(xp, _factor_z_ns(rhoinvrho, si), theta.std)
 
 
 @partial(jax.jit, static_argnums=(4,))
 def _score_overlap_program(x, cy, c_xy, theta, pre_cfg):
     xp = P.preprocess(x, pre_cfg.gaussianize, theta, pre_cfg.missing_values)
-    # Σ_offdiag = C_xy·C_y⁻¹·C_xyᵀ = ZᵀZ with Z = L⁻¹·C_xyᵀ, C_y = L·Lᵀ
-    lchol = jnp.linalg.cholesky(cy)
-    z = jax.scipy.linalg.solve_triangular(lchol, c_xy.T, lower=True)
-    return _gaussian_ll(xp, z, theta.std)
+    return _gaussian_ll(xp, _factor_z_overlap(cy, c_xy), theta.std)
 
 
 @jax.jit

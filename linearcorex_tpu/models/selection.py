@@ -67,9 +67,17 @@ def _smallest_within_tol(scores, tol: float) -> int:
     whose score is within `tol` of the best. The non-overlap solver kills
     surplus factors (they converge to exactly zero), so past the supported
     model size the held-out likelihood plateaus rather than declining —
-    a bare argmax would pick the largest candidate by float noise."""
+    a bare argmax would pick the largest candidate by float noise.
+    Non-finite candidate scores (a diverged fit) are excluded; all-
+    non-finite raises instead of silently returning n_hidden=1."""
     scores = np.asarray(scores)
-    return int(np.argmax(scores >= scores.max() - tol)) + 1
+    if not np.isfinite(scores).any():
+        raise ValueError(
+            "every candidate's held-out score is non-finite — the fits "
+            "diverged; check the data and tolerance")
+    best = np.nanmax(np.where(np.isfinite(scores), scores, -np.inf))
+    ok = np.isfinite(scores) & (scores >= best - tol)
+    return int(np.argmax(ok)) + 1
 
 
 def _best_n_from_scores(scores, tc_gain_tol: float) -> int:
@@ -99,18 +107,18 @@ def _heldout_scorer(overlap: bool):
     import jax
     import jax.numpy as jnp
 
-    from linearcorex_tpu.models.corex import _gaussian_ll
+    from linearcorex_tpu.models.corex import (_factor_z_ns,
+                                              _factor_z_overlap,
+                                              _gaussian_ll)
 
     if not overlap:
         def one(xv, rr, si):
-            z = rr / (1.0 + si)[jnp.newaxis, :]
-            return _gaussian_ll(xv, z, jnp.ones((1,), xv.dtype))
+            return _gaussian_ll(xv, _factor_z_ns(rr, si),
+                                jnp.ones((1,), xv.dtype))
     else:
         def one(xv, cy, c_xy):
-            lchol = jnp.linalg.cholesky(cy)
-            z = jax.scipy.linalg.solve_triangular(lchol, c_xy.T,
-                                                  lower=True)
-            return _gaussian_ll(xv, z, jnp.ones((1,), xv.dtype))
+            return _gaussian_ll(xv, _factor_z_overlap(cy, c_xy),
+                                jnp.ones((1,), xv.dtype))
     return jax.jit(jax.vmap(one, in_axes=(None, 0, 0)))
 
 
@@ -161,6 +169,15 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         if not 0.0 < val_fraction < 1.0:
             raise ValueError(
                 f"val_fraction must be in (0, 1), got {val_fraction}")
+        if corex_kwargs.get("gaussianize", "standard") not in ("none",
+                                                               "standard"):
+            # same guard as Corex.score: 'empirical' re-ranks validation
+            # rows against THEMSELVES (rank transforms ignore theta), so
+            # the held-out likelihood would be meaningless
+            raise ValueError(
+                "criterion='heldout' requires gaussianize='none' or "
+                "'standard' (non-affine transforms have no comparable "
+                "held-out density)")
         n_val = max(1, int(round(n * val_fraction)))
         if n - n_val < 2:
             raise ValueError(

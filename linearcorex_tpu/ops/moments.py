@@ -64,14 +64,23 @@ class QuantizedData(NamedTuple):
     standardizes X column-wise (unit variance ⇒ homogeneous range) and
     the Gram matrix is a correlation matrix (entries in [−1, 1]).
 
-    Measured end-to-end quality (annealed to tol=1e-4): cfg5 samples path
-    TC 204368 vs bf16's 204386 — identical to 0.01% — in 135 vs 133
-    iterations, 2.6 s vs 4.0 s; north-star gram path (p=10k, heavy-ball)
-    TC 11888 vs f32's 11902 at 0.98 vs 1.71 ms/iter. The accept/reject
-    line search plus annealing absorb the quantization noise (gradient
-    cosine vs f32 is 0.9999 far from the optimum and ~0.89 near it — the
-    noise floor is why tol must stay >= 1e-4 and int8 is excluded from
-    the f64 parity surface)."""
+    Measured end-to-end quality (annealed to tol=1e-4; the maintained
+    rows in benchmarks/RESULTS.md): cfg5 samples path TC 204361 vs bf16's
+    204386 — identical to 0.01% — in the same 133 iterations, 2.6 s vs
+    4.0 s; north-star gram path (p=10k, heavy-ball) TC 11888 vs f32's
+    11902 at 0.98 vs 1.71 ms/iter. The accept/reject line search plus
+    annealing absorb the quantization noise (gradient cosine vs f32 is
+    0.9999 far from the optimum and ~0.89 near it — the noise floor is
+    why tol must stay >= 1e-4 and int8 is excluded from the f64 parity
+    surface).
+
+    Accumulation-range note: products accumulate in int32, so a p-axis
+    contraction has a hard worst case of 127²·p (wraps beyond p≈133k).
+    For the standardized operands this mode quantizes, accumulands are
+    zero-mean with RMS ~23 — the measured p=500k run sits ~5e3 standard
+    deviations below the wrap point — but adversarially rank-1-aligned
+    inputs could overflow SILENTLY; use 'bfloat16' when the data is not
+    approximately standardized-Gaussian-like."""
 
     q: jax.Array       # (n, p) samples or (p, p) Gram, int8
     scale: jax.Array   # () float32

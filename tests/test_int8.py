@@ -1,5 +1,5 @@
 """matmul_dtype='int8' — quantized samples-path GEMMs (ops/moments.py ::
-QuantizedData). Measured on v5e at cfg5: identical TC to bf16 (204368 vs
+QuantizedData). Measured on v5e at cfg5: identical TC to bf16 (204361 vs
 204386) in 2.6 s vs 4.0 s e2e — int8 x int8 → int32 runs the MXU at 2x the
 bf16 rate; the accept/reject solver absorbs the quantization noise."""
 

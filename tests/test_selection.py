@@ -129,3 +129,17 @@ def test_pick_n_hidden_heldout_validation():
     with pytest.raises(ValueError, match="training rows"):
         pick_n_hidden(np.random.RandomState(0).normal(size=(3, 8)),
                       criterion="heldout", val_fraction=0.9)
+    with pytest.raises(ValueError, match="gaussianize"):
+        pick_n_hidden(x, criterion="heldout", gaussianize="empirical")
+
+
+def test_smallest_within_tol_nan_handling():
+    """Non-finite candidate scores are excluded (a diverged fit must not
+    make argmax silently return n_hidden=1); all-NaN raises."""
+    import pytest
+
+    from linearcorex_tpu.models.selection import _smallest_within_tol
+
+    assert _smallest_within_tol([-40.0, np.nan, -25.0, -25.0], 1e-3) == 3
+    with pytest.raises(ValueError, match="non-finite"):
+        _smallest_within_tol([np.nan, np.nan], 1e-3)
