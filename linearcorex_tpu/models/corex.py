@@ -442,11 +442,6 @@ class Corex:
         `ShardingPlan`, default sample-sharding) maps the n/p/m axes onto
         the mesh's named axes. Learned state comes back replicated, so
         transform/predict/get_covariance work unchanged."""
-        if mesh is not None and self.config.matmul_dtype == "int8":
-            raise ValueError(
-                "matmul_dtype='int8' is single-device for now (the "
-                "sharded drivers take plain array operands); use "
-                "'bfloat16' with mesh=")
         data, cfg, strategy = self._prepare_fit(x, resolve=mesh is None)
         w0 = self._resolve_w0(init_ws)
         if mesh is not None:

@@ -77,6 +77,13 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
     from linearcorex_tpu.models.corex import resolve_config
     from linearcorex_tpu.parallel import sharding as S
 
+    from linearcorex_tpu.ops.moments import QuantizedData
+
+    if isinstance(data, QuantizedData):
+        raise ValueError(
+            "audit_fit takes a plain array operand (or a ShapeDtypeStruct) "
+            "— audit the f32/bf16 layout; the int8 program's collective "
+            "SURFACE is identical (same reduces over the same axes)")
     plan = plan or S.ShardingPlan()
     if plan.shard_vars or plan.shard_factors:
         import dataclasses

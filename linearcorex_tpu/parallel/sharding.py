@@ -221,15 +221,29 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     # count — pass `n_samples` explicitly there (Corex.fit(mesh=...) has
     # already resolved the optimizer before reaching here), else 'auto'
     # falls back to the robust momentum
+    from linearcorex_tpu.ops.moments import QuantizedData
+
+    operand = data.q if isinstance(data, QuantizedData) else data
     if n_samples is None and strategy == "samples":
-        n_samples = data.shape[0]
-    cfg = resolve_config(cfg, data.shape[-1],
+        n_samples = operand.shape[0]
+    cfg = resolve_config(cfg, operand.shape[-1],
                          platform=_mesh_platform(mesh), n_samples=n_samples)
     if strategy == "gram":
         data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
     else:
         data_spec = plan.x_spec()
-    data = jax.device_put(data, NamedSharding(mesh, data_spec))
+    if isinstance(data, QuantizedData):
+        # shard the int8 operand like the plain one; the per-tensor scale
+        # is a replicated scalar. The quantized math is shape-global
+        # (int8 GEMM partials reduce like the f32 ones; the mid-chain
+        # per-column operand maxes become cross-shard reduces), so GSPMD
+        # partitions it the same way — verified against the single-device
+        # int8 fit on the CPU mesh (tests/test_int8.py).
+        data = QuantizedData(
+            q=jax.device_put(data.q, NamedSharding(mesh, data_spec)),
+            scale=jax.device_put(data.scale, NamedSharding(mesh, P())))
+    else:
+        data = jax.device_put(data, NamedSharding(mesh, data_spec))
     w0 = jax.device_put(w0, NamedSharding(mesh, plan.w_spec()
                                           if not strategy == "gram"
                                           else P(

@@ -94,14 +94,25 @@ def test_int8_gram_strategy_quality():
     assert _same_partition(i8.clusters, f32.clusters)
 
 
-def test_int8_mesh_rejected():
+def test_int8_mesh_matches_single_device():
+    """int8 under the GSPMD sample-sharded path: the quantized math is
+    shape-global, so the mesh fit reproduces the single-device int8 fit."""
     import jax
     from jax.sharding import Mesh
 
-    x = _data()
-    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
-    with pytest.raises(ValueError, match="int8"):
-        lc.Corex(n_hidden=4, matmul_dtype="int8").fit(x, mesh=mesh)
+    x = _data(n=1504, p=48, m=6)
+    w0 = np.random.RandomState(42).normal(scale=1.0 / np.sqrt(48),
+                                          size=(6, 48))
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    single = lc.Corex(n_hidden=6, matmul_dtype="int8",
+                      moment_strategy="samples",
+                      tol=1e-4).fit(x, init_ws=w0)
+    meshed = lc.Corex(n_hidden=6, matmul_dtype="int8",
+                      moment_strategy="samples", tol=1e-4)
+    meshed.fit(x, init_ws=w0, mesh=mesh)
+    assert abs(float(meshed.tc) - float(single.tc)) \
+        / abs(float(single.tc)) < 1e-3
+    assert _same_partition(meshed.clusters, single.clusters)
 
 
 def test_int8_streaming_supported():
