@@ -168,19 +168,33 @@ def run_e2e_northstar():
 
     w0 = jnp.asarray(np.random.RandomState(1).normal(
         scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
+    gq = jax.jit(M.quantize_gram)(gram)
+    gq.q.block_until_ready()
     rows = []
-    for opt in ("momentum", "fixed_point"):
-        cfg_o = dataclasses.replace(cfg, optimizer=opt)
-        run(gram, w0, cfg_o, "gram")[1].tc_per_stage.block_until_ready()
-        t0 = time.perf_counter()
-        ws, diag = run(gram, w0, cfg_o, "gram")
-        tc = float(diag.tc_per_stage[-1])
-        dt = time.perf_counter() - t0
+    # int8 pairs with tol=1e-4 (quantization noise floor); label shows it
+    for label, opt, mmd, tol in (
+            ("momentum", "momentum", "float32", 1e-5),
+            ("fixed_point", "fixed_point", "float32", 1e-5),
+            ("int8+auto", "auto", "int8", 1e-4)):
+        cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd,
+                                    tol=tol)
+        if opt == "auto":
+            from linearcorex_tpu.models.corex import resolve_config
+            cfg_o = resolve_config(cfg_o, p, n_samples=n)
+        d = gq if mmd == "int8" else gram
+        run(d, w0, cfg_o, "gram")[1].tc_per_stage.block_until_ready()
+        dt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            ws, diag = run(d, w0, cfg_o, "gram")
+            tc = float(diag.tc_per_stage[-1])
+            dt = min(dt, time.perf_counter() - t0)
         total = int(np.asarray(diag.iters_per_stage).sum())
         numpy_est = total * 12.72
+        tol_s = "1e-4" if tol == 1e-4 else "1e-5"
         rows.append(
-            f"| e2e annealed fit p=10k m=512 tol=1e-5 ({opt}) | {total} "
-            f"iters in {dt:.2f}s (TC={tc:.1f}) | "
+            f"| e2e annealed fit p=10k m=512 tol={tol_s} ({label}) | "
+            f"{total} iters in {dt:.2f}s (TC={tc:.1f}) | "
             f"{dt*1000/max(total,1):.2f} | {numpy_est/dt:,.0f}x "
             f"(NumPy est. {numpy_est/3600:.1f} h) |")
     return "\n".join(rows)
