@@ -190,6 +190,13 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
     if not cfg.discourage_overlap:
         raise ValueError("fit_shard_map supports discourage_overlap=True "
                          "only; use fit_sharded for the overlap path")
+    from linearcorex_tpu.ops.moments import QuantizedData
+    if isinstance(x, QuantizedData) or cfg.matmul_dtype == "int8":
+        raise ValueError(
+            "fit_shard_map spells out its own f32/bf16 collectives; use "
+            "fit_sharded (GSPMD) for matmul_dtype='int8' — it partitions "
+            "the quantized program and was verified against the "
+            "single-device int8 fit")
     cfg = resolve_config(cfg, x.shape[1], platform=_mesh_platform(mesh),
                          n_samples=x.shape[0])  # 'auto' knobs
     x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))

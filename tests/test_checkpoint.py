@@ -152,3 +152,21 @@ def test_save_load_path_without_suffix(tmp_path, small_block_data):
     c2 = load_corex(path)
     assert np.array_equal(np.asarray(c2.ws), np.asarray(c.ws))
     assert c2.update_iter == 7 and c2.verbose is True
+
+
+def test_checkpointed_int8_fit_close_to_plain(tmp_path, small_block_data):
+    """int8 checkpointed fits agree with the plain int8 fit to
+    quantization-noise level (NOT bitwise: the stage-by-stage programs
+    compile separately, and per-column max reductions may reassociate,
+    shifting operands by +/-1 quantization level — the accept/reject
+    trajectory then diverges within the noise floor)."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+
+    x = small_block_data
+    m = lc.Corex(n_hidden=4, seed=0, matmul_dtype="int8", tol=1e-4)
+    fit_with_checkpoints(m, x, str(tmp_path / "ck8"))
+    plain = lc.Corex(n_hidden=4, seed=0, matmul_dtype="int8",
+                     tol=1e-4).fit(x)
+    assert abs(float(m.tc) - float(plain.tc)) / float(plain.tc) < 0.02
+    assert np.array_equal(np.asarray(m.clusters),
+                          np.asarray(plain.clusters))

@@ -148,3 +148,21 @@ def test_int8_pick_n_hidden():
                                     tol=1e-4)
     assert 3 <= best <= 6
     assert np.isfinite(scores).all()
+
+
+def test_int8_shard_map_rejected():
+    """fit_shard_map spells out f32/bf16 collectives; int8 must point the
+    user at the GSPMD path instead of failing obscurely."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.parallel.sharding import fit_shard_map
+
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(2), ("data",))
+    x = jnp.zeros((16, 8), jnp.float32)
+    w = jnp.zeros((2, 8), jnp.float32)
+    with pytest.raises(ValueError, match="fit_sharded"):
+        fit_shard_map(x, w, CorexConfig(n_hidden=2, matmul_dtype="int8"),
+                      mesh)
