@@ -358,6 +358,13 @@ eager dispatch costs ~35 ms host-sync latency on this attachment):
 max_iter=2000): 12.2 s vs 16.1 s sequential (1.33x end-to-end; the win
 scales with per-candidate compile cost).
 
+Multi-restart at cfg5 (measured probe): int8 makes a best-of-4 restart
+sweep MEMORY-FEASIBLE as one vmapped program on one chip (bf16 OOMs):
+14.0 s steady-state, TCs 204480-206179 (+0.9% best-vs-single-seed,
+confirming the 0.9% seed spread). Lockstep stragglers cost ~1.4x vs
+running the 4 fits sequentially (~10 s) — prefer sequential when the
+compile is already cached, the vmapped sweep when it is not.
+
 ## Scale ceiling on one chip (measured probe, not a maintained benchmark row)
 
 p=500,000 variables (5x the cfg5 north-star), n=10k, m=512, on ONE v5e
