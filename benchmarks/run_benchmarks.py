@@ -245,10 +245,16 @@ def run_e2e_cfg5():
     rows = []
     # (label, optimizer, matmul_dtype): int8 is the fastest measured cfg5
     # config at identical converged TC (see the int8 rows' TC)
-    for label, opt, mmd in (("momentum", "momentum", "bfloat16"),
-                            ("fixed_point", "fixed_point", "bfloat16"),
-                            ("momentum+int8", "momentum", "int8")):
-        cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd)
+    for label, opt, mmd, anneal in (
+            ("momentum", "momentum", "bfloat16", True),
+            ("fixed_point", "fixed_point", "bfloat16", True),
+            ("momentum+int8", "momentum", "int8", True),
+            # the strong-structure throughput knob (DESIGN.md): measured
+            # equal-or-better TC on every seed at this data's block
+            # strength, 4x fewer iterations
+            ("momentum+int8, anneal=False", "momentum", "int8", False)):
+        cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd,
+                                    anneal=anneal)
         d = xq if mmd == "int8" else x
         run(d, w0, cfg_o, "samples")[1].tc_per_stage.block_until_ready()
         dt = float("inf")
