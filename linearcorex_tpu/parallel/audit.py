@@ -19,12 +19,15 @@ from typing import List
 
 __all__ = ["CollectiveOp", "hlo_collectives", "audit_fit"]
 
-# optimized-HLO instruction names that move data between devices
+# optimized-HLO instruction names that move data between devices.
+# `-start` is matched (the async form's initiating op carries the payload
+# shape); the paired `-done` is deliberately NOT matched — counting both
+# halves of one async collective would double every payload.
 _COLLECTIVE_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*"
     r"(\([^)]*\)|[\w\[\],{}]+)\s+"
     r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-    r"all-to-all)(?:-start|-done)?\(",
+    r"all-to-all)(?:-start)?\(",
     re.MULTILINE)
 
 _SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s32|u32|pred)\[([\d,]*)\]")
@@ -52,8 +55,9 @@ def _shape_bytes(shape_text: str) -> int:
 
 
 def hlo_collectives(hlo_text: str) -> List[CollectiveOp]:
-    """Parse collectives out of optimized HLO text (`-start` fusions and
-    plain forms; dedups the matching `-done`)."""
+    """Parse collectives out of optimized HLO text (`-start` and plain
+    forms; the paired `-done` ops are excluded so each async collective
+    is counted once)."""
     ops = []
     for m in _COLLECTIVE_RE.finditer(hlo_text):
         shape_text, kind = m.group(1), m.group(2)

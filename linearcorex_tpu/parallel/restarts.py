@@ -100,8 +100,11 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
 
     from linearcorex_tpu.models.corex import resolve_config
 
+    from linearcorex_tpu.ops.moments import QuantizedData
+
     if n_samples is None and strategy == "samples":
-        n_samples = data.shape[0]
+        n_samples = (data.q if isinstance(data, QuantizedData)
+                     else data).shape[0]
     cfg = resolve_config(cfg, w0_batch.shape[-1],
                          platform=mesh.devices.flat[0].platform,
                          n_samples=n_samples)

@@ -164,6 +164,14 @@ class CsvReader:
             self._lib.lcx_csv_close(self._h)
             self._h = None
 
+    def __del__(self):
+        # abandoned iteration (break / consumer exception) must not leak
+        # the native FILE* and 1 MB reader for the process lifetime
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def __enter__(self):
         return self
 

@@ -48,6 +48,7 @@ def iter_text_blocks(path: str, block_rows: int = 8192,
                                     skip_header=skip_header)
         return
     rows = []
+    cols = None
     with open(path) as f:
         for i, line in enumerate(f):
             if i < skip_header:
@@ -55,8 +56,25 @@ def iter_text_blocks(path: str, block_rows: int = 8192,
             line = line.strip()
             if not line:
                 continue
-            rows.append(np.array(
-                [float(v) for v in line.replace(delimiter, " ").split()]))
+            # strict field semantics matching the native reader: blank
+            # delimiters split on runs of whitespace; other delimiters
+            # require non-empty fields (an empty field is silent data
+            # misalignment, not a value)
+            if delimiter in (" ", "\t"):
+                parts = line.split()
+            else:
+                parts = [v.strip() for v in line.split(delimiter)]
+                if any(not v for v in parts):
+                    raise ValueError(
+                        f"{path}:{i + 1}: empty field in row {line[:60]!r}")
+            row = np.array([float(v) for v in parts])
+            if cols is None:
+                cols = row.size
+            elif row.size != cols:
+                raise ValueError(
+                    f"{path}:{i + 1}: expected {cols} fields, got "
+                    f"{row.size}")
+            rows.append(row)
             if len(rows) == block_rows:
                 yield np.stack(rows)
                 rows = []

@@ -41,20 +41,28 @@ struct Reader {
     explicit Reader(std::size_t bufsize) : buf(bufsize) {}
 };
 
-// parse one line into out[0..cols); returns fields parsed or -1 on error
+// parse one line into out[0..cols); returns fields parsed (0 for a
+// blank/whitespace-only line) or -1 on error. Blank delimiters (' ',
+// '\t') separate fields by any RUN of blanks (no empty-field concept);
+// other delimiters require exactly one delimiter between fields,
+// optionally padded by blanks — an empty field is an error, matching
+// the pure-Python fallback (utils/streaming.py :: iter_text_blocks).
 int64_t parse_line(const char* s, const char* end, char delim,
                    double* out, int64_t max_fields) {
+    const bool blank_delim = (delim == ' ' || delim == '\t');
     int64_t k = 0;
     const char* p = s;
+    while (end > s && (end[-1] == '\r' || end[-1] == ' ' ||
+                       end[-1] == '\t')) --end;   // trim trailing CR/blanks
     while (p < end) {
-        while (p < end && (*p == ' ' || *p == '\t') && delim != '\t') ++p;
+        while (p < end && (*p == ' ' || *p == '\t')) ++p;
         if (p >= end) break;
         if (k >= max_fields) return -1;
         double v;
         auto res = std::from_chars(p, end, v);
         if (res.ec != std::errc()) {
-            // tolerate nan/inf spellings from_chars may reject on older
-            // libstdc++, and empty fields
+            // tolerate nan spellings from_chars may reject on older
+            // libstdc++
             if ((end - p) >= 3 && (std::strncmp(p, "nan", 3) == 0 ||
                                    std::strncmp(p, "NaN", 3) == 0)) {
                 v = std::nan("");
@@ -65,10 +73,17 @@ int64_t parse_line(const char* s, const char* end, char delim,
         }
         out[k++] = v;
         p = res.ptr;
-        while (p < end && (*p == ' ' || *p == '\r')) ++p;
-        if (p < end) {
-            if (*p != delim) return -1;
-            ++p;
+        const char* q = p;
+        while (q < end && (*q == ' ' || *q == '\t')) ++q;
+        if (blank_delim) {
+            p = q;                       // a run of blanks IS the delimiter
+            continue;
+        }
+        if (q < end) {
+            if (*q != delim) return -1;
+            p = q + 1;
+        } else {
+            p = q;
         }
     }
     return k;
@@ -125,15 +140,21 @@ void* lcx_csv_open(const char* path, char delim, int64_t skip_header) {
 int64_t lcx_csv_cols(void* handle) {
     auto* r = static_cast<Reader*>(handle);
     if (r->cols >= 0) return r->cols;
-    // peek the first data line to count fields, then put it back
+    // peek the first DATA line to count fields (skipping blank lines),
+    // then put it back
     std::string line;
-    if (!next_line(r, line)) return 0;
-    std::vector<double> tmp(1 + std::count(line.begin(), line.end(),
-                                           r->delim));
-    int64_t k = parse_line(line.data(), line.data() + line.size(),
-                           r->delim, tmp.data(),
-                           static_cast<int64_t>(tmp.size()));
-    if (k <= 0) {
+    int64_t k = 0;
+    for (;;) {
+        if (!next_line(r, line)) return 0;
+        std::vector<double> tmp(2 + std::count(line.begin(), line.end(),
+                                               r->delim)
+                                + static_cast<int64_t>(line.size()) / 2);
+        k = parse_line(line.data(), line.data() + line.size(),
+                       r->delim, tmp.data(),
+                       static_cast<int64_t>(tmp.size()));
+        if (k != 0) break;               // data line or error
+    }
+    if (k < 0) {
         r->error = true;
         return -1;
     }
@@ -168,6 +189,7 @@ int64_t lcx_csv_read_block(void* handle, int64_t max_rows, double* out) {
         if (s == e) continue;
         int64_t k = parse_line(s, e, r->delim, out + rows * r->cols,
                                r->cols);
+        if (k == 0) continue;            // blank/whitespace-only line
         if (k != r->cols) {
             r->error = true;
             return -1;

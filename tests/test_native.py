@@ -137,3 +137,77 @@ def test_fit_csv_matches_in_memory(tmp_path):
             for line in f:
                 rows.append([float(v) for v in line.split()])
         np.testing.assert_allclose(nat, np.array(rows), rtol=0, atol=0)
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_loader_space_delimited(tmp_path):
+    """Space-delimited files parse natively (regression: the post-value
+    blank skip used to consume the ' ' delimiter itself) and runs of
+    blanks count as one separator."""
+    from linearcorex_tpu.utils.streaming import iter_text_blocks
+
+    path = _write(tmp_path, "sp.txt", "1.0 2.0  3.0\n4.0 5.0 6.0\n")
+    blocks = list(iter_text_blocks(path, delimiter=" "))
+    x = np.vstack(blocks)
+    assert x.shape == (2, 3)
+    assert np.allclose(x, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_loader_blank_crlf_lines(tmp_path):
+    """Blank lines — including CRLF-only ones — are skipped identically by
+    the native reader and the Python fallback."""
+    from linearcorex_tpu.utils.streaming import iter_text_blocks
+
+    path = _write(tmp_path, "crlf.csv", "1,2\r\n\r\n3,4\r\n\n5,6\r\n")
+    x = np.vstack(list(iter_text_blocks(path)))
+    assert x.shape == (3, 2)
+    assert np.allclose(x, [[1, 2], [3, 4], [5, 6]])
+
+
+def test_loader_empty_field_rejected(tmp_path):
+    """'1,,2' is silent data misalignment, not a value — both readers
+    raise instead of dropping the field."""
+    import pytest
+
+    from linearcorex_tpu.utils.streaming import iter_text_blocks
+
+    path = _write(tmp_path, "bad.csv", "1,2,3\n1,,2\n")
+    with pytest.raises(ValueError):
+        list(iter_text_blocks(path))
+
+
+def test_loader_ragged_row_rejected(tmp_path):
+    import pytest
+
+    from linearcorex_tpu.utils.streaming import iter_text_blocks
+
+    path = _write(tmp_path, "ragged.csv", "1,2,3\n1,2\n")
+    with pytest.raises(ValueError):
+        list(iter_text_blocks(path))
+
+
+def test_loader_fallback_matches_native(tmp_path, monkeypatch):
+    """The pure-Python fallback and the native reader produce identical
+    output (and identical rejections) on the same files."""
+    import pytest
+
+    from linearcorex_tpu.utils import native
+    from linearcorex_tpu.utils import streaming as S
+
+    good = _write(tmp_path, "g.csv", "1, 2,3\r\n\r\n4,5 ,6\n")
+    spaced = _write(tmp_path, "g2.txt", "1 2  3\n4 5 6\n")
+    bad = _write(tmp_path, "b.csv", "1,,2\n")
+    x_native = np.vstack(list(S.iter_text_blocks(good)))
+    s_native = np.vstack(list(S.iter_text_blocks(spaced, delimiter=" ")))
+    monkeypatch.setattr(native, "available", lambda: False)
+    x_fb = np.vstack(list(S.iter_text_blocks(good)))
+    s_fb = np.vstack(list(S.iter_text_blocks(spaced, delimiter=" ")))
+    assert np.array_equal(x_native, x_fb)
+    assert np.array_equal(s_native, s_fb)
+    with pytest.raises(ValueError):
+        list(S.iter_text_blocks(bad))
