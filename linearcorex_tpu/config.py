@@ -108,6 +108,10 @@ class CorexConfig:
     eps_override: Optional[float] = None
 
     def __post_init__(self):
+        if self.max_iter < 1:
+            raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
+        if self.n_hidden < 1:
+            raise ValueError(f"n_hidden must be >= 1, got {self.n_hidden}")
         if self.moment_strategy not in ("auto", "samples", "gram"):
             raise ValueError(
                 f"unknown moment_strategy: {self.moment_strategy!r} "

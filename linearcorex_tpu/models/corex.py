@@ -486,9 +486,17 @@ class Corex:
             raise RuntimeError(
                 "this Corex instance is not fitted yet; call fit(X) first")
 
+    def _check_width(self, x, what="x"):
+        shape = getattr(x, "shape", None)
+        if shape is None or len(shape) != 2 or shape[1] != self.nv:
+            raise ValueError(
+                f"{what} must be 2-D with {self.nv} columns (the fitted "
+                f"n_variables); got shape {shape}")
+
     def transform(self, x, details=False):
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`)."""
         self._check_fitted()
+        self._check_width(x)
         x = jnp.asarray(x, dtype=self._dt)
         if details:
             y, mom = _details_program(x, self.ws, self.theta,
@@ -500,6 +508,11 @@ class Corex:
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
         posterior-mean reconstruction, then invert preprocessing."""
         self._check_fitted()
+        shape = getattr(y, "shape", None)
+        if shape is None or len(shape) != 2 or shape[1] != self.m:
+            raise ValueError(
+                f"y must be 2-D with {self.m} columns (n_hidden); got "
+                f"shape {shape}")
         y = jnp.asarray(y, dtype=self._dt)
         if self.config.discourage_overlap:
             mom = self.moments
@@ -537,6 +550,7 @@ class Corex:
                 "'empirical'/'outliers' transforms are non-affine, so a "
                 "density on the original scale is not defined by Σ̂ alone")
         self._validate_input(x)
+        self._check_width(x)
         x = jnp.asarray(x, dtype=self._dt)
         mom = self.moments
         if self.config.discourage_overlap:

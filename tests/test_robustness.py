@@ -145,3 +145,19 @@ def test_fixed_point_degenerate_rank1_no_crash():
                  dtype="float64").fit(x)
     assert np.isfinite(m.tc)
     assert np.isfinite(np.asarray(m.ws)).all()
+
+
+def test_inference_width_validation(small_block_data):
+    """Wrong-width inference inputs raise clear ValueErrors instead of raw
+    broadcasting TypeErrors; max_iter/n_hidden bounds validate."""
+    c = lc.Corex(n_hidden=4, seed=0).fit(small_block_data)
+    bad = np.zeros((5, small_block_data.shape[1] + 1))
+    for call in (c.transform, c.score):
+        with pytest.raises(ValueError, match="columns"):
+            call(bad)
+    with pytest.raises(ValueError, match="n_hidden"):
+        c.predict(np.zeros((5, 3)))
+    with pytest.raises(ValueError, match="max_iter"):
+        lc.Corex(n_hidden=2, max_iter=0)
+    with pytest.raises(ValueError, match="n_hidden"):
+        lc.Corex(n_hidden=0)
