@@ -143,11 +143,13 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     rest, and pick the n_hidden whose model maximizes the held-out
     Gaussian log-likelihood (the `Corex.score` quantity) — unlike training
     TC, which never decreases with more factors, the held-out likelihood
-    stops improving at the supported model size (measured: it plateaus
-    rather than declines, because the non-overlap solver kills surplus
-    factors; `_smallest_within_tol` therefore picks the smallest candidate
-    within tc_gain_tol of the best). scores[k] is then the best held-out
-    mean log-likelihood per candidate.
+    stops improving at the supported model size (measured: it plateaus on
+    small problems — the non-overlap solver kills surplus factors — and
+    mildly DECLINES past the true size at scale, e.g. p=4096/m_true=12
+    where the sweep picks exactly 12; `_smallest_within_tol` picks the
+    smallest candidate within tc_gain_tol of the best, correct in both
+    shapes). scores[k] is then the best held-out mean log-likelihood per
+    candidate.
 
     Extra kwargs flow into `CorexConfig` (max_iter, tol, anneal, ...).
     padded_sweep=True (default) runs the whole (candidate, restart) grid as
@@ -193,6 +195,10 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     # the fast path applies). Validation rows use the training theta.
     gaussianize = corex_kwargs.pop("gaussianize", "standard")
     missing_values = corex_kwargs.pop("missing_values", None)
+    # sweeps always disable the TC history (it would cost
+    # batch x stages x max_iter memory); accept-and-drop a user-passed
+    # record_history instead of colliding with the forced kwarg
+    corex_kwargs.pop("record_history", None)
     xp, theta = P.fit_preprocess(x, gaussianize, missing_values)
     if xv is not None:
         xv = P.preprocess(jnp.asarray(xv, x.dtype), gaussianize, theta,

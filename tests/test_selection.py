@@ -143,3 +143,13 @@ def test_smallest_within_tol_nan_handling():
     assert _smallest_within_tol([-40.0, np.nan, -25.0, -25.0], 1e-3) == 3
     with pytest.raises(ValueError, match="non-finite"):
         _smallest_within_tol([np.nan, np.nan], 1e-3)
+
+
+def test_pick_n_hidden_accepts_record_history_kwarg():
+    """record_history is forced off for sweeps; a user passing it must not
+    collide with the forced kwarg (regression: TypeError 'multiple
+    values')."""
+    x = np.random.RandomState(0).normal(size=(80, 8))
+    best, _ = pick_n_hidden(x, repeat=1, max_n_hidden=3,
+                            record_history=False, tol=1e-3)
+    assert 1 <= best <= 3
