@@ -13,8 +13,6 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
-import jax.numpy as jnp
-import numpy as np
 
 from linearcorex_tpu.models.corex import Corex
 

@@ -20,8 +20,6 @@ Gram analytically: corr = D⁻¹ (G_raw/n − μμᵀ) D⁻¹.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -4,7 +4,6 @@ import numpy as np
 import pytest
 
 import linearcorex_tpu as lc
-from tests.conftest import block_data
 
 
 def test_fit_transform(med_block_data):

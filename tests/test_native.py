@@ -117,7 +117,7 @@ def test_fit_csv_matches_in_memory(tmp_path):
     """fit_csv == Corex.fit on the loaded array (both standard-gaussianize),
     and the pure-Python fallback produces the same blocks as native."""
     import linearcorex_tpu as lc
-    from linearcorex_tpu.utils import streaming, native
+    from linearcorex_tpu.utils import native
     from tests.conftest import block_data
     x = block_data(n=500, p=24, m=3, seed=5)
     path = str(tmp_path / "x.tsv")
