@@ -184,14 +184,14 @@ def run_e2e_northstar():
         d = gq if mmd == "int8" else gram
         run(d, w0, cfg_o, "gram")[1].tc_per_stage.block_until_ready()
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             ws, diag = run(d, w0, cfg_o, "gram")
             tc = float(diag.tc_per_stage[-1])
             dt = min(dt, time.perf_counter() - t0)
         total = int(np.asarray(diag.iters_per_stage).sum())
         numpy_est = total * 12.72
-        tol_s = "1e-4" if tol == 1e-4 else "1e-5"
+        tol_s = f"{tol:g}"
         rows.append(
             f"| e2e annealed fit p=10k m=512 tol={tol_s} ({label}) | "
             f"{total} iters in {dt:.2f}s (TC={tc:.1f}) | "
@@ -258,7 +258,7 @@ def run_e2e_cfg5():
         d = xq if mmd == "int8" else x
         run(d, w0, cfg_o, "samples")[1].tc_per_stage.block_until_ready()
         dt = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             ws, diag = run(d, w0, cfg_o, "samples")
             tc = float(diag.tc_per_stage[-1])

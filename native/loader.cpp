@@ -23,6 +23,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <strings.h>
 #include <string>
 #include <vector>
 
@@ -58,15 +59,32 @@ int64_t parse_line(const char* s, const char* end, char delim,
         while (p < end && (*p == ' ' || *p == '\t')) ++p;
         if (p >= end) break;
         if (k >= max_fields) return -1;
+        // std::from_chars rejects a leading '+' (and 'inf'/'nan' on some
+        // libstdc++); Python's float() accepts them — stay
+        // fallback-identical
+        bool neg = false;
+        if (*p == '+') {
+            ++p;
+            if (p >= end) return -1;
+        } else if (*p == '-') {
+            neg = true;
+        }
         double v;
         auto res = std::from_chars(p, end, v);
         if (res.ec != std::errc()) {
-            // tolerate nan spellings from_chars may reject on older
-            // libstdc++
-            if ((end - p) >= 3 && (std::strncmp(p, "nan", 3) == 0 ||
-                                   std::strncmp(p, "NaN", 3) == 0)) {
+            const char* q0 = p + (neg ? 1 : 0);
+            auto is = [&](const char* lit, int len) {
+                return (end - q0) >= len && strncasecmp(q0, lit, len) == 0;
+            };
+            if (is("nan", 3)) {
                 v = std::nan("");
-                res.ptr = p + 3;
+                res.ptr = q0 + 3;
+            } else if (is("infinity", 8)) {
+                v = neg ? -HUGE_VAL : HUGE_VAL;
+                res.ptr = q0 + 8;
+            } else if (is("inf", 3)) {
+                v = neg ? -HUGE_VAL : HUGE_VAL;
+                res.ptr = q0 + 3;
             } else {
                 return -1;
             }
@@ -82,6 +100,12 @@ int64_t parse_line(const char* s, const char* end, char delim,
         if (q < end) {
             if (*q != delim) return -1;
             p = q + 1;
+            // a delimiter with nothing after it is a trailing EMPTY field
+            // (the fallback rejects it; silently dropping it would be
+            // data misalignment)
+            const char* rest = p;
+            while (rest < end && (*rest == ' ' || *rest == '\t')) ++rest;
+            if (rest >= end) return -1;
         } else {
             p = q;
         }

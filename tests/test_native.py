@@ -199,15 +199,25 @@ def test_loader_fallback_matches_native(tmp_path, monkeypatch):
     from linearcorex_tpu.utils import native
     from linearcorex_tpu.utils import streaming as S
 
-    good = _write(tmp_path, "g.csv", "1, 2,3\r\n\r\n4,5 ,6\n")
+    good = _write(tmp_path, "g.csv",
+                  "+1, 2,3\r\n\r\n4,5 ,6e+1\n-inf,nan,1.5\n")
     spaced = _write(tmp_path, "g2.txt", "1 2  3\n4 5 6\n")
     bad = _write(tmp_path, "b.csv", "1,,2\n")
+    trailing = _write(tmp_path, "t.csv", "1,2,\n")
     x_native = np.vstack(list(S.iter_text_blocks(good)))
     s_native = np.vstack(list(S.iter_text_blocks(spaced, delimiter=" ")))
     monkeypatch.setattr(native, "available", lambda: False)
     x_fb = np.vstack(list(S.iter_text_blocks(good)))
     s_fb = np.vstack(list(S.iter_text_blocks(spaced, delimiter=" ")))
-    assert np.array_equal(x_native, x_fb)
-    assert np.array_equal(s_native, s_fb)
+    assert np.array_equal(x_native, x_fb, equal_nan=True)
+    assert np.array_equal(s_native, s_fb, equal_nan=True)
     with pytest.raises(ValueError):
         list(S.iter_text_blocks(bad))
+    with pytest.raises(ValueError):
+        list(S.iter_text_blocks(trailing))
+    monkeypatch.undo()
+    if native.available():
+        with pytest.raises(ValueError):
+            list(S.iter_text_blocks(bad))
+        with pytest.raises(ValueError):
+            list(S.iter_text_blocks(trailing))
