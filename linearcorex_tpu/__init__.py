@@ -17,6 +17,8 @@ from linearcorex_tpu.config import CorexConfig, PreprocessConfig
 from linearcorex_tpu.models.corex import Corex
 from linearcorex_tpu.models.selection import pick_n_hidden
 from linearcorex_tpu.models.stacked import StackedCorex
+from linearcorex_tpu.ops.moments import (QuantizedData, quantize_gram,
+                                         quantize_samples)
 from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
 from linearcorex_tpu.utils.streaming import (GramAccumulator,
                                              fit_csv,
@@ -34,5 +36,8 @@ __all__ = [
     "GramAccumulator",
     "fit_csv",
     "fit_from_covariance",
+    "QuantizedData",
+    "quantize_samples",
+    "quantize_gram",
     "__version__",
 ]
