@@ -359,6 +359,7 @@ eager dispatch costs ~35 ms host-sync latency on this attachment):
 | `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters; +~87 s first-call compile); 2.6 s with matmul_dtype='int8' (e2e row above) |
 | `transform(X)` n=10k | 37 ms |
 | `covariance_matvec(v)` | 449 ms |
+| `score(X)` n=10k (Woodbury log-likelihood) | 43 ms |
 
 `pick_n_hidden` padded one-compile sweep (p=1024, max_n=8, repeat=4,
 max_iter=2000): 12.2 s vs 16.1 s sequential (1.33x end-to-end; the win
