@@ -146,10 +146,10 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     stops improving at the supported model size (measured: it plateaus on
     small problems — the non-overlap solver kills surplus factors — and
     mildly DECLINES past the true size at scale, e.g. p=4096/m_true=12
-    where the sweep picks exactly 12; `_smallest_within_tol` picks the
-    smallest candidate within tc_gain_tol of the best, correct in both
-    shapes). scores[k] is then the best held-out mean log-likelihood per
-    candidate.
+    where the sweep picks exactly 12 — in f32 AND under int8 quantization
+    noise; `_smallest_within_tol` picks the smallest candidate within
+    tc_gain_tol of the best, correct in both shapes). scores[k] is then
+    the best held-out mean log-likelihood per candidate.
 
     Extra kwargs flow into `CorexConfig` (max_iter, tol, anneal, ...).
     padded_sweep=True (default) runs the whole (candidate, restart) grid as
