@@ -66,7 +66,10 @@ class CorexConfig:
     # m >= 128 (measured on v5e, production harness: +7-9% at m=512 on
     # the gram path, +11-13% at p=100k samples; a wash below m=128).
     # 'always' forces it for any m <= 1024; 'never' keeps the pure-XLA
-    # path. (A separate fused GEMM-products kernel, gram_products, was
+    # path; 'interpret' is 'always' through the Pallas INTERPRETER — the
+    # off-TPU way to exercise the kernel code path (the multichip dryrun
+    # harness uses it; tests use the pallas_interpret fixture instead).
+    # (A separate fused GEMM-products kernel, gram_products, was
     # built in round 1 and deleted in round 2: measured integrated 272 vs
     # 591 it/s (r1) / 447 vs 621 (r2) against this path — see DESIGN.md.)
     use_pallas: str = "auto"
@@ -125,6 +128,10 @@ class CorexConfig:
                 "optimizer='fixed_point' implements the non-overlap "
                 "closed-form update; use 'momentum'/'gd' with "
                 "discourage_overlap=False")
+        if self.use_pallas not in ("auto", "always", "never", "interpret"):
+            raise ValueError(
+                f"unknown use_pallas: {self.use_pallas!r} (expected 'auto', "
+                f"'always', 'never' or 'interpret')")
         if self.matmul_dtype not in ("float32", "bfloat16", "int8"):
             raise ValueError(
                 f"unknown matmul_dtype: {self.matmul_dtype!r} (expected "

@@ -91,11 +91,21 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
         cfg, optimizer="fixed_point" if fp_ok else "momentum")
 
 
+def chain_mode(cfg: CorexConfig):
+    """The chain_kernel flag ops.moments takes: False, True, or the string
+    'interpret' (run the kernel through the Pallas interpreter — the
+    off-TPU exercise path; cfg.use_pallas='interpret')."""
+    if cfg.use_pallas == "interpret":
+        return "interpret"
+    return cfg.use_pallas == "always"
+
+
 def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
     """Close the active objective/direction over the data (samples or Gram).
 
     strategy: 'samples' | 'gram'. cfg.use_pallas='always' routes the
-    elementwise chain through the fused Pallas chain kernel ('auto' must be
+    elementwise chain through the fused Pallas chain kernel ('interpret'
+    does the same through the Pallas interpreter; 'auto' must be
     resolved to 'always'/'never' by the caller — Corex.fit does). For
     optimizer='fixed_point' the returned "gradient" is the fixed-point
     residual ws − Ŵ (`[U] :: _update_ws`), which the solver's plain-GD step
@@ -115,7 +125,7 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
             "pass M.quantize_samples(x) (Corex.fit and the restart/"
             "selection drivers do this)")
     bf16 = cfg.matmul_dtype == "bfloat16"
-    chain = cfg.use_pallas == "always"
+    chain = chain_mode(cfg)
     gram = strategy == "gram"
     if cfg.optimizer == "fixed_point":
         # fixed_point + overlap is rejected by CorexConfig.__post_init__

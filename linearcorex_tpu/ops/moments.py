@@ -324,7 +324,15 @@ def _apply_sigma_t(data, bf16, gram, dtype):
     return lambda v: _mm(data.T, _mm(data, v)) / n
 
 
-def _run_chain(ws, c_xy, y_scale, rho_clip):
+def _chain_interp(chain_kernel):
+    """Interpreter flag for a chain_kernel mode: the flag is False/True or
+    the string 'interpret' (run the kernel through the Pallas interpreter —
+    cfg.use_pallas='interpret', the off-TPU exercise path). None defers to
+    pallas_moments.INTERPRET_DEFAULT (the test fixture's knob)."""
+    return True if chain_kernel == "interpret" else None
+
+
+def _run_chain(ws, c_xy, y_scale, rho_clip, interpret=None):
     """Shared prologue + fused chain call: cov(y) from C_xy, then the
     Pallas chain kernel. Returns (dt, z2, sqz, chain outputs...)."""
     from linearcorex_tpu.ops.pallas_moments import ns_chain
@@ -334,7 +342,8 @@ def _run_chain(ws, c_xy, y_scale, rho_clip):
     z2 = jnp.diagonal(cy)
     sqz = jnp.sqrt(z2)
     ry = cy / jnp.outer(sqz, sqz)
-    return dt, z2, sqz, ns_chain(c_xy, ry, sqz, rho_clip)
+    return dt, z2, sqz, ns_chain(c_xy, ry, sqz, rho_clip,
+                                 interpret=interpret)
 
 
 def _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale):
@@ -345,14 +354,15 @@ def _chain_obj_tc(dt, z2, sum_log_vi, mi_sums, y_scale):
     return objective, tc
 
 
-def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip):
+def _ns_obj_grad_chain(ws, c_xy, apply_sigma_t, eps, y_scale, rho_clip,
+                       interpret=None):
     """Objective/gradient via the fused Pallas chain kernel
     (ops/pallas_moments.py :: ns_chain). Works in (p, m) layout end-to-end —
     no (m, p) transposes materialize. `apply_sigma_t(v)` maps a (p, m)
     matrix to Σ_emp·v (gram or samples backend); the eps blend is applied
     here."""
     dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, sum_log_vi) = _run_chain(
-        ws, c_xy, y_scale, rho_clip)
+        ws, c_xy, y_scale, rho_clip, interpret=interpret)
     aa_t = aa_t.astype(dt)
     coef = (kappa + mu - 1.0).astype(dt)
     aas_t = apply_sigma_t(aa_t)
@@ -396,7 +406,7 @@ def _ns_obj_grad(ws, data, eps, y_scale, rho_clip, bf16, chain_kernel,
     if chain_kernel:
         return _ns_obj_grad_chain(
             ws, c_xy, _apply_sigma_t(data, bf16, gram, ws.dtype), eps,
-            y_scale, rho_clip)
+            y_scale, rho_clip, interpret=_chain_interp(chain_kernel))
     mom = moments_from_cxy(ws, c_xy, y_scale, rho_clip)
     aa, hmat, coef, sqz = _ns_gradient_terms(mom)
     if isinstance(data, QuantizedData):
@@ -457,7 +467,8 @@ def fp_parts_from_cxy(ws, c_xy, y_scale, rho_clip, chain_kernel=False):
     shard_map path reduces C_xy itself before calling this)."""
     if chain_kernel:
         dt, z2, sqz, (aa_t, hmat, kappa, mu, mi_sums, slv) = _run_chain(
-            ws, c_xy, y_scale, rho_clip)
+            ws, c_xy, y_scale, rho_clip,
+            interpret=_chain_interp(chain_kernel))
         coef = (kappa + mu - 1.0).astype(dt)
         a_mat = jnp.diag(coef) - hmat.astype(dt)
         objective, tc = _chain_obj_tc(dt, z2, slv, mi_sums, y_scale)

@@ -131,7 +131,10 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
     from jax import shard_map
     from jax.sharding import PartitionSpec as PS
 
+    from linearcorex_tpu.models.corex import chain_mode
+
     n_total = x.shape[0]
+    chain = chain_mode(cfg)
 
     def sharded_fit(x_local, w0_rep):
         def apply_sigma(v_t):
@@ -148,14 +151,15 @@ def _fit_program_shard_map(x, w0, cfg: CorexConfig, mesh_axis: str,
                 # further collectives needed
                 return M.ns_fp_from_cxy(
                     ws, c_xy, cfg.y_scale, cfg.rho_clip,
-                    chain_kernel=cfg.use_pallas == "always")
-            if cfg.use_pallas == "always":
+                    chain_kernel=chain)
+            if chain:
                 return M._ns_obj_grad_chain(
                     ws, c_xy,
                     lambda v: jax.lax.psum(
                         M._mm(x_local.T, M._mm(x_local, v)) / n_total,
                         mesh_axis),
-                    eps, cfg.y_scale, cfg.rho_clip)
+                    eps, cfg.y_scale, cfg.rho_clip,
+                    interpret=M._chain_interp(chain))
             mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
             aa, hmat, coef, sqz = M._ns_gradient_terms(mom)
             aas = apply_sigma(aa.T).T

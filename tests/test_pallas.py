@@ -96,3 +96,34 @@ def test_ns_chain_rejects_float64():
     sqz = jnp.ones((m,), jnp.float64)
     with pytest.raises(ValueError, match="float64"):
         PM.ns_chain(cxy, ry, sqz, 1 - 1e-6, interpret=True)
+
+
+def test_use_pallas_interpret_mode():
+    """use_pallas='interpret' runs the chain kernel through the Pallas
+    interpreter end-to-end (fit + shard_map fit) WITHOUT touching
+    pallas_moments.INTERPRET_DEFAULT — the config-level replacement for
+    the module-global flip CLAUDE.md's invariants forbid."""
+    import linearcorex_tpu as lc
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.parallel.sharding import fit_shard_map, make_mesh
+    from tests.conftest import block_data
+
+    assert PM.INTERPRET_DEFAULT is False  # nothing in the library flips it
+    p, m = 256, 128
+    x = block_data(n=600, p=p, m=8, seed=5)
+    a = lc.Corex(n_hidden=m, max_iter=40, anneal=False, seed=0,
+                 use_pallas="interpret").fit(x)
+    b = lc.Corex(n_hidden=m, max_iter=40, anneal=False, seed=0,
+                 use_pallas="never").fit(x)
+    assert abs(a.tc - b.tc) / max(abs(b.tc), 1e-6) < 1e-3
+    assert PM.INTERPRET_DEFAULT is False
+
+    mesh = make_mesh()
+    cfg = CorexConfig(n_hidden=m, max_iter=5, anneal=False,
+                      record_history=False, use_pallas="interpret")
+    xj = jnp.asarray((x - x.mean(0)) / x.std(0), jnp.float32)
+    w0 = jnp.asarray(np.random.RandomState(0).normal(
+        scale=1.0 / np.sqrt(p), size=(m, p)), jnp.float32)
+    _, mom, _ = fit_shard_map(xj, w0, cfg, mesh)
+    assert np.isfinite(float(mom.tc))
+    assert PM.INTERPRET_DEFAULT is False
