@@ -79,25 +79,120 @@ class QuantizedData(NamedTuple):
     For the standardized operands this mode quantizes, accumulands are
     zero-mean with RMS ~23 — the measured p=500k run sits ~5e3 standard
     deviations below the wrap point — but adversarially rank-1-aligned
-    inputs could overflow SILENTLY; use 'bfloat16' when the data is not
-    approximately standardized-Gaussian-like."""
+    inputs could overflow. `quantize_samples` GUARDS this at quantize
+    time (eager callers — Corex.fit, pick_n_hidden, the restart drivers):
+    when the guaranteed-safe certificate 127·max(row/col |q| sums) ≤
+    int32 max fails, a random-vector probe compares int32 vs float
+    accumulation of the same int8 operands and RAISES on an actual wrap,
+    warns on a merely-possible one (tests/test_int8.py); use 'bfloat16'
+    when the data is not approximately standardized-Gaussian-like."""
 
     q: jax.Array       # (n, p) samples or (p, p) Gram, int8
     scale: jax.Array   # () float32
 
 
-def quantize_samples(x) -> QuantizedData:
+_INT32_MAX = float(2 ** 31 - 1)
+
+
+@jax.jit
+def _int8_abs_sum_bound(q):
+    """Guaranteed-safe int32 accumulation certificate: every contraction
+    the int8 paths run (q @ vq over axis 1, qᵀ @ tq over axis 0, both
+    against |operand| ≤ 127) is bounded in magnitude by
+    127 · max(row |q| sums, col |q| sums). If that is ≤ int32 max, NO
+    application vector can wrap. f32 sums are exact to ~1e-7 relative —
+    irrelevant against the bound's own slack."""
+    a = jnp.abs(q).astype(_F32)
+    return 127.0 * jnp.maximum(jnp.max(jnp.sum(a, axis=0)),
+                               jnp.max(jnp.sum(a, axis=1)))
+
+
+@jax.jit
+def _int8_wrap_probe(q, u):
+    """Max relative disagreement between int32 and float32 accumulation of
+    the SAME int8 operands over both contraction axes. int32 wrap shows as
+    O(1) relative error (the wrapped value is off by a multiple of 2³²);
+    f32 accumulation rounding is ~1e-6 — cleanly separable.
+
+    Probe vectors: random columns AND data-aligned columns (one power-
+    iteration step, v = qᵀ·u). The aligned columns model the solver's real
+    late-fit operands — near convergence the columns of Wᵀ/AAᵀ align with
+    the data's principal structure, which is exactly when rank-1-aligned
+    inputs wrap (a plain random probe misses this: sign cancellation keeps
+    it ~√p below the worst case)."""
+    def one(a, b):
+        r32 = jnp.matmul(a, b, preferred_element_type=jnp.int32).astype(
+            _F32)
+        rf = jnp.matmul(a.astype(_F32), b.astype(_F32),
+                        preferred_element_type=_F32)
+        return jnp.max(jnp.abs(r32 - rf)) / jnp.maximum(
+            jnp.max(jnp.abs(rf)), 1.0)
+    qf = q.astype(_F32)
+    v = jnp.concatenate([u[: q.shape[1]],
+                         jnp.matmul(qf.T, u[: q.shape[0]],
+                                    preferred_element_type=_F32)], axis=1)
+    vq, _ = _quant_cols(v)
+    t = jnp.matmul(qf, vq.astype(_F32), preferred_element_type=_F32)
+    tq, _ = _quant_cols(t)
+    return jnp.maximum(one(q, vq), one(q.T, tq))
+
+
+def _check_int8_wrap(qd: "QuantizedData") -> None:
+    """Runtime guard against silent int32 accumulator wrap (see the
+    `QuantizedData` accumulation-range note). Certificate first (free);
+    only when it fails, probe the actual int8 GEMMs with a random
+    application vector: raise on a demonstrated wrap, warn on a
+    merely-possible one."""
+    import warnings
+
+    import numpy as np
+    q = qd.q
+    if q.ndim != 2:
+        return
+    if float(_int8_abs_sum_bound(q)) <= _INT32_MAX:
+        return
+    u = jnp.asarray(np.random.RandomState(0).normal(
+        size=(max(q.shape), 4)), _F32)
+    err = float(_int8_wrap_probe(q, u))
+    if err > 0.1:
+        raise ValueError(
+            f"int8 accumulation overflow: the quantized operand wraps the "
+            f"int32 accumulator on a random application vector (relative "
+            f"error {err:.2f} vs float accumulation). This data is too "
+            f"aligned/long-axis for matmul_dtype='int8' — use 'bfloat16' "
+            f"(or 'float32'), or pass check_overflow=False to "
+            f"quantize_samples to override")
+    warnings.warn(
+        f"int8 accumulation COULD overflow: the guaranteed-safe bound "
+        f"127*max(|q| row/col sums) = {float(_int8_abs_sum_bound(q)):.3g} "
+        f"exceeds int32 max ({_INT32_MAX:.3g}). A random-vector probe "
+        f"found no wrap (relative error {err:.2g}), which is expected for "
+        f"standardized zero-mean data, but adversarially aligned "
+        f"application vectors could still wrap silently — prefer "
+        f"matmul_dtype='bfloat16' if the data is not approximately "
+        f"standardized-Gaussian-like")
+
+
+def quantize_samples(x, check_overflow: bool = True) -> QuantizedData:
     """Quantize a standardized samples matrix (or a correlation-scaled
-    Gram matrix — see `quantize_gram`) to int8 with one global scale."""
+    Gram matrix — see `quantize_gram`) to int8 with one global scale.
+
+    check_overflow=True (default) runs the int32 accumulator-wrap guard
+    (`_check_int8_wrap`) when called eagerly; inside a jit trace the guard
+    is skipped (it needs host control flow) — quantize eagerly, as every
+    library driver does, to keep the guard."""
     s = jnp.maximum(jnp.max(jnp.abs(x)).astype(_F32) / 127.0, 1e-30)
     q = jnp.clip(jnp.round(x.astype(_F32) / s), -127, 127).astype(jnp.int8)
-    return QuantizedData(q=q, scale=s)
+    qd = QuantizedData(q=q, scale=s)
+    if check_overflow and not isinstance(q, jax.core.Tracer):
+        _check_int8_wrap(qd)
+    return qd
 
 
-def quantize_gram(g) -> QuantizedData:
+def quantize_gram(g, check_overflow: bool = True) -> QuantizedData:
     """Quantize a Gram/correlation matrix to int8 (per-tensor scale —
     correlation entries live in [−1, 1], so the range is homogeneous)."""
-    return quantize_samples(g)
+    return quantize_samples(g, check_overflow=check_overflow)
 
 
 def _quant_cols(v):

@@ -166,3 +166,61 @@ def test_int8_shard_map_rejected():
     with pytest.raises(ValueError, match="fit_sharded"):
         fit_shard_map(x, w, CorexConfig(n_hidden=2, matmul_dtype="int8"),
                       mesh)
+
+
+# ---------------------------------------------------------------------------
+# int32 accumulator-wrap guard (quantize-time; VERDICT r2 Weak #2)
+# ---------------------------------------------------------------------------
+
+def test_int8_overflow_guard_raises_on_aligned_wrap():
+    """Adversarially rank-1-aligned operand whose real int8 GEMM wraps
+    int32 (127² x 140k contraction > 2³¹): before the guard this returned
+    silently-wrong moments; now quantize_samples raises."""
+    import jax.numpy as jnp
+    x = jnp.asarray(np.ones((2, 140_000), np.float32))
+    with pytest.raises(ValueError, match="overflow"):
+        M.quantize_samples(x)
+
+
+def test_int8_overflow_guard_warns_when_possible_but_unwrapped():
+    """Random-sign data with the same long axis: the guaranteed-safe bound
+    fails but sign cancellation keeps actual accumulation ~√p below the
+    wrap point — the guard warns instead of raising, and the quantized
+    operand still computes correct products."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(
+        rng.choice([-1.0, 1.0], size=(2, 140_000)).astype(np.float32))
+    with pytest.warns(UserWarning, match="COULD overflow"):
+        qd = M.quantize_samples(x)
+    v = jnp.asarray(rng.normal(size=(140_000, 2)).astype(np.float32))
+    ref = np.asarray(x).T @ (np.asarray(x) @ np.asarray(v)) / 2
+    got = np.asarray(M._apply_sigma_int8(qd, v))
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.05
+
+
+def test_int8_overflow_guard_silent_on_standard_data(recwarn):
+    """The certificate passes on ordinary standardized data — no warning,
+    no probe, no behavior change."""
+    import jax.numpy as jnp
+    qd = M.quantize_samples(jnp.asarray(_data(), np.float32))
+    assert qd.q.dtype == np.int8
+    assert not [w for w in recwarn.list
+                if "overflow" in str(w.message)]
+
+
+def test_int8_overflow_guard_overridable_and_jit_transparent():
+    """check_overflow=False skips the guard; under jit tracing the guard
+    is skipped automatically (it needs host control flow)."""
+    import jax
+    import jax.numpy as jnp
+    x = jnp.asarray(np.ones((2, 140_000), np.float32))
+    qd = M.quantize_samples(x, check_overflow=False)   # no raise
+    assert qd.q.shape == (2, 140_000)
+
+    @jax.jit
+    def quantize_traced(x):
+        return M.quantize_samples(x).q
+
+    assert quantize_traced(x).dtype == np.int8         # no raise
