@@ -65,7 +65,10 @@ int64_t parse_line(const char* s, const char* end, char delim,
         bool neg = false;
         if (*p == '+') {
             ++p;
-            if (p >= end) return -1;
+            // a sign after the consumed '+' ("+-5") must be an error:
+            // std::from_chars would otherwise accept the '-', while the
+            // Python fallback (float("+-5")) raises — stay identical
+            if (p >= end || *p == '+' || *p == '-') return -1;
         } else if (*p == '-') {
             neg = true;
         }

@@ -221,3 +221,24 @@ def test_loader_fallback_matches_native(tmp_path, monkeypatch):
             list(S.iter_text_blocks(bad))
         with pytest.raises(ValueError):
             list(S.iter_text_blocks(trailing))
+
+
+def test_loader_double_sign_rejected(tmp_path, monkeypatch):
+    """"+-5" must be rejected by BOTH readers: pre-consuming the '+' must
+    not let std::from_chars accept a second sign (the Python fallback's
+    float("+-5") raises) — fallback-identical contract."""
+    import pytest
+
+    from linearcorex_tpu.utils import native
+    from linearcorex_tpu.utils import streaming as S
+
+    bad = _write(tmp_path, "ds.csv", "1,+-5,2\n")
+    bad2 = _write(tmp_path, "ds2.csv", "1,++5,2\n")
+    for path in (bad, bad2):
+        if native.available():
+            with pytest.raises(ValueError):
+                list(S.iter_text_blocks(path))
+        monkeypatch.setattr(native, "available", lambda: False)
+        with pytest.raises(ValueError):
+            list(S.iter_text_blocks(path))
+        monkeypatch.undo()
