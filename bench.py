@@ -53,19 +53,13 @@ BASELINE_ITERS_PER_SEC = 1.0 / 12.72   # BASELINE.md §2, NumPy f64 1-core
 
 def main():
     quick = "--quick" in sys.argv
-    import os
-
     import jax
 
     # Persistent compilation cache: compiles dominate wall time on this
     # attachment (remote compile service); repeat bench runs hit the cache.
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+    # Shared wiring with the library entry points (utils/compile_cache.py).
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
     import jax.numpy as jnp
 
     from linearcorex_tpu.config import CorexConfig

@@ -20,6 +20,8 @@ from linearcorex_tpu.models.stacked import StackedCorex
 from linearcorex_tpu.ops.moments import (QuantizedData, quantize_gram,
                                          quantize_samples)
 from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
+from linearcorex_tpu.utils.compile_cache import (ensure_compile_cache,
+                                                 warmup_fit)
 from linearcorex_tpu.utils.streaming import (GramAccumulator,
                                              fit_csv,
                                              fit_from_covariance)
@@ -39,5 +41,7 @@ __all__ = [
     "QuantizedData",
     "quantize_samples",
     "quantize_gram",
+    "ensure_compile_cache",
+    "warmup_fit",
     "__version__",
 ]

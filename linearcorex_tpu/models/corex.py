@@ -391,6 +391,8 @@ class Corex:
         when matmul_dtype='bfloat16'). resolve=False leaves
         use_pallas='auto' for a downstream driver that resolves against
         its own mesh (fit_sharded)."""
+        from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+        ensure_compile_cache()
         self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
@@ -489,6 +491,18 @@ class Corex:
     def fit_transform(self, x):
         self.fit(x)
         return self.transform(x)
+
+    def warmup(self, n_samples, n_variables, mesh=None,
+               sharding_plan=None):
+        """Ahead-of-time compile of the fit program for declared input
+        shapes (no data; `utils.compile_cache.warmup_fit`). With the
+        persistent compile cache (on by default), the first real
+        `fit(X)` on matching shapes reuses the artifact instead of
+        paying the first-call compile wait. Returns self."""
+        from linearcorex_tpu.utils.compile_cache import warmup_fit
+        warmup_fit(self, n_samples, n_variables, mesh=mesh,
+                   sharding_plan=sharding_plan)
+        return self
 
     # ------------------------------------------------------------------
     def _check_fitted(self):

@@ -28,6 +28,7 @@ per-candidate loop (early-stops on saturation; one compile per candidate).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import numpy as np
@@ -96,6 +97,7 @@ def _best_n_from_scores(scores, tc_gain_tol: float) -> int:
     return best_n
 
 
+@functools.lru_cache(maxsize=None)
 def _heldout_scorer(overlap: bool):
     """Jitted vmapped scorer: mean Gaussian log-likelihood of the
     (preprocessed) validation rows under each batched model's factor
@@ -103,7 +105,12 @@ def _heldout_scorer(overlap: bool):
     the standardized space (the affine-Jacobian constant is identical
     across candidates, so rankings are unaffected). Padded candidates
     score correctly as-is: dead surplus factors have rhoinvrho rows ~0 and
-    contribute nothing to ZᵀZ."""
+    contribute nothing to ZᵀZ.
+
+    lru_cached per overlap flag: a fresh jax.jit wrapper per call would
+    defeat the jit dispatch cache and recompile the scorer once per
+    candidate on the sequential (padded_sweep=False) path — 30 s+ per
+    candidate on the remote-compile attachment (ADVICE r2)."""
     import jax
     import jax.numpy as jnp
 
@@ -157,6 +164,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     loop (with the saturation early-stop under criterion='tc')."""
     import jax.numpy as jnp
 
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
     if repeat < 1:
         raise ValueError(f"repeat must be >= 1, got {repeat}")
     if max_n_hidden is not None and max_n_hidden < 1:

@@ -80,7 +80,9 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str,
     sample count); on the samples strategy it is inferred from the data."""
     from linearcorex_tpu.models.corex import resolve_config
     from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
 
+    ensure_compile_cache()
     if n_samples is None and strategy == "samples":
         n_samples = (data.q if isinstance(data, QuantizedData)
                      else data).shape[0]
@@ -101,7 +103,9 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
     from linearcorex_tpu.models.corex import resolve_config
 
     from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
 
+    ensure_compile_cache()
     if n_samples is None and strategy == "samples":
         n_samples = (data.q if isinstance(data, QuantizedData)
                      else data).shape[0]

@@ -191,6 +191,8 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
     the Pallas chain kernel should run under sharding (cfg.use_pallas=
     'always'), or when you want the collectives visible in the program.
     Only the non-overlap solver path is supported here."""
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
     if not cfg.discourage_overlap:
         raise ValueError("fit_shard_map supports discourage_overlap=True "
                          "only; use fit_sharded for the overlap path")
@@ -220,6 +222,8 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     ΣWᵀ row-blocks are chip-local, and the small m x m products reduce over
     ICI). Returns (ws, Moments, FitDiagnostics) with ws replicated (m x p —
     small, needed by every chip each iteration)."""
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
     if plan.shard_vars or plan.shard_factors:
         # the chain kernel runs on the full (p, m) cross-moment; under a
         # var- or factor-sharded layout GSPMD would have to all-gather /
