@@ -254,3 +254,51 @@ def test_score_rejects_nonaffine_gaussianize(small_block_data):
         small_block_data)
     with pytest.raises(ValueError, match="affine|empirical|standard"):
         c.score(small_block_data)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_covariance_matmat_matches_dense(med_block_data, overlap):
+    """Σ̂·V block application ≡ dense Σ̂ @ V on both solver paths (f64)."""
+    c = lc.Corex(n_hidden=8, seed=0, dtype="float64",
+                 discourage_overlap=not overlap).fit(med_block_data)
+    cov = np.asarray(c.get_covariance())
+    v = np.random.RandomState(1).normal(size=(64, 5))
+    got = np.asarray(c.covariance_matmat(v))
+    assert got.shape == (64, 5)
+    assert np.abs(got - cov @ v).max() < 1e-8
+    # and column-wise consistency with matvec
+    mv = np.asarray(c.covariance_matvec(v[:, 0]))
+    assert np.abs(got[:, 0] - mv).max() < 1e-10
+
+
+def test_covariance_matmat_validates_width(med_block_data):
+    c = lc.Corex(n_hidden=4, seed=0).fit(med_block_data)
+    with pytest.raises(ValueError, match="rows"):
+        c.covariance_matmat(np.zeros((3, 2)))
+    with pytest.raises(ValueError, match="rows"):
+        c.covariance_matmat(np.zeros(64))
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+@pytest.mark.parametrize("block_size", [64, 17, 100])
+def test_covariance_blocks_assemble_dense(med_block_data, overlap,
+                                          block_size):
+    """Row-block export reassembles exactly the dense covariance on both
+    paths, for exact-dividing, ragged, and larger-than-p block sizes."""
+    c = lc.Corex(n_hidden=8, seed=0, dtype="float64",
+                 discourage_overlap=not overlap).fit(med_block_data)
+    cov = np.asarray(c.get_covariance())
+    out = np.full_like(cov, np.nan)
+    for start, rows in c.covariance_blocks(block_size):
+        rows = np.asarray(rows)
+        out[start:start + rows.shape[0]] = rows
+    assert np.isfinite(out).all()
+    assert np.abs(out - cov).max() < 1e-8
+
+
+def test_covariance_blocks_validates(med_block_data):
+    c = lc.Corex(n_hidden=4, seed=0).fit(med_block_data)
+    with pytest.raises(ValueError, match="block_size"):
+        list(c.covariance_blocks(0))
+    with pytest.raises(RuntimeError, match="not fitted"):
+        list(lc.Corex(n_hidden=4).covariance_blocks())
