@@ -48,11 +48,18 @@ def ensure_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     current = jax.config.jax_compilation_cache_dir
     if current:
         return current
-    cache_dir = (cache_dir
-                 or os.environ.get("LINEARCOREX_TPU_CACHE_DIR")
-                 or os.path.join(os.path.dirname(os.path.dirname(
-                     os.path.dirname(os.path.abspath(__file__)))),
-                     ".jax_cache"))
+    cache_dir = cache_dir or os.environ.get("LINEARCOREX_TPU_CACHE_DIR")
+    if cache_dir is None:
+        # Default-on only off-CPU: the cache exists to kill the 30 s-to-
+        # minutes remote TPU compiles; CPU compiles are local and fast,
+        # and XLA:CPU AOT artifacts are machine-feature-flag sensitive —
+        # reloading an entry compiled by a process with different CPU
+        # feature flags logs SIGILL-risk errors (observed here). Opt in
+        # explicitly (env var / cache_dir arg) to cache CPU compiles.
+        if jax.default_backend() == "cpu":
+            return None
+        cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), ".jax_cache")
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

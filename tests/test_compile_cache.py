@@ -49,6 +49,17 @@ def test_ensure_opt_out(clean_cache_config, monkeypatch):
     assert jax.config.jax_compilation_cache_dir is None
 
 
+def test_ensure_default_off_on_cpu(clean_cache_config, monkeypatch):
+    """Without an explicit dir the cache stays OFF on the CPU backend:
+    XLA:CPU AOT artifacts are machine-feature-flag sensitive across
+    processes (SIGILL-risk on reload) and local CPU compiles are fast —
+    the default-on behavior targets the remote TPU compile service."""
+    monkeypatch.delenv("LINEARCOREX_TPU_CACHE_DIR", raising=False)
+    assert jax.default_backend() == "cpu"
+    assert ensure_compile_cache() is None
+    assert jax.config.jax_compilation_cache_dir is None
+
+
 def test_fit_enables_cache(clean_cache_config):
     x = block_data(n=200, p=16, m=2, seed=0)
     lc.Corex(n_hidden=2, max_iter=5, record_history=False).fit(x)
