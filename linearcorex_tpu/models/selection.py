@@ -37,8 +37,9 @@ from linearcorex_tpu.config import CorexConfig
 from linearcorex_tpu.models.corex import Corex
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
-from linearcorex_tpu.parallel.restarts import (fit_restarts, init_restarts,
-                                               seed_base)
+from linearcorex_tpu.parallel.restarts import (fit_restarts,
+                                               fit_restarts_sharded,
+                                               init_restarts, seed_base)
 
 __all__ = ["pick_n_hidden"]
 
@@ -136,12 +137,56 @@ def _score_batch(xv, mom_b, overlap: bool):
     return np.asarray(scorer(xv, mom_b.cy, mom_b.c_xy))
 
 
+def _restart_batch_runner(mesh, restart_axis: str):
+    """Batch-fit dispatcher for the selection sweep: single-device
+    `fit_restarts`, or — with a mesh — `fit_restarts_sharded` with the
+    (candidate, restart) batch axis sharded over `restart_axis` (the
+    zero-communication EP layout, SURVEY.md §2.8; VERDICT r2 Missing #4a).
+    A batch that does not divide the axis is padded by repeating the last
+    init (GSPMD sharding needs divisibility) and the padded lanes are
+    dropped from every result before scoring."""
+    if mesh is None:
+        return lambda data, w0, cfg, strategy, n: fit_restarts(
+            data, w0, cfg, strategy, n_samples=n)
+    if restart_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has axes {mesh.axis_names}; pick_n_hidden shards the "
+            f"restart batch over {restart_axis!r} — build the mesh with "
+            f"that axis (make_mesh((({restart_axis!r}, n_devices),))) or "
+            f"pass restart_axis=")
+    import jax
+    import jax.numpy as jnp
+
+    d = dict(zip(mesh.axis_names, mesh.devices.shape))[restart_axis]
+
+    def run(data, w0, cfg, strategy, n):
+        pad = (-w0.shape[0]) % d
+        if pad:
+            w0 = jnp.concatenate(
+                [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
+        out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
+                                   axis_name=restart_axis, n_samples=n)
+        if pad:
+            out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
+        return out
+
+    return run
+
+
 def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
                   verbose: bool = False, tc_gain_tol: float = 1e-3,
                   dtype: str = "float32", seed: Optional[int] = None,
                   padded_sweep: bool = True, criterion: str = "tc",
-                  val_fraction: float = 0.2, **corex_kwargs):
+                  val_fraction: float = 0.2, mesh=None,
+                  restart_axis: str = "restarts", **corex_kwargs):
     """Choose n_hidden; returns (best_n, scores).
+
+    `mesh` (a jax.sharding.Mesh with a `restart_axis` axis) shards the
+    (candidate, restart) batch over the mesh's devices — each device runs
+    its slice of the sweep against a replicated copy of the data, the
+    zero-communication layout for many small/medium fits. Results are
+    identical to the single-device sweep up to fp reduction order
+    (tests/test_selection.py equivalence test).
 
     criterion='tc' (the reference's rule, `[U] :: pick_n_hidden`): scan
     until the training TC saturates; scores[k] is the best TC over
@@ -220,13 +265,13 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
     overlap = not probe.discourage_overlap
     label = "TC" if criterion == "tc" else "held-out loglik"
+    run_batch = _restart_batch_runner(mesh, restart_axis)
 
     if padded_sweep:
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
                           record_history=False, **corex_kwargs)
         w0 = _padded_inits(max_n_hidden, repeat, p, seed, jnp.dtype(dtype))
-        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
-                                   n_samples=n)
+        _, mom_b, _ = run_batch(shared, w0, cfg, strategy, n)
         if criterion == "heldout":
             per = _score_batch(xv, mom_b, overlap)
         else:
@@ -247,8 +292,7 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         cfg = CorexConfig(n_hidden=nh, dtype=dtype, record_history=False,
                           **corex_kwargs)
         w0 = init_restarts(repeat, nh, p, seed, jnp.dtype(dtype))
-        _, mom_b, _ = fit_restarts(shared, w0, cfg, strategy,
-                                   n_samples=n)
+        _, mom_b, _ = run_batch(shared, w0, cfg, strategy, n)
         if criterion == "heldout":
             s_best = float(np.max(_score_batch(xv, mom_b, overlap)))
         else:

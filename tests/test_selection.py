@@ -2,6 +2,9 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
+
+import linearcorex_tpu as lc
 
 from linearcorex_tpu.config import CorexConfig
 from linearcorex_tpu.models.selection import pick_n_hidden
@@ -153,3 +156,51 @@ def test_pick_n_hidden_accepts_record_history_kwarg():
     best, _ = pick_n_hidden(x, repeat=1, max_n_hidden=3,
                             record_history=False, tol=1e-3)
     assert 1 <= best <= 3
+
+
+# ---------------------------------------------------------------------------
+# mesh-sharded selection (VERDICT r2 Missing #4a)
+# ---------------------------------------------------------------------------
+
+def _mesh_restarts():
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    return make_mesh((("restarts", 8),))
+
+
+@pytest.mark.parametrize("criterion", ["tc", "heldout"])
+def test_pick_n_hidden_mesh_equivalence(criterion):
+    """The restart-axis-sharded sweep picks the same best_n with scores
+    equal to the single-device sweep to fp tolerance — including the
+    non-divisible batch (3 candidates x 2 restarts = 6 lanes on 8
+    devices → 2 padded lanes dropped)."""
+    x = block_data(n=400, p=24, m=3, seed=7)
+    kw = dict(repeat=2, max_n_hidden=3, max_iter=400, seed=0,
+              criterion=criterion)
+    best_ref, scores_ref = lc.pick_n_hidden(x, **kw)
+    best_mesh, scores_mesh = lc.pick_n_hidden(x, mesh=_mesh_restarts(),
+                                              **kw)
+    assert best_mesh == best_ref
+    np.testing.assert_allclose(scores_mesh, scores_ref, rtol=2e-3,
+                               atol=1e-4)
+
+
+def test_pick_n_hidden_mesh_sequential_path():
+    """padded_sweep=False with a mesh shards each candidate's restart
+    batch too (same saturation rule, same result)."""
+    x = block_data(n=400, p=24, m=3, seed=8)
+    kw = dict(repeat=3, max_n_hidden=4, max_iter=400, seed=1,
+              padded_sweep=False)
+    best_ref, scores_ref = lc.pick_n_hidden(x, **kw)
+    best_mesh, scores_mesh = lc.pick_n_hidden(x, mesh=_mesh_restarts(),
+                                              **kw)
+    assert best_mesh == best_ref
+    np.testing.assert_allclose(scores_mesh, scores_ref, rtol=2e-3,
+                               atol=1e-4)
+
+
+def test_pick_n_hidden_mesh_axis_validation():
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    x = block_data(n=200, p=16, m=2, seed=0)
+    with pytest.raises(ValueError, match="restarts"):
+        lc.pick_n_hidden(x, mesh=make_mesh((("data", 8),)), repeat=1,
+                         max_n_hidden=2, max_iter=50)
