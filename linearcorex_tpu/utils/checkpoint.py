@@ -92,7 +92,8 @@ def save_corex(model: Corex, path: str) -> None:
     np.savez(path, **arrays)
 
 
-def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
+def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
+                         mesh=None, sharding_plan=None):
     """Run the annealed fit one stage at a time, saving (ws, stage) at each
     anneal-stage boundary — preemption recovery for long fits on TPU VMs
     (SURVEY.md §5 checkpoint/resume). If `ckpt_dir` already holds a stage
@@ -107,6 +108,14 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     warning instead of silently continuing from stale weights. Finishes by
     populating `model` exactly like `Corex.fit` (final moments, sorted
     factors) and returns the model.
+
+    `mesh` (+ optional `sharding_plan`) runs every stage through the
+    sharded program `Corex.fit(mesh=...)` uses — checkpointing where
+    preemption actually matters: long sharded cfg5+ fits (VERDICT r2
+    Missing #4b). The stage weights come back replicated, so the .npz
+    format is mesh-independent: a fit checkpointed on one mesh can resume
+    on another mesh, or on a single device (the fingerprint covers
+    (config, data, schedule) — the math is layout-invariant).
     """
     import dataclasses as _dc
     import os
@@ -121,7 +130,11 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, "stage_state.npz")
 
-    data, cfg, strategy = model._prepare_fit(x)
+    data, cfg, strategy = model._prepare_fit(x, resolve=mesh is None)
+    if mesh is not None:
+        from linearcorex_tpu.parallel.sharding import (ShardingPlan,
+                                                       fit_sharded)
+        plan = sharding_plan or ShardingPlan()
     schedule = cfg.anneal_schedule()
     fingerprint = _fit_fingerprint(model, x, schedule)
     n_stages = len(schedule)
@@ -158,7 +171,11 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None):
     fp_arr = np.frombuffer(fingerprint.encode(), dtype=np.uint8)
     for s in range(start_stage, n_stages):
         stage_cfg = _dc.replace(cfg, eps_override=schedule[s])
-        ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
+        if mesh is not None:
+            ws, mom, diag = fit_sharded(data, ws, stage_cfg, mesh, plan,
+                                        strategy)
+        else:
+            ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
         stats["iters"][s] = int(diag.iters_per_stage[0])
         stats["tc"][s] = float(diag.tc_per_stage[0])
         stats["delta"][s] = float(diag.delta_per_stage[0])
