@@ -49,11 +49,15 @@ def _mesh_platform(mesh: Mesh) -> str:
     must resolve use_pallas='auto' to 'never'."""
     return mesh.devices.flat[0].platform
 
-__all__ = ["ShardingPlan", "make_mesh", "fit_sharded", "fit_shard_map"]
+__all__ = ["ShardingPlan", "make_mesh", "fit_sharded", "fit_shard_map",
+           "operand_specs", "SLICE_AXIS", "DATA_AXIS", "VAR_AXIS",
+           "FACTOR_AXIS"]
 
-DATA_AXIS = "data"     # shards the sample axis n
+DATA_AXIS = "data"     # shards the sample axis n (intra-slice / ICI)
 VAR_AXIS = "var"       # shards the variable axis p
 FACTOR_AXIS = "model"  # shards the factor axis m
+SLICE_AXIS = "slice"   # OUTER sample-axis shard: the multi-slice (DCN)
+#                        data-parallel axis of a 2-level slice x chip mesh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,21 +67,59 @@ class ShardingPlan:
     shard_samples: split X rows (n) over DATA_AXIS          [DP, primary]
     shard_vars:    split X cols + W cols (p) over VAR_AXIS  [SP analog]
     shard_factors: split W rows (m) over FACTOR_AXIS        [TP]
-    Any combination over a multi-axis mesh is valid as long as the mesh has
-    the named axes.
+    shard_slices:  split X rows over SLICE_AXIS too — the multi-slice
+                   layout (SURVEY.md §2.8 comm row: "ICI within a slice,
+                   DCN for multi-slice"): build a 2-level mesh
+                   ((SLICE_AXIS, n_slices), (DATA_AXIS, chips_per_slice))
+                   and the sample axis shards over BOTH, so each slice
+                   holds an n/n_slices row-block and each chip an
+                   n/(n_slices*chips) block. The p x m cross-moment
+                   psum then reduces over slice x chip; XLA lowers it
+                   hierarchically (intra-slice over ICI first). Audited
+                   mechanically in tests/test_sharding.py via
+                   parallel.audit's replica-group parsing.
+    Any combination over a multi-axis mesh is valid as long as the mesh
+    has the named axes.
     """
 
     shard_samples: bool = True
     shard_vars: bool = False
     shard_factors: bool = False
+    shard_slices: bool = False
+
+    def _sample_axes(self):
+        axes = []
+        if self.shard_slices:
+            axes.append(SLICE_AXIS)
+        if self.shard_samples:
+            axes.append(DATA_AXIS)
+        if not axes:
+            return None
+        return axes[0] if len(axes) == 1 else tuple(axes)
 
     def x_spec(self) -> P:
-        return P(DATA_AXIS if self.shard_samples else None,
+        return P(self._sample_axes(),
                  VAR_AXIS if self.shard_vars else None)
 
     def w_spec(self) -> P:
         return P(FACTOR_AXIS if self.shard_factors else None,
                  VAR_AXIS if self.shard_vars else None)
+
+
+def operand_specs(plan: "ShardingPlan", strategy: str):
+    """(data_spec, w_spec) for a fit operand under `plan` — the single
+    definition shared by fit_sharded, parallel.audit.audit_fit, and
+    utils.compile_cache.warmup_fit. strategy='gram' shards Σ's rows along
+    the variable axis (the sample axes don't exist on a Gram operand)."""
+    if strategy == "gram":
+        if plan.shard_slices:
+            raise ValueError(
+                "shard_slices splits the SAMPLE axis; a Gram operand "
+                "carries none — use shard_vars for multi-chip gram "
+                "layouts (Σ row-blocks)")
+        return (P(VAR_AXIS if plan.shard_vars else None, None),
+                P(FACTOR_AXIS if plan.shard_factors else None, None))
+    return plan.x_spec(), plan.w_spec()
 
 
 def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None,
@@ -243,10 +285,7 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         n_samples = operand.shape[0]
     cfg = resolve_config(cfg, operand.shape[-1],
                          platform=_mesh_platform(mesh), n_samples=n_samples)
-    if strategy == "gram":
-        data_spec = P(VAR_AXIS if plan.shard_vars else None, None)
-    else:
-        data_spec = plan.x_spec()
+    data_spec, w_spec = operand_specs(plan, strategy)
     if isinstance(data, QuantizedData):
         # shard the int8 operand like the plain one; the per-tensor scale
         # is a replicated scalar. The quantized math is shape-global
@@ -259,9 +298,6 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
             scale=jax.device_put(data.scale, NamedSharding(mesh, P())))
     else:
         data = jax.device_put(data, NamedSharding(mesh, data_spec))
-    w0 = jax.device_put(w0, NamedSharding(mesh, plan.w_spec()
-                                          if not strategy == "gram"
-                                          else P(
-        FACTOR_AXIS if plan.shard_factors else None, None)))
+    w0 = jax.device_put(w0, NamedSharding(mesh, w_spec))
     with jax.set_mesh(mesh):
         return _fit_program_sharded(data, w0, cfg, plan, strategy)

@@ -126,11 +126,7 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                 cfg = _dc.replace(cfg, use_pallas="never")
         cfg = resolve_config(cfg, p, platform=S._mesh_platform(mesh),
                              n_samples=n)
-        if strategy == "gram":
-            data_spec = P(S.VAR_AXIS if plan.shard_vars else None, None)
-            w_spec = P(S.FACTOR_AXIS if plan.shard_factors else None, None)
-        else:
-            data_spec, w_spec = plan.x_spec(), plan.w_spec()
+        data_spec, w_spec = S.operand_specs(plan, strategy)
         if cfg.matmul_dtype == "int8":
             data_arg = QuantizedData(
                 q=sds(data_shape, jnp.int8, data_spec),

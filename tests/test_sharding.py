@@ -309,3 +309,127 @@ def test_sharded_fit_resolves_optimizer_auto(setup):
     ws_f, mom_f, _ = fit_sharded(xp, w0, cfg_fp, mesh, ShardingPlan())
     assert float(mom_a.tc) == float(mom_f.tc)
     assert np.array_equal(np.asarray(ws_a), np.asarray(ws_f))
+
+
+# ---------------------------------------------------------------------------
+# Multi-slice (2-level slice x chip mesh) — SURVEY §2.8 comm row: "ICI
+# within a slice, DCN for multi-slice" (VERDICT r2 Missing #3)
+# ---------------------------------------------------------------------------
+
+def _slice_mesh(inner_axis=DATA_AXIS, inner=4):
+    from linearcorex_tpu.parallel.sharding import SLICE_AXIS
+    return make_mesh(((SLICE_AXIS, 8 // inner), (inner_axis, inner)))
+
+
+def test_multislice_two_level_dp_equivalence(setup):
+    """Sample sharding over BOTH levels of a slice(2) x data(4) mesh
+    reproduces the single-device fit exactly (f64)."""
+    xp, w0, cfg, ref = setup
+    mesh = _slice_mesh()
+    plan = ShardingPlan(shard_samples=True, shard_slices=True)
+    ws, mom, _ = fit_sharded(xp, w0, cfg, mesh, plan)
+    assert abs(float(mom.tc) - ref.tc) < 1e-8
+    assert np.abs(np.asarray(ws) - np.asarray(ref.ws)).max() < 1e-8
+
+
+def test_multislice_comm_surface_is_merged_pxm_allreduce():
+    """2-level DP: the compiled program's only collectives are p x m
+    cross-moment all-reduces whose replica groups span the full
+    slice x chip product (XLA merges the two-axis psum into one
+    all-reduce; lowering splits it hierarchically on real DCN+ICI
+    topologies). Nothing O(n) or O(p²) crosses either axis."""
+    from linearcorex_tpu.parallel.audit import audit_fit
+    p, m, n = 64, 8, 512
+    x = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    cfg = CorexConfig(n_hidden=m, record_history=False, max_iter=50)
+    mesh = _slice_mesh()
+    ops = audit_fit(x, w, cfg, mesh,
+                    ShardingPlan(shard_samples=True, shard_slices=True))
+    assert ops
+    assert all(o.kind == "all-reduce" for o in ops), [o.kind for o in ops]
+    assert all(o.bytes <= p * m * 4 for o in ops)
+    assert all(o.group_size == 8 for o in ops), \
+        [(o.kind, o.group_size) for o in ops]
+
+
+def test_multislice_dcn_vs_ici_axis_classification():
+    """slice(2) x model(4) layout (samples over the slice/DCN axis,
+    factors over the chip/ICI axis): the audit's replica-group parsing
+    proves the big cross-moment reduces ride ONLY the slice axis — the
+    per-slice DCN payload is p x (m/tp) — while every all-gather (the
+    m-block factor couplings) stays on the intra-slice factor axis."""
+    from linearcorex_tpu.parallel.audit import (audit_fit,
+                                                groups_subset_of_axis)
+    from linearcorex_tpu.parallel.sharding import SLICE_AXIS
+    p, m, n = 64, 8, 512
+    x = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    cfg = CorexConfig(n_hidden=m, record_history=False, max_iter=50)
+    mesh = _slice_mesh(inner_axis=FACTOR_AXIS)
+    ops = audit_fit(x, w, cfg, mesh,
+                    ShardingPlan(shard_samples=False, shard_slices=True,
+                                 shard_factors=True))
+    tp = 4
+    big = p * (m // tp) * 4   # the per-slice cross-moment shard
+    cross_slice = [o for o in ops
+                   if groups_subset_of_axis(o, mesh, SLICE_AXIS)]
+    assert cross_slice, "expected cross-moment reduces on the slice axis"
+    # slice-axis (DCN) traffic: only the p x (m/tp) cross-moment reduces
+    assert all(o.kind == "all-reduce" and o.bytes <= big
+               for o in cross_slice), \
+        [(o.kind, o.shapes, o.bytes) for o in cross_slice]
+    # factor-axis couplings (all-gathers) never cross slices
+    gathers = [o for o in ops if o.kind == "all-gather"]
+    assert gathers
+    assert all(groups_subset_of_axis(o, mesh, FACTOR_AXIS)
+               for o in gathers)
+    # and everything with groups rides exactly one axis (nothing spans
+    # slice x factor at once)
+    for o in ops:
+        if o.groups:
+            assert groups_subset_of_axis(o, mesh, SLICE_AXIS) \
+                != groups_subset_of_axis(o, mesh, FACTOR_AXIS), o
+
+
+def test_audit_int8_program_is_f32_superset():
+    """Auditing the int8 operand directly (ADVICE r2): same p x m
+    cross-moment reduces (int32 partials) over the same axis, PLUS the
+    per-column operand-max reductions the mid-chain requantization
+    needs — the f32 audit is a lower bound on the int8 surface."""
+    from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.parallel.audit import audit_fit
+    p, m, n = 64, 8, 512
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    qd = QuantizedData(q=jax.ShapeDtypeStruct((n, p), jnp.int8),
+                       scale=jax.ShapeDtypeStruct((), jnp.float32))
+    cfgq = CorexConfig(n_hidden=m, record_history=False, max_iter=50,
+                       matmul_dtype="int8", moment_strategy="samples",
+                       use_pallas="never", tol=1e-4)
+    ops = audit_fit(qd, w, cfgq, mesh, ShardingPlan())
+    assert all(o.kind == "all-reduce" for o in ops)
+    assert all(o.bytes <= p * m * 4 for o in ops)
+    # the int8-only extra: tiny per-column max reduces (f32[m])
+    assert any(o.shapes == (f"f32[{m}]",) for o in ops), \
+        [o.shapes for o in ops]
+    # big cross-moment reduces present as int32 partials
+    assert any(f"s32[{p},{m}]" in o.shapes for o in ops)
+
+
+def test_audit_int8_requires_int8_config():
+    from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.parallel.audit import audit_fit
+    qd = QuantizedData(q=jax.ShapeDtypeStruct((64, 16), jnp.int8),
+                       scale=jax.ShapeDtypeStruct((), jnp.float32))
+    w = jax.ShapeDtypeStruct((4, 16), jnp.float32)
+    cfg = CorexConfig(n_hidden=4, record_history=False)
+    with pytest.raises(ValueError, match="int8"):
+        audit_fit(qd, w, cfg, make_mesh(((DATA_AXIS, 8),)),
+                  ShardingPlan())
+
+
+def test_gram_operand_rejects_slice_axis():
+    from linearcorex_tpu.parallel.sharding import operand_specs
+    with pytest.raises(ValueError, match="[Gg]ram"):
+        operand_specs(ShardingPlan(shard_slices=True), "gram")
