@@ -276,7 +276,12 @@ def run_e2e_cfg5():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
-    ap.add_argument("--iters", type=int, default=100)
+    # 200 matches bench.py so the shared rows report ONE number: timed
+    # programs carry ~27 ms fixed overhead (dispatch + scalar-fetch sync;
+    # benchmarks/probe_gap.py measured t = 0.89 ms x iters + 27.2 ms at
+    # the north-star int8 fp row), so per-iteration rates depend on the
+    # program's iteration count until ~400 iters
+    ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--e2e", action="store_true",
                     help="also run the end-to-end annealed north-star fit")
     ap.add_argument("--e2e-cfg5", action="store_true",
@@ -285,13 +290,9 @@ def main():
     args = ap.parse_args()
 
     import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
+
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
     rows = []
     dev = jax.devices()[0]
     print(f"device: {dev}", flush=True)
