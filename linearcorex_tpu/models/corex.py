@@ -153,6 +153,35 @@ def precision_ctx(cfg: CorexConfig):
     return jax.default_matmul_precision(cfg.matmul_precision)
 
 
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _prepare_program(x, pre_cfg: Optional[PreprocessConfig],
+                     strategy: str, matmul_dtype: str):
+    """Preprocessing + operand construction as ONE compiled program:
+    gaussianize/standardize → (optionally) Gram → bf16 cast / int8
+    quantize, fused. One program instead of ~10 eager op-dispatches
+    matters doubly on this attachment: each first-seen eager op at
+    cfg5 shapes costs a seconds-scale remote compile (measured: the
+    unfused path added ~15 s of small-program compiles to a cold fit,
+    benchmarks/compile_time.py), and fusion drops the intermediate
+    X-sized HBM copies (the unfused standardize→quantize chain held ~4
+    extra 4 GB buffers at p=100k). pre_cfg=None means `x` is already
+    preprocessed (the native-host fast path) — only the operand step
+    runs. Returns (data, theta); theta is None when pre_cfg is None.
+    The int8 overflow guard runs EAGERLY on the result in
+    `Corex._prepare_fit` (it needs host control flow)."""
+    if pre_cfg is None:
+        xp, theta = x, None
+    else:
+        xp, theta = P.fit_preprocess(x, pre_cfg.gaussianize,
+                                     pre_cfg.missing_values)
+    data = M.compute_gram(xp) if strategy == "gram" else xp
+    if matmul_dtype == "bfloat16":
+        data = data.astype(jnp.bfloat16)
+    elif matmul_dtype == "int8":
+        data = M.quantize_samples(data, check_overflow=False)
+    return data, theta
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
     """The complete fit as one XLA program: annealed solve → final moments →
@@ -429,12 +458,6 @@ class Corex:
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape
-        if host is not None:
-            xp, self.theta = host
-        else:
-            xp, self.theta = P.fit_preprocess(
-                x, self.pre_config.gaussianize,
-                self.pre_config.missing_values)
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
         if resolve:
             cfg = resolve_config(self.config, self.nv,
@@ -449,17 +472,22 @@ class Corex:
         # mirrored by OracleCorex.resolved_optimizer_) — config.optimizer
         # stays 'auto' so refits re-resolve against their own shapes
         self.resolved_optimizer_ = cfg.optimizer
-        data = M.compute_gram(xp) if strategy == "gram" else xp
-        if self.config.matmul_dtype == "bfloat16":
-            # store the data operand in bf16 as well: Σ (gram) or X
-            # (samples) is read by every GEMM every iteration — halving it
-            # halves the dominant HBM traffic (X at p=100k is 4 GB in f32,
-            # read 4x per iteration on the samples path)
-            data = data.astype(jnp.bfloat16)
-        elif self.config.matmul_dtype == "int8":
-            # quantize once, AFTER preprocessing (the per-tensor scale
-            # relies on the standardized columns' homogeneous range)
-            data = M.quantize_samples(data)
+        # preprocessing → operand (Gram / bf16 / int8 quantize, fused) is
+        # ONE compiled program (_prepare_program): one dispatch instead of
+        # ~10, one remote compile instead of ~10 first-seen-op compiles,
+        # and no intermediate X-sized HBM copies. The bf16 cast halves
+        # the dominant per-iteration HBM traffic; int8 quantizes AFTER
+        # preprocessing (the per-tensor scale relies on the standardized
+        # columns' homogeneous range).
+        if host is not None:
+            xp, self.theta = host
+            data, _ = _prepare_program(xp, None, strategy,
+                                       self.config.matmul_dtype)
+        else:
+            data, self.theta = _prepare_program(
+                x, self.pre_config, strategy, self.config.matmul_dtype)
+        if self.config.matmul_dtype == "int8":
+            M._check_int8_wrap(data)  # eager guard (host control flow)
         return data, cfg, strategy
 
     def _resolve_w0(self, init_ws):

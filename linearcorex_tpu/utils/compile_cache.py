@@ -91,7 +91,9 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     import jax
     import jax.numpy as jnp
 
-    from linearcorex_tpu.models.corex import (_fit_program, resolve_config,
+    from linearcorex_tpu.models.corex import (_fit_program,
+                                              _prepare_program,
+                                              resolve_config,
                                               resolve_optimizer)
     from linearcorex_tpu.ops.moments import QuantizedData
 
@@ -104,6 +106,13 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         data_dt = jnp.bfloat16
     else:
         data_dt = dt
+
+    # the preprocessing+operand program runs on the host device layout in
+    # both the single-device and the mesh fit (Corex._prepare_fit), so
+    # warm it unsharded
+    _prepare_program.lower(
+        jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
+        model.config.matmul_dtype).compile()
 
     def sds(shape, dtype, spec=None):
         if mesh is None:
