@@ -443,7 +443,7 @@ class Corex:
                 "input contains NaN/inf; pass missing_values=<sentinel> "
                 "after encoding missing entries, or clean the data first")
 
-    def _prepare_fit(self, x, resolve=True):
+    def _prepare_fit(self, x, resolve=True, plan=None):
         """Shared data preparation for every fit driver (`fit`,
         `fit_with_checkpoints`): input validation, host/device
         preprocessing (sets self.theta/nv/n_samples), moment-strategy
@@ -451,7 +451,11 @@ class Corex:
         where `data` is the solver operand (X or the Gram matrix, bf16-cast
         when matmul_dtype='bfloat16'). resolve=False leaves
         use_pallas='auto' for a downstream driver that resolves against
-        its own mesh (fit_sharded)."""
+        its own mesh (fit_sharded). `plan` (a ShardingPlan, mesh fits
+        only) informs moment_strategy='auto': a sample-sharding plan
+        forces the samples strategy — distributing X over the mesh is the
+        point of such a plan, and a Gram operand carries no sample axis
+        to shard."""
         from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
         ensure_compile_cache()
         self._validate_input(x, for_fit=True)
@@ -459,6 +463,11 @@ class Corex:
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape
         strategy = self.config.pick_strategy(self.n_samples, self.nv)
+        if (strategy == "gram" and self.config.moment_strategy == "auto"
+                and plan is not None
+                and (plan.shard_samples or plan.shard_slices)
+                and not plan.shard_vars):
+            strategy = "samples"
         if resolve:
             cfg = resolve_config(self.config, self.nv,
                                  n_samples=self.n_samples)
@@ -514,12 +523,14 @@ class Corex:
         `ShardingPlan`, default sample-sharding) maps the n/p/m axes onto
         the mesh's named axes. Learned state comes back replicated, so
         transform/predict/get_covariance work unchanged."""
-        data, cfg, strategy = self._prepare_fit(x, resolve=mesh is None)
-        w0 = self._resolve_w0(init_ws)
         if mesh is not None:
             from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                            fit_sharded)
             plan = sharding_plan or ShardingPlan()
+        data, cfg, strategy = self._prepare_fit(
+            x, resolve=mesh is None, plan=None if mesh is None else plan)
+        w0 = self._resolve_w0(init_ws)
+        if mesh is not None:
             self.ws, self.moments, self.diagnostics = fit_sharded(
                 data, w0, cfg, mesh, plan, strategy)
         else:

@@ -130,11 +130,13 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, "stage_state.npz")
 
-    data, cfg, strategy = model._prepare_fit(x, resolve=mesh is None)
+    plan = None
     if mesh is not None:
         from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                        fit_sharded)
         plan = sharding_plan or ShardingPlan()
+    data, cfg, strategy = model._prepare_fit(x, resolve=mesh is None,
+                                             plan=plan)
     schedule = cfg.anneal_schedule()
     fingerprint = _fit_fingerprint(model, x, schedule)
     n_stages = len(schedule)

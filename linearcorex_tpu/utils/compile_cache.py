@@ -100,6 +100,13 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     ensure_compile_cache()
     n, p = int(n_samples), int(n_variables)
     strategy = model.config.pick_strategy(n, p)
+    if mesh is not None and strategy == "gram" \
+            and model.config.moment_strategy == "auto":
+        from linearcorex_tpu.parallel.sharding import ShardingPlan
+        _plan = sharding_plan or ShardingPlan()
+        if (_plan.shard_samples or _plan.shard_slices) \
+                and not _plan.shard_vars:
+            strategy = "samples"  # mirrors Corex._prepare_fit(plan=...)
     dt = model._dt
     data_shape = (p, p) if strategy == "gram" else (n, p)
     if model.config.matmul_dtype == "bfloat16":
