@@ -390,12 +390,21 @@ class Corex:
     def _dt(self):
         return jnp.dtype(self.config.dtype)
 
-    def _init_ws(self, p: int) -> np.ndarray:
-        """Seeded N(0, 1/sqrt(p)) init (`[U] :: Corex.fit` [MED]).
+    def _init_ws(self, p: int):
+        """N(0, 1/sqrt(p)) init (`[U] :: Corex.fit` [MED]).
 
-        Uses NumPy's RandomState — not JAX's threefry — so that a given seed
-        produces the same starting point as the float64 oracle, making
-        seed-matched parity runs possible (SURVEY.md §7.3 item 3)."""
+        Seeded: NumPy's RandomState — not JAX's threefry — so that a given
+        seed produces the same starting point as the float64 oracle,
+        making seed-matched parity runs possible (SURVEY.md §7.3 item 3).
+        Unseeded (seed=None, no reproducibility contract): drawn ON
+        DEVICE with fresh entropy — a host-generated W is m x p (205 MB
+        at cfg5) and this attachment's host→device path is slow (measured
+        ~12 s for that one transfer; benchmarks/compile_time.py diag)."""
+        if self.seed is None:
+            key = jax.random.PRNGKey(
+                int(np.random.SeedSequence().generate_state(1)[0]))
+            return jax.random.normal(key, (self.m, p), self._dt) \
+                / jnp.sqrt(jnp.asarray(float(p), self._dt))
         rng = np.random.RandomState(self.seed)
         return rng.normal(loc=0.0, scale=1.0 / np.sqrt(p),
                           size=(self.m, p))

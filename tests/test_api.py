@@ -302,3 +302,19 @@ def test_covariance_blocks_validates(med_block_data):
         list(c.covariance_blocks(0))
     with pytest.raises(RuntimeError, match="not fitted"):
         list(lc.Corex(n_hidden=4).covariance_blocks())
+
+
+def test_unseeded_init_is_device_side_and_fresh(small_block_data):
+    """seed=None inits draw on device (no W-sized host→device transfer —
+    ~12 s at cfg5 through this attachment) with fresh entropy per fit."""
+    import jax
+    m1 = lc.Corex(n_hidden=4, max_iter=5, record_history=False)
+    w_a = m1._init_ws(32)
+    w_b = m1._init_ws(32)
+    assert isinstance(w_a, jax.Array)
+    assert w_a.shape == (4, 32)
+    assert float(np.abs(np.asarray(w_a) - np.asarray(w_b)).max()) > 0
+    # scale matches the seeded convention: std ≈ 1/sqrt(p)
+    assert abs(float(np.asarray(w_a).std()) - 1 / np.sqrt(32)) < 0.05
+    m1.fit(small_block_data)
+    assert np.isfinite(m1.tc)
