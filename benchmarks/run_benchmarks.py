@@ -343,12 +343,43 @@ def main():
 RESULTS_FOOTER = """
 Timing: min over 3 repeats per row (utils/profiling.py :: iteration_rate);
 this TPU attachment shows rare ~0.5 s host-side hiccups that corrupt
-single-shot timings. The small-shape rows (cfg1-cfg3, <0.5 ms/iter) are
-device/attachment latency floors, not compute — they vary ~2x between
-sessions. `northstar_p10k_m512_auto_production` is the bench.py
-configuration: optimizer='auto' resolved at n=p (fixed_point + gram +
-chain kernel); bench.py's dedicated-process run of the same program
-measures 757 it/s.
+single-shot timings — and occasional MINUTES-long degraded phases after
+sustained back-to-back use (BASELINE.md §2; measure on an idle,
+recently-healthy attachment). The small-shape rows (cfg1-cfg3,
+<0.5 ms/iter) are device/attachment latency floors, not compute — they
+vary ~2x between sessions.
+
+Per-iteration rates depend on the timed program's iteration count: a
+timed program carries ~27 ms fixed overhead (dispatch + scalar-fetch
+close). Measured at the northstar int8 fp row (benchmarks/probe_gap.py,
+2026-08-17): t = 0.89 ms x iters + 27.2 ms, i.e. 691 it/s at 50 iters,
+858 at 100, 981 at 200, 1042 at 400. Round 2's "837 vs 978" discrepancy
+between this table and bench.py was exactly this law (100- vs 200-iter
+programs); both now time 200-iteration programs and agree (~980 it/s,
+the bench.py headline; BENCH_r03).
+
+## First-call wall time at cfg5 — compile cost and the round-3 wiring
+
+`Corex.fit(X)` at p=100k/m=512 (int8 + optimizer='auto'), one process
+per mode (benchmarks/compile_time.py, 2026-08-17, idle attachment):
+
+| mode | first fit wall |
+|---|---|
+| cold (empty compile cache) | 15.1 s |
+| persistent cache warm (new process, same cache dir) | 6.5 s |
+| AOT: `Corex.warmup(n, p)` at deploy time, then first fit | 8.5 s warmup + 6.2 s fit |
+
+Round 2 recorded ~87 s of first-call compile for the bf16 cfg5 fit with
+no caching anywhere. Three round-3 library changes account for the gap:
+the fused `_prepare_program` (preprocess→quantize is ONE compile instead
+of ~10 first-seen-op compiles, each seconds on the remote service),
+device-side unseeded init (drops a 205 MB host→device transfer measured
+at ~12 s), and `ensure_compile_cache()` in every fit entry point. The
+warmup writes exactly the fit's cache key (verified: no new
+jit__fit_program entry after the real fit). Remote-compile latency is
+high-variance (the same selection program compiled in 40 s and 199 s on
+different runs); the persistent cache converts that variance into a
+one-time cost.
 
 ## Public-API serving latencies at cfg5 scale (p=100k, m=512, one v5e chip)
 
@@ -357,21 +388,35 @@ eager dispatch costs ~35 ms host-sync latency on this attachment):
 
 | call | steady-state latency |
 |---|---|
-| `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters; +~87 s first-call compile); 2.6 s with matmul_dtype='int8' (e2e row above) |
+| `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters); 2.6 s with matmul_dtype='int8' (e2e row above); first call 15.1 s cold / 6.5 s warm (table above) |
 | `transform(X)` n=10k | 37 ms |
 | `covariance_matvec(v)` | 449 ms |
+| `covariance_matmat(V)` (p, 128) | 27.7 ms (benchmarks/cov_export_bench.py) |
+| `covariance_blocks(4096)`: all 25 row blocks of the 40 GB Σ̂, on device | 1.2 s warm (33 GB/s effective); one compile + 25 dispatches |
+| one 1.6 GB block pulled to host | 139 s — export-to-host is D2H-bound (~12 MB/s on this attachment); keep blocks on device or reduce before pulling |
 | `score(X)` n=10k (Woodbury log-likelihood) | 43 ms |
 
-`pick_n_hidden` padded one-compile sweep (p=1024, max_n=8, repeat=4,
-max_iter=2000): 12.2 s vs 16.1 s sequential (1.33x end-to-end; the win
-scales with per-candidate compile cost).
+`pick_n_hidden` (p=1024, max_n=8, repeat=4, max_iter=2000), measured
+2026-08-17 with the persistent cache: STEADY-STATE the padded
+one-compile sweep runs 0.24 s vs 0.49 s sequential (2x — one batched
+program vs 8 sequential program dispatches at ~30 ms each + lockstep
+compute). COLD, compile dominates both paths: the sequential path's 8
+small programs total ~16-27 s, the padded path's one big vmapped
+program compiled in 40 s and 199 s on two different runs (service
+variance). padded_sweep=True stays the default — production sweeps
+repeat shapes, and the persistent cache pays the big compile once;
+pass padded_sweep=False for a one-shot cold sweep. (Round 2's
+12.2-vs-16.1 s row was measured cache-off and is superseded.)
 
 Multi-restart at cfg5 (measured probe): int8 makes a best-of-4 restart
 sweep MEMORY-FEASIBLE as one vmapped program on one chip (bf16 OOMs):
-14.0 s steady-state, TCs 204480-206179 (+0.9% best-vs-single-seed,
-confirming the 0.9% seed spread). Lockstep stragglers cost ~1.4x vs
-running the 4 fits sequentially (~10 s) — prefer sequential when the
-compile is already cached, the vmapped sweep when it is not.
+14.0 s steady-state, TCs 204480-206179 (+0.9% best-vs-single-seed).
+Unseeded single fits occasionally land in a visibly worse basin
+(TC ~179-181k seen twice across ~12 unseeded cfg5 fits on 2026-08-17,
+vs the usual 204-206k) — use restarts when the TC matters. Lockstep
+stragglers cost ~1.4x vs running the 4 fits sequentially (~10 s) —
+prefer sequential when the compile is already cached, the vmapped sweep
+when it is not.
 
 ## Scale ceiling on one chip (measured probe, not a maintained benchmark row)
 

@@ -26,7 +26,7 @@ from linearcorex_tpu.utils.streaming import (GramAccumulator,
                                              fit_csv,
                                              fit_from_covariance)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 __all__ = [
     "Corex",
     "CorexConfig",
