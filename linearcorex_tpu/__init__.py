@@ -21,7 +21,8 @@ from linearcorex_tpu.ops.moments import (QuantizedData, quantize_gram,
                                          quantize_samples)
 from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
 from linearcorex_tpu.utils.compile_cache import (ensure_compile_cache,
-                                                 warmup_fit)
+                                                 warmup_fit,
+                                                 warmup_serving)
 from linearcorex_tpu.utils.streaming import (GramAccumulator,
                                              fit_csv,
                                              fit_from_covariance)
@@ -43,5 +44,6 @@ __all__ = [
     "quantize_gram",
     "ensure_compile_cache",
     "warmup_fit",
+    "warmup_serving",
     "__version__",
 ]

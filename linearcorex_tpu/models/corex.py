@@ -722,7 +722,10 @@ class Corex:
         start = 0
         while start < p:
             s = min(start, p - b)
-            rows = _cov_rows_program(z, self.theta.std, s, b)
+            # strongly-typed int32 start so the call's jit key matches the
+            # warmup_serving lowering (a bare Python int traces weakly)
+            rows = _cov_rows_program(z, self.theta.std,
+                                     jnp.asarray(s, jnp.int32), b)
             yield start, rows[start - s:]
             start = s + b
 

@@ -38,10 +38,15 @@ class StackedCorex:
                 Corex(n_hidden=m, **(corex_kwargs if k == 0
                                      else deep_kwargs)))
 
-    def fit(self, x):
+    def fit(self, x, mesh=None, sharding_plan=None):
+        """Fit layer by layer; `mesh`/`sharding_plan` pass through to each
+        layer's `Corex.fit(mesh=...)`. Only layer 1 sees the full p-wide
+        data — deeper layers fit on (n, m_k) factor matrices, which are
+        small, but keeping them on the same mesh avoids a host round-trip
+        between layers."""
         data = x
         for layer in self.layers:
-            layer.fit(data)
+            layer.fit(data, mesh=mesh, sharding_plan=sharding_plan)
             data = layer.transform(data)
         return self
 

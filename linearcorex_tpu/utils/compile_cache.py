@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-__all__ = ["ensure_compile_cache", "warmup_fit"]
+__all__ = ["ensure_compile_cache", "warmup_fit", "warmup_serving"]
 
 
 def ensure_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
@@ -162,3 +162,64 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         data_arg = sds(data_shape, data_dt)
     _fit_program.lower(data_arg, sds((model.m, p), dt), cfg,
                        strategy).compile()
+
+
+def warmup_serving(model, batch_rows: int, n_variables=None,
+                   matmat_k=None, cov_block=None) -> None:
+    """Ahead-of-time compile of the serving programs for declared shapes:
+    `transform`, `predict`, `score` (affine gaussianize modes only), and
+    — when `matmat_k` / `cov_block` are given — `covariance_matmat` /
+    `covariance_blocks`. The companion to `warmup_fit` for
+    inference-only deployments (load_corex → serve): with the persistent
+    cache on, the first request of each kind deserializes instead of
+    compiling.
+
+    `n_variables` defaults to the fitted width (`model.nv`); pass it
+    explicitly to warm before any fit/load. Shapes must match the real
+    calls exactly (jit is shape-specialized)."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearcorex_tpu.models import corex as C
+    from linearcorex_tpu.ops.preprocessing import Theta
+
+    ensure_compile_cache()
+    if n_variables is None:
+        n_variables = model.nv
+    if n_variables is None:
+        raise ValueError(
+            "n_variables is required when the model is not fitted yet")
+    p = int(n_variables)
+    b, m, dt = int(batch_rows), model.m, model._dt
+
+    def s(shape):
+        return jax.ShapeDtypeStruct(shape, dt)
+
+    theta = Theta(mean=s((p,)), std=s((p,)))
+    C._transform_program.lower(s((b, p)), s((m, p)), theta,
+                               model.pre_config).compile()
+    if model.config.discourage_overlap:
+        rr, si = s((m, p)), s((p,))
+        C._predict_ns_program.lower(s((b, m)), rr, si, s((m,)),
+                                    theta).compile()
+        if model.pre_config.gaussianize in ("none", "standard"):
+            C._score_ns_program.lower(s((b, p)), rr, si, theta,
+                                      model.pre_config).compile()
+        if matmat_k:
+            C._matmat_ns_program.lower(rr, si, s((p,)),
+                                       s((p, int(matmat_k)))).compile()
+    else:
+        cy, c_xy = s((m, m)), s((p, m))
+        C._predict_overlap_program.lower(s((b, m)), cy, c_xy,
+                                         theta).compile()
+        if model.pre_config.gaussianize in ("none", "standard"):
+            C._score_overlap_program.lower(s((b, p)), cy, c_xy, theta,
+                                           model.pre_config).compile()
+        if matmat_k:
+            C._matmat_overlap_program.lower(
+                cy, c_xy, s((p,)), s((p, int(matmat_k)))).compile()
+    if cov_block:
+        blk = min(int(cov_block), p)
+        C._cov_rows_program.lower(
+            s((m, p)), s((p,)), jax.ShapeDtypeStruct((), jnp.int32),
+            blk).compile()

@@ -102,3 +102,33 @@ def test_warmup_sharded():
     x = block_data(n=n, p=p, m=4, seed=2)
     model.fit(x, mesh=mesh, sharding_plan=plan)
     assert np.isfinite(model.tc)
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_warmup_serving_then_serve(overlap):
+    """warmup_serving compiles transform/predict/score/matmat/blocks from
+    declared shapes for both solver paths; real serving calls then run
+    unchanged and correctly."""
+    from linearcorex_tpu.utils.compile_cache import warmup_serving
+
+    n, p, m = 300, 24, 3
+    model = lc.Corex(n_hidden=m, max_iter=50, record_history=False,
+                     discourage_overlap=not overlap, seed=0)
+    warmup_serving(model, batch_rows=64, n_variables=p, matmat_k=5,
+                   cov_block=10)
+    x = block_data(n=n, p=p, m=m, seed=1)
+    model.fit(x)
+    y = model.transform(x[:64])
+    assert y.shape == (64, m)
+    assert model.predict(y).shape == (64, p)
+    assert np.isfinite(float(model.score(x[:64])))
+    assert model.covariance_matmat(np.zeros((p, 5))).shape == (p, 5)
+    out = np.vstack([np.asarray(r) for _, r in
+                     model.covariance_blocks(10)])
+    assert np.abs(out - np.asarray(model.get_covariance())).max() < 1e-5
+
+
+def test_warmup_serving_requires_width():
+    from linearcorex_tpu.utils.compile_cache import warmup_serving
+    with pytest.raises(ValueError, match="n_variables"):
+        warmup_serving(lc.Corex(n_hidden=2), batch_rows=8)

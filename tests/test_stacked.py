@@ -62,3 +62,18 @@ def test_stacked_tc_positive_layers():
     s = StackedCorex([4, 2], seed=0).fit(x)
     assert s.tc > 0
     assert all(float(np.sum(np.asarray(t))) > 0 for t in s.tcs)
+
+
+def test_stacked_mesh_fit_matches_single_device():
+    """StackedCorex.fit(mesh=...) runs every layer's fit sharded and
+    reproduces the single-device stack (f64, 8-device CPU mesh)."""
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    from tests.conftest import block_data
+
+    x = block_data(n=512, p=64, m=8, seed=4)
+    ref = StackedCorex([8, 2], seed=0, dtype="float64").fit(x)
+    msh = StackedCorex([8, 2], seed=0, dtype="float64").fit(
+        x, mesh=make_mesh())
+    assert abs(msh.tc - ref.tc) < 1e-8
+    for a, b in zip(msh.tcs, ref.tcs):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8
