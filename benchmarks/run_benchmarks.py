@@ -389,12 +389,13 @@ eager dispatch costs ~35 ms host-sync latency on this attachment):
 | call | steady-state latency |
 |---|---|
 | `Corex.fit` (full annealed, tol=1e-4, bf16) | 4.0 s (144 iters); 2.6 s with matmul_dtype='int8' (e2e row above); first call 15.1 s cold / 6.5 s warm (table above) |
-| `transform(X)` n=10k | 37 ms |
-| `covariance_matvec(v)` | 449 ms |
+| `transform(X)` n=10k | 34.9 ms |
+| `predict(Y)` n=10k | 34.7 ms |
+| `covariance_matvec(v)` | 30.4 ms (round 2 recorded 449 ms — re-measured 2026-08-17 on an idle attachment; the old number was taken during what is now a documented degraded phase) |
 | `covariance_matmat(V)` (p, 128) | 27.7 ms (benchmarks/cov_export_bench.py) |
 | `covariance_blocks(4096)`: all 25 row blocks of the 40 GB Σ̂, on device | 1.2 s warm (33 GB/s effective); one compile + 25 dispatches |
 | one 1.6 GB block pulled to host | 139 s — export-to-host is D2H-bound (~12 MB/s on this attachment); keep blocks on device or reduce before pulling |
-| `score(X)` n=10k (Woodbury log-likelihood) | 43 ms |
+| `score(X)` n=10k (Woodbury log-likelihood) | 42.9 ms |
 
 `pick_n_hidden` (p=1024, max_n=8, repeat=4, max_iter=2000), measured
 2026-08-17 with the persistent cache: STEADY-STATE the padded
