@@ -122,6 +122,44 @@ def operand_specs(plan: "ShardingPlan", strategy: str):
     return plan.x_spec(), plan.w_spec()
 
 
+def validate_plan_shapes(plan: "ShardingPlan", strategy: str, mesh: Mesh,
+                         n: Optional[int], p: int, m: int) -> None:
+    """Fail fast, by name, on GSPMD's divisibility requirement: every
+    sharded dimension must divide by the product of its mesh axes (XLA
+    does not pad operands). Without this, the error surfaces as an
+    opaque device_put sharding exception deep inside jit (found by the
+    round-3 fuzzer). Pad or trim the data — or drop the offending plan
+    flag — to fix."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+
+    def need(axes_used, dim, value, what):
+        total = 1
+        for a in axes_used:
+            if a not in sizes:
+                raise ValueError(
+                    f"plan shards {what} over mesh axis {a!r}, but the "
+                    f"mesh has axes {tuple(sizes)} — build the mesh with "
+                    f"that axis (make_mesh) or change the ShardingPlan")
+            total *= sizes[a]
+        if value % total:
+            raise ValueError(
+                f"{what} = {value} is not divisible by the mesh's "
+                f"{'x'.join(axes_used)} extent ({total}); XLA shards "
+                f"without padding — trim/pad the {dim} dimension or "
+                f"adjust the plan/mesh")
+
+    if strategy != "gram":
+        sample_axes = [a for a, on in ((SLICE_AXIS, plan.shard_slices),
+                                       (DATA_AXIS, plan.shard_samples))
+                       if on]
+        if sample_axes and n is not None:
+            need(sample_axes, "sample", n, "n_samples")
+    if plan.shard_vars:
+        need([VAR_AXIS], "variable", p, "n_variables")
+    if plan.shard_factors:
+        need([FACTOR_AXIS], "factor", m, "n_hidden")
+
+
 def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None,
               devices=None) -> Mesh:
     """Build a named mesh. Default: 1-D data-parallel mesh over all devices.
@@ -247,6 +285,12 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
             "single-device int8 fit")
     cfg = resolve_config(cfg, x.shape[1], platform=_mesh_platform(mesh),
                          n_samples=x.shape[0])  # 'auto' knobs
+    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
+    if d is None or x.shape[0] % d:
+        raise ValueError(
+            f"fit_shard_map shards the {x.shape[0]} sample rows over mesh "
+            f"axis {axis_name!r} (size {d}); the row count must divide "
+            f"evenly (XLA shards without padding)")
     x = jax.device_put(x, NamedSharding(mesh, P(axis_name, None)))
     w0 = jax.device_put(w0, NamedSharding(mesh, P()))
     return _fit_program_shard_map(x, w0, cfg, axis_name, mesh)
@@ -285,6 +329,10 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
         n_samples = operand.shape[0]
     cfg = resolve_config(cfg, operand.shape[-1],
                          platform=_mesh_platform(mesh), n_samples=n_samples)
+    validate_plan_shapes(
+        plan, strategy, mesh,
+        operand.shape[0] if strategy != "gram" else None,
+        operand.shape[-1], w0.shape[0])
     data_spec, w_spec = operand_specs(plan, strategy)
     if isinstance(data, QuantizedData):
         # shard the int8 operand like the plain one; the per-tensor scale

@@ -93,7 +93,8 @@ def save_corex(model: Corex, path: str) -> None:
 
 
 def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
-                         mesh=None, sharding_plan=None):
+                         mesh=None, sharding_plan=None,
+                         stage_callback=None):
     """Run the annealed fit one stage at a time, saving (ws, stage) at each
     anneal-stage boundary — preemption recovery for long fits on TPU VMs
     (SURVEY.md §5 checkpoint/resume). If `ckpt_dir` already holds a stage
@@ -116,6 +117,14 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     format is mesh-independent: a fit checkpointed on one mesh can resume
     on another mesh, or on a single device (the fingerprint covers
     (config, data, schedule) — the math is layout-invariant).
+
+    `stage_callback(stage, eps, ws, stats)` runs on host after each stage
+    (SURVEY.md §5 metrics row: host observability at stage boundaries
+    only — the only points where the one-sync-per-program discipline
+    already pays a host sync). `stats` is the dict of per-stage arrays
+    accumulated so far (iters/tc/delta/obj[/hist]); return values are
+    ignored; exceptions propagate (the checkpoint for the completed stage
+    is already on disk, so a crashing callback costs nothing).
     """
     import dataclasses as _dc
     import os
@@ -186,6 +195,8 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
             stats["hist"][s] = np.asarray(diag.tc_history[0])
         np.savez(state_path, ws=np.asarray(ws), stage=s + 1,
                  fingerprint=fp_arr, **stats)
+        if stage_callback is not None:
+            stage_callback(s, schedule[s], ws, stats)
 
     # finalize exactly like Corex.fit: full moments at eps=0 + factor sort
     # (no further solver steps)

@@ -211,3 +211,24 @@ def test_fit_with_checkpoints_mesh_resume_is_layout_invariant(
     m2 = lc.Corex(n_hidden=4, dtype="float64")
     fit_with_checkpoints(m2, x, ckdir, init_ws=w0, mesh=make_mesh())
     assert abs(m2.tc - single.tc) < 1e-9
+
+
+def test_stage_callback_runs_per_stage(tmp_path, small_block_data):
+    """stage_callback fires once per anneal stage with (stage, eps, ws,
+    stats) and sees monotonically-filled stats (SURVEY §5 metrics row)."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+
+    seen = []
+
+    def cb(stage, eps, ws, stats):
+        seen.append((stage, float(eps), ws.shape,
+                     int(stats["iters"][stage])))
+
+    model = lc.Corex(n_hidden=4, dtype="float64")
+    fit_with_checkpoints(model, small_block_data, str(tmp_path / "ck"),
+                         stage_callback=cb)
+    schedule = model.config.anneal_schedule()
+    assert [s[0] for s in seen] == list(range(len(schedule)))
+    assert [s[1] for s in seen] == [float(e) for e in schedule]
+    assert all(shape == (4, 32) for _, _, shape, _ in seen)
+    assert all(iters > 0 for *_, iters in seen)

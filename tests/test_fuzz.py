@@ -111,3 +111,98 @@ def test_fuzz_oracle_parity_f64(trial):
         o.history["iters_per_stage"], (opt, anneal, p, n, m)
     assert abs(c.tc - o.tc) < 1e-5 * max(1.0, abs(o.tc))
     assert np.abs(np.asarray(c.ws) - o.ws).max() < 1e-5
+
+
+_MESH_LAYOUTS = (
+    # (mesh axes, plan kwargs) — every production layout incl. 2-level
+    ((("data", 8),), dict()),
+    ((("data", 4), ("model", 2)), dict(shard_factors=True)),
+    ((("var", 8),), dict(shard_samples=False, shard_vars=True)),
+    ((("slice", 2), ("data", 4)), dict(shard_slices=True)),
+    ((("slice", 2), ("model", 4)),
+     dict(shard_samples=False, shard_slices=True, shard_factors=True)),
+)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_round3_surface(trial):
+    """Randomized coverage of the round-3 surface: blocked covariance
+    export ≡ dense, matmat ≡ dense, warmup-then-fit, and a random mesh
+    layout reproducing the single-device fit (f64)."""
+    from linearcorex_tpu.parallel.sharding import ShardingPlan, make_mesh
+
+    rng = np.random.RandomState(31337 + trial)
+    m_true = int(rng.randint(2, 5))
+    # shapes divisible by every layout's axis extents (8 devices; the
+    # divisibility requirement itself is tested by name below)
+    p = int(rng.randint(2, 9)) * 8
+    n = int(rng.randint(8, 50)) * 8
+    m = int(rng.randint(1, 3)) * 4
+    x = block_data(n=n, p=p, m=m_true, seed=int(rng.randint(0, 1000)))
+    model = lc.Corex(n_hidden=m, dtype="float64", seed=0,
+                     record_history=False)
+    model.warmup(n, p)
+    model.fit(x)
+    cov = np.asarray(model.get_covariance())
+    bs = int(rng.randint(1, p + 5))
+    out = np.vstack([np.asarray(r) for _, r in
+                     model.covariance_blocks(bs)])
+    assert out.shape == cov.shape
+    assert np.abs(out - cov).max() < 1e-8, (bs, p)
+    k = int(rng.randint(1, 6))
+    v = rng.normal(size=(p, k))
+    assert np.abs(np.asarray(model.covariance_matmat(v))
+                  - cov @ v).max() < 1e-8
+
+    axes, plan_kw = _MESH_LAYOUTS[rng.randint(0, len(_MESH_LAYOUTS))]
+    mesh = make_mesh(tuple(axes))
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(p),
+                                         size=(m, p))
+    ref = lc.Corex(n_hidden=m, dtype="float64", record_history=False,
+                   moment_strategy="samples").fit(x, init_ws=w0)
+    msh = lc.Corex(n_hidden=m, dtype="float64", record_history=False,
+                   moment_strategy="samples").fit(
+        x, init_ws=w0, mesh=mesh, sharding_plan=ShardingPlan(**plan_kw))
+    assert abs(msh.tc - ref.tc) < 1e-7, (axes, plan_kw)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_int8_guard_no_false_raise(trial):
+    """The wrap guard never RAISES on standardized Gaussian-ish data of
+    random shapes (raising is reserved for demonstrated wraps)."""
+    from linearcorex_tpu.ops import moments as M
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(4242 + trial)
+    n = int(rng.randint(2, 500))
+    p = int(rng.randint(2, 500))
+    x = rng.normal(size=(n, p)).astype(np.float32)
+    x = (x - x.mean(0)) / np.maximum(x.std(0), 1e-6)
+    qd = M.quantize_samples(jnp.asarray(x))
+    assert qd.q.shape == (n, p)
+
+
+def test_sharding_divisibility_errors_are_named():
+    """Non-divisible shapes fail FAST with the dimension named, not with
+    GSPMD's opaque device_put exception (found by the round-3 fuzzer)."""
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.parallel.sharding import (ShardingPlan,
+                                                   fit_shard_map,
+                                                   fit_sharded, make_mesh)
+    import jax.numpy as jnp
+
+    x = jnp.asarray(block_data(n=100, p=55, m=3, seed=0)[:, :55],
+                    jnp.float32)
+    w = jnp.zeros((5, 55), jnp.float32)
+    cfg = CorexConfig(n_hidden=5, max_iter=2, record_history=False)
+    mesh = make_mesh((("data", 4), ("model", 2)))
+    with pytest.raises(ValueError, match="n_hidden"):
+        fit_sharded(x, w, cfg, mesh,
+                    ShardingPlan(shard_factors=True))
+    with pytest.raises(ValueError, match="n_samples"):
+        fit_sharded(x[:99], w, cfg, mesh, ShardingPlan())
+    with pytest.raises(ValueError, match="n_variables"):
+        fit_sharded(x, w, cfg, make_mesh((("var", 8),)),
+                    ShardingPlan(shard_samples=False, shard_vars=True))
+    with pytest.raises(ValueError, match="sample rows"):
+        fit_shard_map(x[:99], w, cfg, make_mesh())
