@@ -167,6 +167,10 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
     cfg = resolve_config(cfg, operand.shape[-1],
                          platform=S._mesh_platform(mesh),
                          n_samples=n_samples)
+    S.validate_plan_shapes(
+        plan, strategy, mesh,
+        operand.shape[0] if strategy != "gram" else None,
+        operand.shape[-1], w0.shape[0])
     data_spec, w_spec = S.operand_specs(plan, strategy)
     data_arg = jax.ShapeDtypeStruct(
         operand.shape, operand.dtype,

@@ -112,6 +112,13 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
     cfg = resolve_config(cfg, w0_batch.shape[-1],
                          platform=mesh.devices.flat[0].platform,
                          n_samples=n_samples)
+    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
+    if d is None or w0_batch.shape[0] % d:
+        raise ValueError(
+            f"the restart batch ({w0_batch.shape[0]} fits) shards over "
+            f"mesh axis {axis_name!r} (size {d}); the batch must divide "
+            f"evenly — pad the init stack (pick_n_hidden does this "
+            f"automatically) or adjust the mesh")
     w0_batch = jax.device_put(
         w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
     data = jax.device_put(data, NamedSharding(mesh, P()))

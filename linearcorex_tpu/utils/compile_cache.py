@@ -142,6 +142,9 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                 cfg = _dc.replace(cfg, use_pallas="never")
         cfg = resolve_config(cfg, p, platform=S._mesh_platform(mesh),
                              n_samples=n)
+        S.validate_plan_shapes(plan, strategy, mesh,
+                               None if strategy == "gram" else n, p,
+                               model.m)
         data_spec, w_spec = S.operand_specs(plan, strategy)
         if cfg.matmul_dtype == "int8":
             data_arg = QuantizedData(

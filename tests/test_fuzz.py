@@ -206,3 +206,18 @@ def test_sharding_divisibility_errors_are_named():
                     ShardingPlan(shard_samples=False, shard_vars=True))
     with pytest.raises(ValueError, match="sample rows"):
         fit_shard_map(x[:99], w, cfg, make_mesh())
+
+
+def test_restart_sharding_divisibility_named():
+    from linearcorex_tpu.config import CorexConfig
+    from linearcorex_tpu.parallel.restarts import (fit_restarts_sharded,
+                                                   init_restarts)
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    import jax.numpy as jnp
+
+    x = jnp.asarray(block_data(n=64, p=16, m=2, seed=0), jnp.float32)
+    w0 = init_restarts(5, 2, 16, seed=0, dtype=jnp.float32)  # 5 % 8 != 0
+    cfg = CorexConfig(n_hidden=2, max_iter=2, record_history=False)
+    with pytest.raises(ValueError, match="restart batch"):
+        fit_restarts_sharded(x, w0, cfg, "samples",
+                             make_mesh((("restarts", 8),)))
