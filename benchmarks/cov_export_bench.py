@@ -65,11 +65,14 @@ def main():
         float(rows[0, 0])
         nblocks += 1
     dt_all = time.perf_counter() - t0
-    # second pass (compile now warm) is the steady-state number
-    t0 = time.perf_counter()
-    for start, rows in model.covariance_blocks(bs):
-        float(rows[0, 0])
-    dt_warm = time.perf_counter() - t0
+    # warm passes: min over 3 repeats (the attachment's ~0.5 s host
+    # hiccups corrupt single-shot timings — CLAUDE.md timing discipline)
+    dt_warm = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for start, rows in model.covariance_blocks(bs):
+            float(rows[0, 0])
+        dt_warm = min(dt_warm, time.perf_counter() - t0)
     gb = p * p * 4 / 1e9
     print(json.dumps({
         "blocks": nblocks, "block_rows": bs,

@@ -103,18 +103,25 @@ def production_demo():
     x = make_data(n=2048, p=128, m=8, seed=3)
     n_dev = len(jax.devices())
     model = lc.Corex(n_hidden=8, seed=0, record_history=False)
-    model.warmup(*x.shape)          # AOT: the first fit below skips the
-    #                                 compile wait (persistent cache)
     if n_dev % 2 == 0:
         # 2-level slice x chip mesh: the DP psum reduces hierarchically
         # (ICI within a slice, DCN across slices on real multi-slice pods)
         mesh = make_mesh(((SLICE_AXIS, 2), (DATA_AXIS, n_dev // 2)))
         plan = ShardingPlan(shard_samples=True, shard_slices=True)
+        # AOT: warm THE PROGRAM THE FIT RUNS — the sharded one here (a
+        # single-device warmup would compile a different cache key).
+        # Note warmup covers `fit`'s one-program schedule; the
+        # checkpointed driver below runs per-stage programs instead
+        # (preemption recovery trades one compile for per-stage ones).
+        model.warmup(*x.shape, mesh=mesh, sharding_plan=plan)
+        model.fit(x, mesh=mesh, sharding_plan=plan)
+        print(f"multi-slice fit (AOT-warmed): TC {model.tc:.3f}")
         with tempfile.TemporaryDirectory() as ck:
             fit_with_checkpoints(model, x, ck, mesh=mesh,
                                  sharding_plan=plan)
         print(f"multi-slice checkpointed fit: TC {model.tc:.3f}")
     else:
+        model.warmup(*x.shape)
         model.fit(x)
     # blocked export: dense rows of the 128 x 128 covariance without the
     # p x p materialization step (the path that matters at p=100k+)

@@ -91,6 +91,24 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
         cfg, optimizer="fixed_point" if fp_ok else "momentum")
 
 
+def pick_fit_strategy(config: CorexConfig, n: int, p: int,
+                      plan=None) -> str:
+    """moment_strategy resolution for a fit, INCLUDING the plan-aware
+    rule — the single definition shared by `Corex._prepare_fit` and
+    `utils.compile_cache.warmup_fit` (a drifted copy would make warmup
+    compile a different program than fit, silently defeating AOT): a
+    sample-sharding plan forces the samples strategy, because
+    distributing X over the mesh is the point of such a plan and a Gram
+    operand carries no sample axis to shard."""
+    strategy = config.pick_strategy(n, p)
+    if (strategy == "gram" and config.moment_strategy == "auto"
+            and plan is not None
+            and (plan.shard_samples or plan.shard_slices)
+            and not plan.shard_vars):
+        return "samples"
+    return strategy
+
+
 def chain_mode(cfg: CorexConfig):
     """The chain_kernel flag ops.moments takes: False, True, or the string
     'interpret' (run the kernel through the Pallas interpreter — the
@@ -471,12 +489,8 @@ class Corex:
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape
-        strategy = self.config.pick_strategy(self.n_samples, self.nv)
-        if (strategy == "gram" and self.config.moment_strategy == "auto"
-                and plan is not None
-                and (plan.shard_samples or plan.shard_slices)
-                and not plan.shard_vars):
-            strategy = "samples"
+        strategy = pick_fit_strategy(self.config, self.n_samples, self.nv,
+                                     plan)
         if resolve:
             cfg = resolve_config(self.config, self.nv,
                                  n_samples=self.n_samples)

@@ -39,14 +39,22 @@ class StackedCorex:
                                      else deep_kwargs)))
 
     def fit(self, x, mesh=None, sharding_plan=None):
-        """Fit layer by layer; `mesh`/`sharding_plan` pass through to each
-        layer's `Corex.fit(mesh=...)`. Only layer 1 sees the full p-wide
-        data — deeper layers fit on (n, m_k) factor matrices, which are
-        small, but keeping them on the same mesh avoids a host round-trip
-        between layers."""
+        """Fit layer by layer; `mesh`/`sharding_plan` pass through to
+        `Corex.fit(mesh=...)`. Only layer 1 sees the full p-wide data, so
+        the var/factor axes of the plan apply to layer 1 ONLY — deeper
+        layers fit on narrow (n, m_k) factor matrices that rarely divide
+        those mesh extents (and don't need them); they keep just the
+        sample-axis sharding (data/slice), which divides by construction
+        (n is unchanged down the stack)."""
         data = x
-        for layer in self.layers:
-            layer.fit(data, mesh=mesh, sharding_plan=sharding_plan)
+        plan = sharding_plan
+        for k, layer in enumerate(self.layers):
+            if k == 1 and plan is not None and (plan.shard_vars
+                                                or plan.shard_factors):
+                import dataclasses
+                plan = dataclasses.replace(plan, shard_vars=False,
+                                           shard_factors=False)
+            layer.fit(data, mesh=mesh, sharding_plan=plan)
             data = layer.transform(data)
         return self
 

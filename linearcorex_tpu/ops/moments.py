@@ -157,11 +157,13 @@ def _check_int8_wrap(qd: "QuantizedData") -> None:
     if err > 0.1:
         raise ValueError(
             f"int8 accumulation overflow: the quantized operand wraps the "
-            f"int32 accumulator on a random application vector (relative "
-            f"error {err:.2f} vs float accumulation). This data is too "
-            f"aligned/long-axis for matmul_dtype='int8' — use 'bfloat16' "
-            f"(or 'float32'), or pass check_overflow=False to "
-            f"quantize_samples to override")
+            f"int32 accumulator on a data-aligned application vector "
+            f"(relative error {err:.2f} vs float accumulation) — int8 "
+            f"results on this data would be silently wrong. Use "
+            f"matmul_dtype='bfloat16' (or 'float32'). (Advanced: callers "
+            f"of the low-level drivers can pre-quantize with "
+            f"quantize_samples(x, check_overflow=False), but the wrap is "
+            f"demonstrated, not hypothetical.)")
     warnings.warn(
         f"int8 accumulation COULD overflow: the guaranteed-safe bound "
         f"127*max(|q| row/col sums) = {float(_int8_abs_sum_bound(q)):.3g} "

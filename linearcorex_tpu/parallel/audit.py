@@ -99,11 +99,18 @@ def groups_subset_of_axis(op: CollectiveOp, mesh, axis: str) -> bool:
     differ ONLY along `axis` of `mesh` — i.e. the collective rides that
     mesh axis (for a 2-level slice x chip mesh: 'data' groups ride ICI,
     'slice' groups cross DCN). Groups spanning several axes return False
-    for each single axis."""
+    for each single axis.
+
+    HLO replica_groups index the program's LOGICAL device assignment
+    (position in mesh.devices' flattened order), NOT physical device ids
+    — on a mesh built from a permuted device array (every real
+    multi-slice mesh, e.g. mesh_utils.create_hybrid_device_mesh) the two
+    differ, so classification must use positional indices
+    (tests/test_sharding.py permuted-mesh regression)."""
     import numpy as np
-    ids = np.vectorize(lambda d: d.id)(mesh.devices)
+    pos = np.arange(mesh.devices.size).reshape(mesh.devices.shape)
     k = mesh.axis_names.index(axis)
-    lines = np.moveaxis(ids, k, -1).reshape(-1, ids.shape[k])
+    lines = np.moveaxis(pos, k, -1).reshape(-1, pos.shape[k])
     line_sets = [frozenset(int(v) for v in row) for row in lines]
     return all(
         any(frozenset(g) <= s for s in line_sets) for g in op.groups
@@ -147,15 +154,10 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
     import jax
     from jax.sharding import NamedSharding
 
-    from linearcorex_tpu.models.corex import resolve_config
     from linearcorex_tpu.ops.moments import QuantizedData
     from linearcorex_tpu.parallel import sharding as S
 
     plan = plan or S.ShardingPlan()
-    if plan.shard_vars or plan.shard_factors:
-        import dataclasses
-        if cfg.use_pallas == "auto":
-            cfg = dataclasses.replace(cfg, use_pallas="never")
     quant = isinstance(data, QuantizedData)
     operand = data.q if quant else data
     if quant and cfg.matmul_dtype != "int8":
@@ -164,9 +166,8 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
             "(the audited program must be the one fit_sharded would run)")
     if n_samples is None and strategy == "samples":
         n_samples = operand.shape[0]
-    cfg = resolve_config(cfg, operand.shape[-1],
-                         platform=S._mesh_platform(mesh),
-                         n_samples=n_samples)
+    cfg = S.resolve_sharded_config(cfg, mesh, plan, operand.shape[-1],
+                                   n_samples)
     S.validate_plan_shapes(
         plan, strategy, mesh,
         operand.shape[0] if strategy != "gram" else None,

@@ -176,6 +176,23 @@ def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None,
     return Mesh(arr, names)
 
 
+def resolve_sharded_config(cfg: CorexConfig, mesh: Mesh,
+                           plan: "ShardingPlan", p: int,
+                           n_samples) -> CorexConfig:
+    """'auto'-knob resolution for a sharded fit — the single definition
+    shared by `fit_sharded` and `utils.compile_cache.warmup_fit` (drift
+    between them would give warmup a different cache key than the real
+    fit): var/factor-sharded layouts force the chain kernel off (GSPMD
+    cannot partition a pallas_call, so it would all-gather the full
+    (p, m) cross-moment into it every iteration), then the standard
+    resolve_config runs against the MESH's platform."""
+    if plan.shard_vars or plan.shard_factors:
+        if cfg.use_pallas == "auto":
+            cfg = dataclasses.replace(cfg, use_pallas="never")
+    return resolve_config(cfg, p, platform=_mesh_platform(mesh),
+                          n_samples=n_samples)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _fit_program_sharded(data, w0, cfg: CorexConfig, plan: ShardingPlan,
                          strategy: str):
@@ -310,25 +327,18 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     small, needed by every chip each iteration)."""
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
     ensure_compile_cache()
-    if plan.shard_vars or plan.shard_factors:
-        # the chain kernel runs on the full (p, m) cross-moment; under a
-        # var- or factor-sharded layout GSPMD would have to all-gather /
-        # replicate C_xy into the unpartitionable pallas_call every
-        # iteration — keep the partitionable XLA chain instead
-        if cfg.use_pallas == "auto":
-            cfg = dataclasses.replace(cfg, use_pallas="never")
-    # optimizer='auto' (and, off the var/factor-sharded layouts, the chain
-    # kernel) resolve against the shapes. A Gram operand carries no sample
-    # count — pass `n_samples` explicitly there (Corex.fit(mesh=...) has
-    # already resolved the optimizer before reaching here), else 'auto'
-    # falls back to the robust momentum
+    # 'auto' knobs resolve against the shapes + mesh (resolve_sharded_
+    # config — shared with warmup_fit so AOT compiles the same program).
+    # A Gram operand carries no sample count — pass `n_samples` explicitly
+    # there (Corex.fit(mesh=...) has already resolved the optimizer before
+    # reaching here), else 'auto' falls back to the robust momentum
     from linearcorex_tpu.ops.moments import QuantizedData
 
     operand = data.q if isinstance(data, QuantizedData) else data
     if n_samples is None and strategy == "samples":
         n_samples = operand.shape[0]
-    cfg = resolve_config(cfg, operand.shape[-1],
-                         platform=_mesh_platform(mesh), n_samples=n_samples)
+    cfg = resolve_sharded_config(cfg, mesh, plan, operand.shape[-1],
+                                 n_samples)
     validate_plan_shapes(
         plan, strategy, mesh,
         operand.shape[0] if strategy != "gram" else None,

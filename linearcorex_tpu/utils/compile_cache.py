@@ -93,20 +93,21 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
 
     from linearcorex_tpu.models.corex import (_fit_program,
                                               _prepare_program,
-                                              resolve_config,
-                                              resolve_optimizer)
+                                              pick_fit_strategy,
+                                              resolve_config)
     from linearcorex_tpu.ops.moments import QuantizedData
 
     ensure_compile_cache()
     n, p = int(n_samples), int(n_variables)
-    strategy = model.config.pick_strategy(n, p)
-    if mesh is not None and strategy == "gram" \
-            and model.config.moment_strategy == "auto":
+    plan = None
+    if mesh is not None:
         from linearcorex_tpu.parallel.sharding import ShardingPlan
-        _plan = sharding_plan or ShardingPlan()
-        if (_plan.shard_samples or _plan.shard_slices) \
-                and not _plan.shard_vars:
-            strategy = "samples"  # mirrors Corex._prepare_fit(plan=...)
+        plan = sharding_plan or ShardingPlan()
+    # strategy/config resolution SHARED with the real fit paths
+    # (pick_fit_strategy / resolve_sharded_config) — a drifted copy here
+    # would compile a different cache key than the fit and silently
+    # defeat AOT warmup
+    strategy = pick_fit_strategy(model.config, n, p, plan)
     dt = model._dt
     data_shape = (p, p) if strategy == "gram" else (n, p)
     if model.config.matmul_dtype == "bfloat16":
@@ -129,19 +130,11 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
             shape, dtype, sharding=NamedSharding(mesh, spec))
 
     if mesh is not None:
-        import dataclasses as _dc
-
         from jax.sharding import PartitionSpec as P
 
         from linearcorex_tpu.parallel import sharding as S
 
-        plan = sharding_plan or S.ShardingPlan()
-        cfg = resolve_optimizer(model.config, p, n)
-        if plan.shard_vars or plan.shard_factors:
-            if cfg.use_pallas == "auto":
-                cfg = _dc.replace(cfg, use_pallas="never")
-        cfg = resolve_config(cfg, p, platform=S._mesh_platform(mesh),
-                             n_samples=n)
+        cfg = S.resolve_sharded_config(model.config, mesh, plan, p, n)
         S.validate_plan_shapes(plan, strategy, mesh,
                                None if strategy == "gram" else n, p,
                                model.m)

@@ -433,3 +433,33 @@ def test_gram_operand_rejects_slice_axis():
     from linearcorex_tpu.parallel.sharding import operand_specs
     with pytest.raises(ValueError, match="[Gg]ram"):
         operand_specs(ShardingPlan(shard_slices=True), "gram")
+
+
+def test_audit_axis_classification_on_permuted_mesh():
+    """Regression (round-3 self-review): HLO replica groups index the
+    LOGICAL device order, not physical ids. On a mesh built from a
+    permuted device array — which every real hybrid DCN x ICI mesh is —
+    classification by d.id silently reported False for the very axis a
+    collective rides. Positional indexing must classify identically on
+    the permuted mesh."""
+    from jax.sharding import Mesh
+    from linearcorex_tpu.parallel.audit import (audit_fit,
+                                                groups_subset_of_axis)
+    from linearcorex_tpu.parallel.sharding import SLICE_AXIS
+
+    p, m, n = 64, 8, 512
+    x = jax.ShapeDtypeStruct((n, p), jnp.float32)
+    w = jax.ShapeDtypeStruct((m, p), jnp.float32)
+    cfg = CorexConfig(n_hidden=m, record_history=False, max_iter=50)
+    perm = np.array(jax.devices())[[3, 1, 4, 6, 0, 2, 5, 7]].reshape(2, 4)
+    mesh = Mesh(perm, (SLICE_AXIS, FACTOR_AXIS))
+    ops = audit_fit(x, w, cfg, mesh,
+                    ShardingPlan(shard_samples=False, shard_slices=True,
+                                 shard_factors=True))
+    cross_slice = [o for o in ops
+                   if groups_subset_of_axis(o, mesh, SLICE_AXIS)]
+    assert cross_slice, "cross-moment reduces must classify onto 'slice'"
+    assert all(o.kind == "all-reduce" for o in cross_slice)
+    gathers = [o for o in ops if o.kind == "all-gather"]
+    assert gathers and all(
+        groups_subset_of_axis(o, mesh, FACTOR_AXIS) for o in gathers)

@@ -77,3 +77,19 @@ def test_stacked_mesh_fit_matches_single_device():
     assert abs(msh.tc - ref.tc) < 1e-8
     for a, b in zip(msh.tcs, ref.tcs):
         assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-8
+
+
+def test_stacked_mesh_drops_var_factor_axes_for_deep_layers():
+    """A var/factor plan applies to layer 1 only: deeper layers fit on
+    narrow (n, m_k) factor matrices that need not divide those mesh
+    extents (round-3 self-review finding — previously the layer-1 fit
+    succeeded and layer 2 raised, wasting the work)."""
+    from linearcorex_tpu.parallel.sharding import ShardingPlan, make_mesh
+    from tests.conftest import block_data
+
+    x = block_data(n=512, p=64, m=8, seed=4)
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    ref = StackedCorex([8, 2], seed=0, dtype="float64").fit(x)
+    msh = StackedCorex([8, 2], seed=0, dtype="float64").fit(
+        x, mesh=make_mesh((("var", 8),)), sharding_plan=plan)
+    assert abs(msh.tc - ref.tc) < 1e-8
