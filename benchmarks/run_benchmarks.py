@@ -419,6 +419,35 @@ stragglers cost ~1.4x vs running the 4 fits sequentially (~10 s) —
 prefer sequential when the compile is already cached, the vmapped sweep
 when it is not.
 
+## Initialization study: init='spectral' at cfg5 scale (2026-08-17)
+
+Randomized range-finder init (W0 = Q^T from QR(Σ̂·Ω), one Σ-application
++ thin QR ≈ one solver iteration) vs the reference's random init, at
+p=100k/m=512/n=10k, int8 heavy-ball tol=1e-4, TWO seeds each
+(/tmp probe scripts; strong = in-block corr 0.81 = the cfg5 data, weak
+= corr 0.09 = the round-2 annealing-essential data):
+
+| config | weak-structure TC (iters, wall) | strong-structure TC (iters, wall) |
+|---|---|---|
+| anneal + random (prior recipe) | 7178 / 6989 (167/101 it, 2.6-7.3 s) | 204835 / 205296 (130/137 it, ~3.2 s) |
+| no-anneal + random | 4623 / 4625 — COLLAPSES (-35%) | 205828 / 205958 (35 it, 1.2 s) |
+| **no-anneal + spectral** | **6961 / 6975 (45 it, ~1.1 s)** | **206231 / 206246 (64 it, ~1.5 s)** |
+| anneal + spectral | 7068 / 7055 (111 it, ~2.2 s) | 97048 / 96158 — CATASTROPHIC |
+
+Conclusions (encoded in the config docstring + a construction-time
+warning): `init='spectral', anneal=False` is the best measured cfg5
+config on BOTH structure regimes — on weak structure it rescues the
+no-anneal collapse to within the annealed seed spread at 2.4-7x less
+wall; on strong structure it is the best TC of any config. Combining
+spectral WITH annealing is measured harmful on strong structure (the
+early high-eps stages scramble the aligned init and commit to a ~2x
+worse basin) — the library warns. A second power iteration measured no
+better (6987 vs 6961). At SMALL scale spectral is a wash (overcomplete
+fits reach identical optima; matched-m fits are a seed/basin lottery
+under either init) — the knob is for scale. Default stays 'random'
+(reference parity); seeded spectral is step-matched with the f64 oracle
+(tests/test_api.py).
+
 ## Scale ceiling on one chip (measured probe, not a maintained benchmark row)
 
 p=500,000 variables (5x the cfg5 north-star), n=10k, m=512, on ONE v5e

@@ -88,6 +88,22 @@ class CorexConfig:
     # stays the constructor default (regime-independent robustness).
     optimizer: str = "momentum"
     momentum_beta: float = 0.9
+    # Initial weights: 'random' = the reference's seeded N(0, 1/sqrt(p))
+    # draw; 'spectral' = randomized range-finder init (one Σ-application
+    # of a random (p, m) block + thin QR; rows of W start spanning the
+    # top-m subspace of Σ̂). Measured at cfg5 scale (2026-08-17,
+    # benchmarks/RESULTS.md "init" note): with anneal=False, spectral is
+    # the BEST measured config on both structure regimes — weak
+    # structure: TC 6961-6975 in ~1.1 s, matching the annealed-random
+    # TC (6989-7178, 2.6-7.3 s) where no-anneal random COLLAPSES to
+    # 4623; strong structure: TC 206231-206246, beating every other
+    # config, in 1.5 s. WARNING (measured): combining init='spectral'
+    # WITH anneal=True is harmful on strong structure — the early
+    # high-eps stages scramble the aligned init and commit to a
+    # catastrophically worse basin (TC 96-97k vs 205k) — pair spectral
+    # with anneal=False (config validation warns). Default stays
+    # 'random' (reference parity).
+    init: str = "random"
     lr_init: float = 0.05
     lr_growth: float = 1.1
     lr_cap: float = 2.0
@@ -128,6 +144,19 @@ class CorexConfig:
                 "optimizer='fixed_point' implements the non-overlap "
                 "closed-form update; use 'momentum'/'gd' with "
                 "discourage_overlap=False")
+        if self.init not in ("random", "spectral"):
+            raise ValueError(
+                f"unknown init: {self.init!r} (expected 'random' or "
+                f"'spectral')")
+        if self.init == "spectral" and self.anneal and self.n_hidden > 1 \
+                and self.discourage_overlap:
+            import warnings
+            warnings.warn(
+                "init='spectral' with anneal=True: measured HARMFUL on "
+                "strong-structure data at scale (the early high-eps "
+                "stages scramble the aligned init; TC 96k vs 205k at "
+                "cfg5) — pair spectral with anneal=False "
+                "(benchmarks/RESULTS.md)")
         if self.use_pallas not in ("auto", "always", "never", "interpret"):
             raise ValueError(
                 f"unknown use_pallas: {self.use_pallas!r} (expected 'auto', "

@@ -201,6 +201,21 @@ def _prepare_program(x, pre_cfg: Optional[PreprocessConfig],
 
 
 @partial(jax.jit, static_argnums=(2, 3))
+def _spectral_init_program(data, omega, strategy: str, matmul_dtype: str):
+    """Randomized range-finder init (config.init='spectral'): W₀ = Qᵀ
+    with Q·R = Σ_emp·Ω for a random (p, m) block Ω — rows of W start
+    spanning the top-m subspace of Σ̂. One Σ-application (the same
+    per-iteration operator the solver uses: gram/samples/int8 backends
+    via `_apply_sigma_t`) + a thin QR; cost ≈ one solver iteration.
+    A second power iteration measured no better (cfg5, RESULTS.md)."""
+    gram = strategy == "gram"
+    bf16 = matmul_dtype == "bfloat16"
+    apply = M._apply_sigma_t(data, bf16, gram, omega.dtype)
+    q, _ = jnp.linalg.qr(apply(omega).astype(omega.dtype))
+    return q.T
+
+
+@partial(jax.jit, static_argnums=(2, 3))
 def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
     """The complete fit as one XLA program: annealed solve → final moments →
     factor sort (SURVEY.md §3.1). Returns (ws, Moments, FitDiagnostics)."""
@@ -377,7 +392,7 @@ class Corex:
                  seed=None, dtype="float32", moment_strategy="auto",
                  record_history=True, matmul_dtype="float32",
                  use_pallas="auto", matmul_precision="default",
-                 optimizer="momentum", momentum_beta=0.9):
+                 optimizer="momentum", momentum_beta=0.9, init="random"):
         del gpu  # accepted for reference API parity; XLA is the one backend
         self.config = CorexConfig(
             n_hidden=n_hidden, max_iter=max_iter, tol=tol, anneal=anneal,
@@ -385,7 +400,7 @@ class Corex:
             dtype=dtype, moment_strategy=moment_strategy,
             record_history=record_history, matmul_dtype=matmul_dtype,
             use_pallas=use_pallas, matmul_precision=matmul_precision,
-            optimizer=optimizer, momentum_beta=momentum_beta)
+            optimizer=optimizer, momentum_beta=momentum_beta, init=init)
         self.pre_config = PreprocessConfig(gaussianize=gaussianize,
                                            missing_values=missing_values)
         self.update_iter = update_iter
@@ -522,9 +537,11 @@ class Corex:
             M._check_int8_wrap(data)  # eager guard (host control flow)
         return data, cfg, strategy
 
-    def _resolve_w0(self, init_ws):
+    def _resolve_w0(self, init_ws, data=None, strategy=None):
         """Initial weights: explicit init_ws > shape-matching pretrained /
-        previous ws (warm start) > fresh seeded init."""
+        previous ws (warm start) > fresh init per config.init ('random'
+        seeded draw, or 'spectral' — which needs the prepared operand, so
+        fit passes (data, strategy))."""
         if init_ws is not None:
             w0 = jnp.asarray(init_ws, dtype=self._dt)
             if w0.shape != (self.m, self.nv):
@@ -536,6 +553,21 @@ class Corex:
             # pretrained warm start (SURVEY.md §5); cast covers a dtype
             # changed via set_params after a previous fit
             return jnp.asarray(self.ws, dtype=self._dt)
+        if self.config.init == "spectral" and data is not None:
+            # Ω follows the same seeding policy as the random init:
+            # seeded → NumPy RandomState (oracle-parity-capable),
+            # unseeded → fresh device entropy (no W-sized H2D transfer)
+            if self.seed is None:
+                key = jax.random.PRNGKey(
+                    int(np.random.SeedSequence().generate_state(1)[0]))
+                omega = jax.random.normal(key, (self.nv, self.m),
+                                          self._dt)
+            else:
+                omega = jnp.asarray(
+                    np.random.RandomState(self.seed).normal(
+                        size=(self.nv, self.m)), self._dt)
+            return _spectral_init_program(data, omega, strategy,
+                                          self.config.matmul_dtype)
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 
@@ -552,7 +584,7 @@ class Corex:
             plan = sharding_plan or ShardingPlan()
         data, cfg, strategy = self._prepare_fit(
             x, resolve=mesh is None, plan=None if mesh is None else plan)
-        w0 = self._resolve_w0(init_ws)
+        w0 = self._resolve_w0(init_ws, data=data, strategy=strategy)
         if mesh is not None:
             self.ws, self.moments, self.diagnostics = fit_sharded(
                 data, w0, cfg, mesh, plan, strategy)
@@ -749,7 +781,7 @@ class Corex:
         "discourage_overlap", "gaussianize", "y_scale", "update_iter",
         "verbose", "seed", "dtype", "moment_strategy", "record_history",
         "matmul_dtype", "use_pallas", "matmul_precision", "optimizer",
-        "momentum_beta")
+        "momentum_beta", "init")
 
     def get_params(self, deep=True):
         cfg, pre = self.config, self.pre_config
@@ -768,6 +800,7 @@ class Corex:
             "matmul_precision": cfg.matmul_precision,
             "optimizer": cfg.optimizer,
             "momentum_beta": cfg.momentum_beta,
+            "init": cfg.init,
         }
 
     def set_params(self, **params):

@@ -336,7 +336,8 @@ class OracleCorex:
                  missing_values=None, discourage_overlap=True,
                  gaussianize="standard", gpu=False, y_scale=1.0,
                  update_iter=10, pretrained_weights=None, verbose=False,
-                 seed=None, optimizer="momentum", momentum_beta=0.9):
+                 seed=None, optimizer="momentum", momentum_beta=0.9,
+                 init="random"):
         del gpu  # accepted for API parity; the oracle is CPU NumPy by design
         self.m = n_hidden
         self.max_iter = max_iter
@@ -352,6 +353,11 @@ class OracleCorex:
                 f"unknown optimizer: {optimizer!r} (expected 'auto', "
                 f"'momentum', 'gd' or 'fixed_point')")
         self.optimizer = optimizer
+        if init not in ("random", "spectral"):
+            raise ValueError(
+                f"unknown init: {init!r} (expected 'random' or "
+                f"'spectral')")
+        self.init = init
         # per-fit resolution of 'auto' (fit() overwrites); pre-fit direct
         # calls into _obj_grad/_fit_stage see the constructor value
         self.resolved_optimizer_ = optimizer
@@ -373,6 +379,17 @@ class OracleCorex:
         return rng.normal(loc=0.0, scale=1.0 / np.sqrt(p),
                           size=(self.m, p)).astype(np.float64)
 
+    def _spectral_init(self, x):
+        """Randomized range-finder init (init='spectral'): W₀ = Qᵀ with
+        Q·R = Σ̂·Ω, Ω ~ RandomState(seed).normal((p, m)) — mirrors
+        models.corex._spectral_init_program (same Ω draw, same one
+        power iteration, samples-path Σ-application)."""
+        n, p = x.shape
+        omega = np.random.RandomState(self.seed).normal(
+            size=(p, self.m))
+        q, _ = np.linalg.qr(x.T @ (x @ omega) / n)
+        return np.ascontiguousarray(q.T, dtype=np.float64)
+
     def fit(self, x, init_ws=None):
         x = self.pre.fit_transform(x)
         self.n_samples, self.nv = x.shape
@@ -391,7 +408,8 @@ class OracleCorex:
         if init_ws is not None:
             self.ws = np.asarray(init_ws, dtype=np.float64).copy()
         elif self.ws is None:
-            self.ws = self._init_ws(self.nv)
+            self.ws = (self._spectral_init(x) if self.init == "spectral"
+                       else self._init_ws(self.nv))
         schedule = anneal_schedule(self.anneal, self.m,
                                    self.discourage_overlap)
         for eps in schedule:

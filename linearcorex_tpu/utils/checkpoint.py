@@ -177,7 +177,7 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
                     if k in z.files and z[k].shape == stats[k].shape:
                         stats[k] = z[k].copy()
     if start_stage == 0:
-        ws = model._resolve_w0(init_ws)
+        ws = model._resolve_w0(init_ws, data=data, strategy=strategy)
 
     fp_arr = np.frombuffer(fingerprint.encode(), dtype=np.uint8)
     for s in range(start_stage, n_stages):
@@ -249,6 +249,7 @@ def load_corex(path: str) -> Corex:
             matmul_dtype=cfg.matmul_dtype, use_pallas=cfg.use_pallas,
             matmul_precision=cfg.matmul_precision,
             optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta,
+            init=getattr(cfg, "init", "random"),
             update_iter=meta.get("update_iter", 10),
             verbose=meta.get("verbose", False))
         dt = jnp.dtype(cfg.dtype)

@@ -121,6 +121,19 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     _prepare_program.lower(
         jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
         model.config.matmul_dtype).compile()
+    if model.config.init == "spectral":
+        # the spectral-init program also runs unsharded, before any
+        # device_put (Corex._resolve_w0)
+        from linearcorex_tpu.models.corex import _spectral_init_program
+        if model.config.matmul_dtype == "int8":
+            init_data = QuantizedData(
+                q=jax.ShapeDtypeStruct(data_shape, jnp.int8),
+                scale=jax.ShapeDtypeStruct((), jnp.float32))
+        else:
+            init_data = jax.ShapeDtypeStruct(data_shape, data_dt)
+        _spectral_init_program.lower(
+            init_data, jax.ShapeDtypeStruct((p, model.m), dt), strategy,
+            model.config.matmul_dtype).compile()
 
     def sds(shape, dtype, spec=None):
         if mesh is None:

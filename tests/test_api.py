@@ -318,3 +318,69 @@ def test_unseeded_init_is_device_side_and_fresh(small_block_data):
     assert abs(float(np.asarray(w_a).std()) - 1 / np.sqrt(32)) < 0.05
     m1.fit(small_block_data)
     assert np.isfinite(m1.tc)
+
+
+# ---------------------------------------------------------------------------
+# init='spectral' (round-3 TPU-native addition; measured at cfg5 in
+# benchmarks/RESULTS.md — pair with anneal=False)
+# ---------------------------------------------------------------------------
+
+def test_spectral_init_recovers_blocks(med_block_data):
+    """Overcomplete no-anneal fit with spectral init reaches the same
+    optimum as random init and recovers the planted partition. (The
+    regime where spectral MATTERS is scale — the cfg5 measurements in
+    RESULTS.md: it rescues the no-anneal collapse on weak structure and
+    edges out every config on strong structure; at small scale matched-m
+    fits are a basin lottery under either init, so this test pins the
+    regime where both agree.)"""
+    m = lc.Corex(n_hidden=16, seed=0, init="spectral", anneal=False).fit(
+        med_block_data)
+    r = lc.Corex(n_hidden=16, seed=0, anneal=False).fit(med_block_data)
+    assert np.isfinite(m.tc)
+    assert abs(m.tc - r.tc) / r.tc < 1e-3     # same optimum
+    clusters = np.asarray(m.clusters)
+    # 8 planted blocks of 8 variables: perfect partition
+    assert all(len(set(clusters[k * 8:(k + 1) * 8])) == 1
+               for k in range(8))
+
+
+def test_spectral_init_warns_with_anneal():
+    with pytest.warns(UserWarning, match="anneal"):
+        lc.Corex(n_hidden=4, init="spectral", anneal=True)
+
+
+def test_spectral_init_f64_oracle_parity(med_block_data):
+    """Seeded spectral init is step-matched with the oracle (same
+    RandomState Ω, same one-power-iteration range finder): identical
+    iteration counts, TC/W to 1e-5 (samples strategy pins the same
+    Σ-application associativity on both sides)."""
+    from linearcorex_tpu.oracle import OracleCorex
+    kw = dict(n_hidden=8, seed=3, init="spectral", anneal=False,
+              max_iter=2000)
+    c = lc.Corex(dtype="float64", moment_strategy="samples", **kw).fit(
+        med_block_data)
+    o = OracleCorex(**kw).fit(med_block_data)
+    assert np.asarray(c.diagnostics.iters_per_stage).tolist() == \
+        o.history["iters_per_stage"]
+    assert abs(c.tc - o.tc) < 1e-5 * max(1.0, abs(o.tc))
+    assert np.abs(np.asarray(c.ws) - o.ws).max() < 1e-5
+
+
+def test_spectral_init_unseeded_and_int8(small_block_data):
+    a = lc.Corex(n_hidden=4, init="spectral", anneal=False).fit(
+        small_block_data)
+    b = lc.Corex(n_hidden=4, seed=0, init="spectral", anneal=False,
+                 matmul_dtype="int8", tol=1e-3).fit(small_block_data)
+    assert np.isfinite(a.tc) and np.isfinite(b.tc)
+
+
+def test_spectral_init_params_roundtrip(tmp_path, small_block_data):
+    from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
+    m = lc.Corex(n_hidden=4, seed=0, init="spectral", anneal=False).fit(
+        small_block_data)
+    assert m.get_params()["init"] == "spectral"
+    m.set_params(init="random")
+    assert m.config.init == "random"
+    m.set_params(init="spectral")
+    save_corex(m, str(tmp_path / "m"))
+    assert load_corex(str(tmp_path / "m")).config.init == "spectral"
