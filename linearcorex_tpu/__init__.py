@@ -14,7 +14,7 @@ Usage (reference-compatible, `import linearcorex_tpu as lc`):
 """
 
 from linearcorex_tpu.config import CorexConfig, PreprocessConfig
-from linearcorex_tpu.models.corex import Corex
+from linearcorex_tpu.models.corex import Corex, NotFittedError
 from linearcorex_tpu.models.selection import pick_n_hidden
 from linearcorex_tpu.models.stacked import StackedCorex
 from linearcorex_tpu.ops.moments import (QuantizedData, quantize_gram,
@@ -30,6 +30,7 @@ from linearcorex_tpu.utils.streaming import (GramAccumulator,
 __version__ = "0.3.0"
 __all__ = [
     "Corex",
+    "NotFittedError",
     "CorexConfig",
     "PreprocessConfig",
     "StackedCorex",

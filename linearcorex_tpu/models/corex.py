@@ -20,6 +20,7 @@ Differences by design (TPU-native):
 
 from __future__ import annotations
 
+import sys
 from functools import partial
 from typing import Optional
 
@@ -32,7 +33,46 @@ from linearcorex_tpu.core.solver import FitDiagnostics, fit_core, sort_by_tcs
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 
-__all__ = ["Corex"]
+__all__ = ["Corex", "NotFittedError"]
+
+
+class NotFittedError(ValueError, AttributeError):
+    """Inference was requested before `fit`. Mirrors
+    `sklearn.exceptions.NotFittedError` (same ValueError+AttributeError
+    bases). When sklearn is ALREADY imported in the process, the raised
+    exception is a subclass of BOTH this class and sklearn's, so either
+    `except lc.NotFittedError` or `except sklearn...NotFittedError`
+    catches it — but sklearn is never imported for this (a cold
+    `import sklearn.exceptions` measures ~6 s; sklearn stays an
+    optional integration, not a dependency)."""
+
+
+_dual_not_fitted_cls = None
+
+
+def _raise_not_fitted(msg):
+    global _dual_not_fitted_cls
+    cls = NotFittedError
+    if "sklearn" in sys.modules:  # free — the user already paid the import
+        if _dual_not_fitted_cls is None:
+            try:
+                from sklearn.exceptions import NotFittedError as _SkNFE
+
+                class _DualNotFitted(NotFittedError, _SkNFE):
+                    pass
+
+                _DualNotFitted.__name__ = "NotFittedError"
+                _DualNotFitted.__qualname__ = "NotFittedError"
+                _dual_not_fitted_cls = _DualNotFitted
+            except Exception:
+                _dual_not_fitted_cls = NotFittedError
+        cls = _dual_not_fitted_cls
+    raise cls(msg)
+
+
+def _is_sparse(x) -> bool:
+    # scipy.sparse duck-typing: avoids importing scipy on the hot path
+    return hasattr(x, "toarray") and hasattr(x, "tocsr")
 
 
 def resolve_config(cfg: CorexConfig, nv: int,
@@ -393,32 +433,107 @@ class Corex:
                  record_history=True, matmul_dtype="float32",
                  use_pallas="auto", matmul_precision="default",
                  optimizer="momentum", momentum_beta=0.9, init="random"):
-        del gpu  # accepted for reference API parity; XLA is the one backend
-        self.config = CorexConfig(
-            n_hidden=n_hidden, max_iter=max_iter, tol=tol, anneal=anneal,
-            discourage_overlap=discourage_overlap, y_scale=y_scale,
-            dtype=dtype, moment_strategy=moment_strategy,
-            record_history=record_history, matmul_dtype=matmul_dtype,
-            use_pallas=use_pallas, matmul_precision=matmul_precision,
-            optimizer=optimizer, momentum_beta=momentum_beta, init=init)
-        self.pre_config = PreprocessConfig(gaussianize=gaussianize,
-                                           missing_values=missing_values)
+        # sklearn init contract: store the constructor arguments VERBATIM
+        # and nothing else (no validation, no derived objects) — the
+        # frozen jit-static CorexConfig/PreprocessConfig are derived
+        # lazily by the `config`/`pre_config` properties, so invalid
+        # values surface at first use (fit), per the sklearn deferred-
+        # validation convention, and set_params is a plain attribute
+        # update. `gpu` is stored but ignored: XLA is the one backend.
+        self.n_hidden = n_hidden
+        self.max_iter = max_iter
+        self.tol = tol
+        self.anneal = anneal
+        self.missing_values = missing_values
+        self.discourage_overlap = discourage_overlap
+        self.gaussianize = gaussianize
+        self.gpu = gpu
+        self.y_scale = y_scale
         self.update_iter = update_iter
+        self.pretrained_weights = pretrained_weights
         self.verbose = verbose
         self.seed = seed
-        self.m = n_hidden
-        self.ws: Optional[jax.Array] = None
-        if pretrained_weights is not None:
-            self.ws = jnp.asarray(pretrained_weights, dtype=self._dt)
-        self.theta: Optional[P.Theta] = None
-        self.moments: Optional[M.Moments] = None
-        self.diagnostics: Optional[FitDiagnostics] = None
-        self.nv: Optional[int] = None
-        self.n_samples: Optional[int] = None
-        # set by fit(): the optimizer the fit actually ran ('auto' resolved)
-        self.resolved_optimizer_: Optional[str] = None
+        self.dtype = dtype
+        self.moment_strategy = moment_strategy
+        self.record_history = record_history
+        self.matmul_dtype = matmul_dtype
+        self.use_pallas = use_pallas
+        self.matmul_precision = matmul_precision
+        self.optimizer = optimizer
+        self.momentum_beta = momentum_beta
+        self.init = init
+        # warm-start weights live APART from fitted state so that a
+        # repeated fit() is fresh/idempotent (sklearn contract; matches
+        # the reference, which re-initializes per fit from
+        # pretrained_weights or a seeded draw — SURVEY.md §5 checkpoint
+        # row). `load_corex` re-arms this so a post-load fit() warm-starts.
+        self._pretrained_ws: Optional[jax.Array] = None
+
+    # Fitted state defaults live on the CLASS: instances carry no fitted
+    # attributes until fit() sets them (sklearn's
+    # check_no_attributes_set_in_init / check_dont_overwrite_parameters
+    # contract), while pre-fit reads still see None. The public names —
+    # ws, theta, moments, diagnostics, nv, n_samples — keep the
+    # reference's attribute API (`[U] :: Corex` exposes `ws` etc., no
+    # trailing underscores), via properties over private storage.
+    _ws: Optional[jax.Array] = None
+    _theta: Optional[P.Theta] = None
+    _moments: Optional[M.Moments] = None
+    _diagnostics: Optional[FitDiagnostics] = None
+    _nv: Optional[int] = None
+    _n_samples: Optional[int] = None
+    # the optimizer the last fit actually ran ('auto' resolved per fit)
+    resolved_optimizer_: Optional[str] = None
+
+    ws = property(lambda self: self._ws,
+                  lambda self, v: setattr(self, "_ws", v),
+                  doc="Fitted (m, p) weight matrix (None before fit).")
+    theta = property(lambda self: self._theta,
+                     lambda self, v: setattr(self, "_theta", v),
+                     doc="Preprocessing parameters (None before fit).")
+    moments = property(lambda self: self._moments,
+                       lambda self, v: setattr(self, "_moments", v),
+                       doc="Fitted moment pytree (None before fit).")
+    diagnostics = property(
+        lambda self: self._diagnostics,
+        lambda self, v: setattr(self, "_diagnostics", v),
+        doc="Per-stage FitDiagnostics (None before fit).")
+    nv = property(lambda self: self._nv,
+                  lambda self, v: setattr(self, "_nv", v),
+                  doc="Fitted n_variables (None before fit).")
+    n_samples = property(
+        lambda self: self._n_samples,
+        lambda self, v: setattr(self, "_n_samples", v),
+        doc="n_samples of the last fit (None before fit).")
 
     # ------------------------------------------------------------------
+    @property
+    def config(self) -> CorexConfig:
+        """The frozen jit-static solver config, derived from the current
+        hyperparameters on every access (construction is microseconds;
+        equal configs hash equal, so jit cache keys are unaffected).
+        Validation happens here — i.e. at first USE, not in __init__."""
+        return CorexConfig(
+            n_hidden=self.n_hidden, max_iter=self.max_iter, tol=self.tol,
+            anneal=self.anneal, discourage_overlap=self.discourage_overlap,
+            y_scale=self.y_scale, dtype=self.dtype,
+            moment_strategy=self.moment_strategy,
+            record_history=self.record_history,
+            matmul_dtype=self.matmul_dtype, use_pallas=self.use_pallas,
+            matmul_precision=self.matmul_precision,
+            optimizer=self.optimizer, momentum_beta=self.momentum_beta,
+            init=self.init)
+
+    @property
+    def pre_config(self) -> PreprocessConfig:
+        return PreprocessConfig(gaussianize=self.gaussianize,
+                                missing_values=self.missing_values)
+
+    @property
+    def m(self) -> int:
+        """Alias for n_hidden (the solver's factor-axis size)."""
+        return self.n_hidden
+
     @property
     def _dt(self):
         return jnp.dtype(self.config.dtype)
@@ -463,14 +578,44 @@ class Corex:
         xp = jnp.asarray(native.empirical_gaussianize(xh), self._dt)
         return xp, theta
 
-    def _validate_input(self, x, for_fit=False):
-        shape = getattr(x, "shape", None)
-        if shape is None or len(shape) != 2:
+    @staticmethod
+    def _coerce_2d(x, what="x"):
+        """Shared input coercion: reject sparse explicitly, densify
+        array-likes (lists, DataFrames, `__array__` wrappers) via
+        np.asarray, require 2-D. Returns the coerced array."""
+        if _is_sparse(x):
+            raise TypeError(
+                f"sparse input is not supported: Linear CorEx operates on "
+                f"dense (n_samples, n_variables) arrays — densify {what} "
+                f"first (e.g. X.toarray())")
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            x = np.asarray(x)
+        if x.ndim != 2:
             raise ValueError(
-                f"expected a 2-D (n_samples, n_variables) array, got "
-                f"shape {shape}")
+                f"expected a 2-D (n_samples, n_variables) array for "
+                f"{what}, got shape {x.shape}. Reshape your data to 2-D "
+                f"(samples in rows).")
+        if isinstance(x, np.ndarray):
+            if np.iscomplexobj(x):
+                raise ValueError(
+                    f"Complex data not supported: {what} must be real-"
+                    f"valued")
+            if x.dtype == object:
+                # numeric object arrays densify; strings raise numpy's
+                # clear could-not-convert ValueError
+                x = x.astype(np.float64)
+        return x
+
+    def _validate_input(self, x, for_fit=False):
+        x = self._coerce_2d(x)
+        shape = x.shape
+        if shape[1] == 0:
+            raise ValueError(
+                f"0 feature(s) (shape={shape}) while a minimum of 1 is "
+                f"required.")
         if for_fit and shape[0] < 2:
-            raise ValueError(f"need at least 2 samples, got {shape[0]}")
+            raise ValueError(
+                f"need at least 2 samples to fit, got n_samples={shape[0]}")
         if for_fit and shape[1] < self.m:
             import warnings
             warnings.warn(
@@ -484,6 +629,7 @@ class Corex:
             raise ValueError(
                 "input contains NaN/inf; pass missing_values=<sentinel> "
                 "after encoding missing entries, or clean the data first")
+        return x
 
     def _prepare_fit(self, x, resolve=True, plan=None):
         """Shared data preparation for every fit driver (`fit`,
@@ -500,7 +646,7 @@ class Corex:
         to shard."""
         from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
         ensure_compile_cache()
-        self._validate_input(x, for_fit=True)
+        x = self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x)
         x = jnp.asarray(x, dtype=self._dt)
         self.n_samples, self.nv = x.shape
@@ -538,10 +684,11 @@ class Corex:
         return data, cfg, strategy
 
     def _resolve_w0(self, init_ws, data=None, strategy=None):
-        """Initial weights: explicit init_ws > shape-matching pretrained /
-        previous ws (warm start) > fresh init per config.init ('random'
-        seeded draw, or 'spectral' — which needs the prepared operand, so
-        fit passes (data, strategy))."""
+        """Initial weights: explicit init_ws > shape-matching pretrained
+        weights (constructor arg or `load_corex`; held apart from fitted
+        state so repeated fit() is fresh) > fresh init per config.init
+        ('random' seeded draw, or 'spectral' — which needs the prepared
+        operand, so fit passes (data, strategy))."""
         if init_ws is not None:
             w0 = jnp.asarray(init_ws, dtype=self._dt)
             if w0.shape != (self.m, self.nv):
@@ -549,10 +696,15 @@ class Corex:
                     f"init_ws shape {w0.shape} does not match "
                     f"(n_hidden, n_variables)=({self.m}, {self.nv})")
             return w0
-        if self.ws is not None and self.ws.shape == (self.m, self.nv):
+        pre = self._pretrained_ws if self._pretrained_ws is not None \
+            else self.pretrained_weights
+        if pre is not None:
             # pretrained warm start (SURVEY.md §5); cast covers a dtype
-            # changed via set_params after a previous fit
-            return jnp.asarray(self.ws, dtype=self._dt)
+            # changed via set_params after construction/load. Converted
+            # lazily — __init__ stores the parameter verbatim.
+            pre = jnp.asarray(pre, dtype=self._dt)
+            if pre.shape == (self.m, self.nv):
+                return pre
         if self.config.init == "spectral" and data is not None:
             # Ω follows the same seeding policy as the random init:
             # seeded → NumPy RandomState (oracle-parity-capable),
@@ -571,13 +723,17 @@ class Corex:
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 
-    def fit(self, x, init_ws=None, mesh=None, sharding_plan=None):
-        """Fit the model. `mesh` (a jax.sharding.Mesh) runs the identical
-        annealed program sharded over the mesh's devices — the estimator
-        surface's bridge to `parallel.fit_sharded`; `sharding_plan` (a
-        `ShardingPlan`, default sample-sharding) maps the n/p/m axes onto
-        the mesh's named axes. Learned state comes back replicated, so
-        transform/predict/get_covariance work unchanged."""
+    def fit(self, x, y=None, init_ws=None, mesh=None, sharding_plan=None):
+        """Fit the model. `y` is ignored (unsupervised; accepted so the
+        estimator composes with sklearn Pipelines/cross-validation, which
+        pass it positionally). `mesh` (a jax.sharding.Mesh) runs the
+        identical annealed program sharded over the mesh's devices — the
+        estimator surface's bridge to `parallel.fit_sharded`;
+        `sharding_plan` (a `ShardingPlan`, default sample-sharding) maps
+        the n/p/m axes onto the mesh's named axes. Learned state comes
+        back replicated, so transform/predict/get_covariance work
+        unchanged."""
+        del y
         if mesh is not None:
             from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                            fit_sharded)
@@ -614,7 +770,8 @@ class Corex:
             print(f"eps: {eps:.4f}, iterations: {k}, TC: {tcs[s]:.6f}, "
                   f"delta: {deltas[s]:.2e}")
 
-    def fit_transform(self, x):
+    def fit_transform(self, x, y=None):
+        del y  # sklearn Pipeline calls fit_transform(X, y); unsupervised
         self.fit(x)
         return self.transform(x)
 
@@ -633,20 +790,26 @@ class Corex:
     # ------------------------------------------------------------------
     def _check_fitted(self):
         if self.ws is None or self.moments is None:
-            raise RuntimeError(
+            _raise_not_fitted(
                 "this Corex instance is not fitted yet; call fit(X) first")
 
     def _check_width(self, x, what="x"):
-        shape = getattr(x, "shape", None)
-        if shape is None or len(shape) != 2 or shape[1] != self.nv:
+        x = self._coerce_2d(x, what=what)
+        if x.shape[1] != self.nv:
             raise ValueError(
                 f"{what} must be 2-D with {self.nv} columns (the fitted "
-                f"n_variables); got shape {shape}")
+                f"n_variables); got shape {x.shape}")
+        return x
 
     def transform(self, x, details=False):
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`)."""
         self._check_fitted()
-        self._check_width(x)
+        x = self._check_width(x)
+        if isinstance(x, np.ndarray) and self.pre_config.missing_values \
+                is None and not np.isfinite(x).all():
+            raise ValueError(
+                "input to transform contains NaN/inf; pass "
+                "missing_values=<sentinel> or clean the data first")
         x = jnp.asarray(x, dtype=self._dt)
         if details:
             y, mom = _details_program(x, self.ws, self.theta,
@@ -656,13 +819,19 @@ class Corex:
 
     def predict(self, y):
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
-        posterior-mean reconstruction, then invert preprocessing."""
+        posterior-mean reconstruction, then invert preprocessing. Note the
+        reference semantics: the argument is the FACTOR matrix (n, m) from
+        `transform`, not raw data — `inverse_transform` is the sklearn
+        spelling of the same operation."""
         self._check_fitted()
-        shape = getattr(y, "shape", None)
-        if shape is None or len(shape) != 2 or shape[1] != self.m:
+        y = self._coerce_2d(y, what="y")
+        if y.shape[1] != self.m:
             raise ValueError(
                 f"y must be 2-D with {self.m} columns (n_hidden); got "
-                f"shape {shape}")
+                f"shape {y.shape}")
+        if isinstance(y, np.ndarray) and not np.isfinite(y).all():
+            raise ValueError(
+                "factor input to predict contains NaN/inf")
         y = jnp.asarray(y, dtype=self._dt)
         if self.config.discourage_overlap:
             mom = self.moments
@@ -670,6 +839,11 @@ class Corex:
                                        self.theta)
         return _predict_overlap_program(y, self.moments.cy,
                                         self.moments.c_xy, self.theta)
+
+    def inverse_transform(self, y):
+        """sklearn spelling of `predict`: map factors (n, m) back to the
+        variable space (n, p). Enables `Pipeline.inverse_transform`."""
+        return self.predict(y)
 
     def get_covariance(self):
         """Dense p x p factor-model covariance estimate
@@ -681,11 +855,12 @@ class Corex:
             return _cov_ns_program(mom.rhoinvrho, mom.si, self.theta.std)
         return _cov_overlap_program(mom.cy, mom.c_xy, self.theta.std)
 
-    def score(self, x):
+    def score(self, x, y=None):
         """Mean Gaussian log-likelihood of `x` under the fitted factor
         covariance N(mean, Σ̂) — the sklearn scoring convention (higher is
-        better), making the estimator usable with cross-validation and
-        grid search. Computed via Woodbury on the diagonal-plus-low-rank
+        better; `y` is accepted and ignored, as cross-validation passes it
+        positionally), making the estimator usable with cross-validation
+        and grid search. Computed via Woodbury on the diagonal-plus-low-rank
         structure of Σ̂ (O(n·p·m); the p x p never materializes), exactly
         consistent with `get_covariance` on both solver paths.
 
@@ -693,14 +868,15 @@ class Corex:
         the original data scale, so gaussianize must be 'none' or
         'standard' (the rank-based 'empirical' and clipped 'outliers'
         transforms have non-affine Jacobians)."""
+        del y
         self._check_fitted()
         if self.pre_config.gaussianize not in ("none", "standard"):
             raise ValueError(
                 "score() requires gaussianize='none' or 'standard': the "
                 "'empirical'/'outliers' transforms are non-affine, so a "
                 "density on the original scale is not defined by Σ̂ alone")
-        self._validate_input(x)
-        self._check_width(x)
+        x = self._validate_input(x)
+        x = self._check_width(x)
         x = jnp.asarray(x, dtype=self._dt)
         mom = self.moments
         if self.config.discourage_overlap:
@@ -778,54 +954,70 @@ class Corex:
     # -- sklearn estimator protocol (works inside sklearn Pipelines) -----
     _PARAM_NAMES = (
         "n_hidden", "max_iter", "tol", "anneal", "missing_values",
-        "discourage_overlap", "gaussianize", "y_scale", "update_iter",
-        "verbose", "seed", "dtype", "moment_strategy", "record_history",
-        "matmul_dtype", "use_pallas", "matmul_precision", "optimizer",
-        "momentum_beta", "init")
+        "discourage_overlap", "gaussianize", "gpu", "y_scale",
+        "update_iter", "pretrained_weights", "verbose", "seed", "dtype",
+        "moment_strategy", "record_history", "matmul_dtype", "use_pallas",
+        "matmul_precision", "optimizer", "momentum_beta", "init")
 
     def get_params(self, deep=True):
-        cfg, pre = self.config, self.pre_config
-        return {
-            "n_hidden": cfg.n_hidden, "max_iter": cfg.max_iter,
-            "tol": cfg.tol, "anneal": cfg.anneal,
-            "missing_values": pre.missing_values,
-            "discourage_overlap": cfg.discourage_overlap,
-            "gaussianize": pre.gaussianize, "y_scale": cfg.y_scale,
-            "update_iter": self.update_iter, "verbose": self.verbose,
-            "seed": self.seed, "dtype": cfg.dtype,
-            "moment_strategy": cfg.moment_strategy,
-            "record_history": cfg.record_history,
-            "matmul_dtype": cfg.matmul_dtype,
-            "use_pallas": cfg.use_pallas,
-            "matmul_precision": cfg.matmul_precision,
-            "optimizer": cfg.optimizer,
-            "momentum_beta": cfg.momentum_beta,
-            "init": cfg.init,
-        }
+        """Every constructor argument, verbatim (sklearn protocol; the
+        attribute IS the parameter, so `clone` identity checks hold)."""
+        return {k: getattr(self, k) for k in self._PARAM_NAMES}
+
+    def __sklearn_tags__(self):
+        """sklearn >=1.6 estimator-tags hook. Imported lazily: only
+        sklearn itself calls this, so the import cannot fail in
+        sklearn-free environments (sklearn stays an optional integration,
+        not a dependency). Declares an unsupervised 2-D transformer;
+        allow_nan reflects whether the missing marker is NaN (mean
+        imputation, SURVEY.md §2.2)."""
+        from sklearn.utils import (InputTags, Tags, TargetTags,
+                                   TransformerTags)
+        mv = self.missing_values
+        return Tags(
+            estimator_type="transformer",
+            target_tags=TargetTags(required=False),
+            transformer_tags=TransformerTags(preserves_dtype=[]),
+            input_tags=InputTags(two_d_array=True,
+                                 allow_nan=mv is not None and mv != mv),
+            non_deterministic=self.seed is None,
+        )
+
+    def __sklearn_is_fitted__(self):
+        """sklearn `check_is_fitted` hook."""
+        return self.ws is not None and self.moments is not None
+
+    @property
+    def n_features_in_(self):
+        """sklearn convention for the fitted input width (== `nv`)."""
+        if self.nv is None:
+            raise AttributeError(
+                "n_features_in_ is not available: this Corex instance is "
+                "not fitted yet")
+        return self.nv
+
+    @property
+    def n_iter_(self):
+        """sklearn convention: total solver iterations of the last fit
+        (summed over anneal stages). Computed lazily from the on-device
+        diagnostics — fit itself stays a single compiled program with no
+        extra host sync."""
+        if self.diagnostics is None:
+            raise AttributeError(
+                "n_iter_ is not available: this Corex instance is not "
+                "fitted yet")
+        return int(np.sum(np.asarray(self.diagnostics.iters_per_stage)))
 
     def set_params(self, **params):
         """Update hyperparameters in place (sklearn contract: parameters
         only — fitted state, pretrained weights, and diagnostics are
-        preserved)."""
-        import dataclasses
+        preserved; value validation is deferred to first use, like
+        __init__)."""
         for k in params:
             if k not in self._PARAM_NAMES:
                 raise ValueError(f"invalid parameter {k!r} for Corex")
-        cfg_fields = {f.name for f in dataclasses.fields(CorexConfig)}
-        cfg_updates = {k: v for k, v in params.items() if k in cfg_fields}
-        if cfg_updates:
-            self.config = dataclasses.replace(self.config, **cfg_updates)
-            if "n_hidden" in cfg_updates:
-                self.m = cfg_updates["n_hidden"]
-        pre_updates = {k: params[k] for k in ("gaussianize",
-                                              "missing_values") if k in
-                       params}
-        if pre_updates:
-            self.pre_config = dataclasses.replace(self.pre_config,
-                                                  **pre_updates)
-        for attr in ("update_iter", "verbose", "seed"):
-            if attr in params:
-                setattr(self, attr, params[attr])
+        for k, v in params.items():
+            setattr(self, k, v)
         return self
 
     # ------------------------------------------------------------------

@@ -254,6 +254,10 @@ def load_corex(path: str) -> Corex:
             verbose=meta.get("verbose", False))
         dt = jnp.dtype(cfg.dtype)
         model.ws = jnp.asarray(z["ws"], dt)
+        # re-arm the warm start: a post-load fit() starts from the stored
+        # weights (fitted state alone no longer warm-starts — fit() is
+        # fresh/idempotent per the sklearn contract)
+        model._pretrained_ws = model.ws
         model.theta = Theta(mean=jnp.asarray(z["theta_mean"], dt),
                             std=jnp.asarray(z["theta_std"], dt))
         mom_fields = {name: jnp.asarray(z[f"mom_{name}"])

@@ -100,9 +100,12 @@ def test_gpu_flag_accepted(small_block_data):
     assert np.isfinite(c.tc)
 
 
-def test_bad_gaussianize_raises():
-    with pytest.raises(ValueError):
-        lc.Corex(gaussianize="nope")
+def test_bad_gaussianize_raises(small_block_data):
+    # sklearn deferred-validation contract: constructing with an invalid
+    # value is allowed; the error surfaces at first use (fit)
+    c = lc.Corex(gaussianize="nope")
+    with pytest.raises(ValueError, match="unknown gaussianize"):
+        c.fit(small_block_data)
 
 
 def test_anneal_off_single_stage(small_block_data):
@@ -187,8 +190,11 @@ def test_set_params_preserves_fitted_state(small_block_data):
     c.set_params(gaussianize="empirical", missing_values=-1.0)
     assert c.pre_config.gaussianize == "empirical"
     assert c.pre_config.missing_values == -1.0
+    # value validation is deferred to first use (sklearn contract:
+    # set_params itself must not validate values, only names)
+    c.set_params(gaussianize="bogus")
     with pytest.raises(ValueError, match="unknown gaussianize"):
-        c.set_params(gaussianize="bogus")
+        c.pre_config
 
 
 def test_covariance_beats_sample_cov_undersampled():
@@ -300,7 +306,7 @@ def test_covariance_blocks_validates(med_block_data):
     c = lc.Corex(n_hidden=4, seed=0).fit(med_block_data)
     with pytest.raises(ValueError, match="block_size"):
         list(c.covariance_blocks(0))
-    with pytest.raises(RuntimeError, match="not fitted"):
+    with pytest.raises(lc.NotFittedError, match="not fitted"):
         list(lc.Corex(n_hidden=4).covariance_blocks())
 
 
@@ -345,8 +351,10 @@ def test_spectral_init_recovers_blocks(med_block_data):
 
 
 def test_spectral_init_warns_with_anneal():
+    # config validation/warnings fire at first use, not construction
+    # (sklearn deferred-validation contract)
     with pytest.warns(UserWarning, match="anneal"):
-        lc.Corex(n_hidden=4, init="spectral", anneal=True)
+        lc.Corex(n_hidden=4, init="spectral", anneal=True).config
 
 
 def test_spectral_init_f64_oracle_parity(med_block_data):

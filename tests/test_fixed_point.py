@@ -82,9 +82,11 @@ def test_fixed_point_chain_kernel_path(pallas_interpret):
 
 
 def test_fixed_point_rejects_overlap():
+    # config validation fires at first use, not construction (sklearn
+    # deferred-validation contract)
     with pytest.raises(ValueError, match="fixed_point"):
         lc.Corex(n_hidden=4, optimizer="fixed_point",
-                 discourage_overlap=False)
+                 discourage_overlap=False).config
     with pytest.raises(ValueError, match="fixed_point"):
         OracleCorex(n_hidden=4, optimizer="fixed_point",
                     discourage_overlap=False)._obj_grad(
@@ -93,7 +95,7 @@ def test_fixed_point_rejects_overlap():
 
 def test_unknown_optimizer_rejected():
     with pytest.raises(ValueError, match="unknown optimizer"):
-        lc.Corex(n_hidden=4, optimizer="adam")
+        lc.Corex(n_hidden=4, optimizer="adam").config
 
 
 def test_optimizer_auto_resolution():

@@ -70,13 +70,15 @@ def test_int8_fixed_point_path():
 
 
 def test_int8_config_validation():
+    # config validation fires at first use, not construction (sklearn
+    # deferred-validation contract)
     with pytest.raises(ValueError, match="int8"):
-        lc.Corex(n_hidden=4, matmul_dtype="int8", dtype="float64")
+        lc.Corex(n_hidden=4, matmul_dtype="int8", dtype="float64").config
     with pytest.raises(ValueError, match="int8"):
         lc.Corex(n_hidden=4, matmul_dtype="int8",
-                 discourage_overlap=False)
+                 discourage_overlap=False).config
     with pytest.raises(ValueError, match="matmul_dtype"):
-        lc.Corex(n_hidden=4, matmul_dtype="float16")
+        lc.Corex(n_hidden=4, matmul_dtype="float16").config
 
 
 def test_int8_gram_strategy_quality():

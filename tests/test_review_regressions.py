@@ -33,8 +33,9 @@ def test_fit_restarts_gram_chain_final_moments(pallas_interpret):
 
 
 def test_unknown_moment_strategy_rejected():
+    # deferred to first use (sklearn contract: __init__ must not validate)
     with pytest.raises(ValueError, match="unknown moment_strategy"):
-        lc.Corex(n_hidden=2, moment_strategy="gram_pallas")
+        lc.Corex(n_hidden=2, moment_strategy="gram_pallas").config
 
 
 def test_ns_chain_rejects_unsupported_shapes():
@@ -90,7 +91,7 @@ def test_load_corex_roundtrips_solver_config(tmp_path, small_block_data):
 
 
 def test_covariance_matvec_unfitted_clear_error():
-    with pytest.raises(RuntimeError, match="not fitted"):
+    with pytest.raises(lc.NotFittedError, match="not fitted"):
         lc.Corex(n_hidden=2).covariance_matvec(np.zeros(4))
 
 

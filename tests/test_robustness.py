@@ -111,11 +111,11 @@ def test_native_nan_impute():
 
 def test_unfitted_errors_are_clear(small_block_data):
     c = lc.Corex(n_hidden=2)
-    with pytest.raises(RuntimeError, match="not fitted"):
+    with pytest.raises(lc.NotFittedError, match="not fitted"):
         c.transform(small_block_data)
-    with pytest.raises(RuntimeError, match="not fitted"):
+    with pytest.raises(lc.NotFittedError, match="not fitted"):
         c.predict(np.zeros((5, 2)))
-    with pytest.raises(RuntimeError, match="not fitted"):
+    with pytest.raises(lc.NotFittedError, match="not fitted"):
         c.get_covariance()
 
 
@@ -157,7 +157,8 @@ def test_inference_width_validation(small_block_data):
             call(bad)
     with pytest.raises(ValueError, match="n_hidden"):
         c.predict(np.zeros((5, 3)))
+    # config-bound validation is deferred to first use (sklearn contract)
     with pytest.raises(ValueError, match="max_iter"):
-        lc.Corex(n_hidden=2, max_iter=0)
+        lc.Corex(n_hidden=2, max_iter=0).fit(small_block_data)
     with pytest.raises(ValueError, match="n_hidden"):
-        lc.Corex(n_hidden=0)
+        lc.Corex(n_hidden=0).fit(small_block_data)
