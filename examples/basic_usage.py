@@ -3,6 +3,11 @@
 Run: python examples/basic_usage.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import linearcorex_tpu as lc

@@ -21,6 +21,11 @@ Estimators compared (all on the same draw):
 Run: python examples/covariance_quality.py  (CPU or TPU; ~20 s on CPU)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import linearcorex_tpu as lc

@@ -6,6 +6,11 @@ chips (here they run on whatever devices are visible).
 Run: python examples/scaling.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
