@@ -510,10 +510,21 @@ class Corex:
     @property
     def config(self) -> CorexConfig:
         """The frozen jit-static solver config, derived from the current
-        hyperparameters on every access (construction is microseconds;
-        equal configs hash equal, so jit cache keys are unaffected).
-        Validation happens here — i.e. at first USE, not in __init__."""
-        return CorexConfig(
+        hyperparameters (equal configs hash equal, so jit cache keys are
+        unaffected). Validation happens here — i.e. at first USE, not in
+        __init__ (sklearn deferred-validation contract). Memoized on the
+        parameter values so validation WARNINGS fire once per distinct
+        configuration, not once per access (a single fit reads this
+        several times)."""
+        key = (self.n_hidden, self.max_iter, self.tol, self.anneal,
+               self.discourage_overlap, self.y_scale, self.dtype,
+               self.moment_strategy, self.record_history,
+               self.matmul_dtype, self.use_pallas, self.matmul_precision,
+               self.optimizer, self.momentum_beta, self.init)
+        cached = getattr(self, "_cfg_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        cfg = CorexConfig(
             n_hidden=self.n_hidden, max_iter=self.max_iter, tol=self.tol,
             anneal=self.anneal, discourage_overlap=self.discourage_overlap,
             y_scale=self.y_scale, dtype=self.dtype,
@@ -523,6 +534,8 @@ class Corex:
             matmul_precision=self.matmul_precision,
             optimizer=self.optimizer, momentum_beta=self.momentum_beta,
             init=self.init)
+        self._cfg_cache = (key, cfg)
+        return cfg
 
     @property
     def pre_config(self) -> PreprocessConfig:
@@ -595,15 +608,16 @@ class Corex:
                 f"expected a 2-D (n_samples, n_variables) array for "
                 f"{what}, got shape {x.shape}. Reshape your data to 2-D "
                 f"(samples in rows).")
-        if isinstance(x, np.ndarray):
-            if np.iscomplexobj(x):
-                raise ValueError(
-                    f"Complex data not supported: {what} must be real-"
-                    f"valued")
-            if x.dtype == object:
-                # numeric object arrays densify; strings raise numpy's
-                # clear could-not-convert ValueError
-                x = x.astype(np.float64)
+        # dtype check reads .dtype only — applies to jax arrays too (a
+        # complex device array would otherwise cast complex->real
+        # silently, dropping the imaginary part)
+        if np.iscomplexobj(x):
+            raise ValueError(
+                f"Complex data not supported: {what} must be real-valued")
+        if isinstance(x, np.ndarray) and x.dtype == object:
+            # numeric object arrays densify; strings raise numpy's
+            # clear could-not-convert ValueError
+            x = x.astype(np.float64)
         return x
 
     def _validate_input(self, x, for_fit=False):
@@ -733,6 +747,21 @@ class Corex:
         the n/p/m axes onto the mesh's named axes. Learned state comes
         back replicated, so transform/predict/get_covariance work
         unchanged."""
+        # Loud failure for the pre-0.3 positional form fit(X, W0): a
+        # legitimate sklearn y has one row per sample, so a 2-D y shaped
+        # exactly (n_hidden, n_variables) with the wrong row count is a
+        # warm start silently landing in the ignored target slot.
+        ysh = getattr(y, "shape", None)
+        xsh = getattr(x, "shape", None)
+        if (ysh is not None and len(ysh) == 2 and init_ws is None
+                and xsh is not None and len(xsh) == 2
+                and ysh == (self.n_hidden, xsh[1]) and ysh[0] != xsh[0]):
+            raise TypeError(
+                f"fit() received a 2-D y of shape {ysh} == (n_hidden, "
+                f"n_variables) — this looks like initial weights passed "
+                f"positionally under the pre-0.3 signature fit(X, "
+                f"init_ws). y is the (ignored) sklearn target slot; pass "
+                f"weights as fit(x, init_ws=...).")
         del y
         if mesh is not None:
             from linearcorex_tpu.parallel.sharding import (ShardingPlan,
@@ -793,8 +822,9 @@ class Corex:
             _raise_not_fitted(
                 "this Corex instance is not fitted yet; call fit(X) first")
 
-    def _check_width(self, x, what="x"):
-        x = self._coerce_2d(x, what=what)
+    def _check_width(self, x, what="x", coerced=False):
+        if not coerced:
+            x = self._coerce_2d(x, what=what)
         if x.shape[1] != self.nv:
             raise ValueError(
                 f"{what} must be 2-D with {self.nv} columns (the fitted "
@@ -825,10 +855,14 @@ class Corex:
         spelling of the same operation."""
         self._check_fitted()
         y = self._coerce_2d(y, what="y")
-        if y.shape[1] != self.m:
+        # validate against the FITTED factor count (ws.shape[0]), not the
+        # mutable n_hidden parameter — set_params(n_hidden=...) after fit
+        # must not make the correct factors un-predictable
+        m_fit = self.ws.shape[0]
+        if y.shape[1] != m_fit:
             raise ValueError(
-                f"y must be 2-D with {self.m} columns (n_hidden); got "
-                f"shape {y.shape}")
+                f"y must be 2-D with {m_fit} columns (the fitted "
+                f"n_hidden); got shape {y.shape}")
         if isinstance(y, np.ndarray) and not np.isfinite(y).all():
             raise ValueError(
                 "factor input to predict contains NaN/inf")
@@ -876,7 +910,7 @@ class Corex:
                 "'empirical'/'outliers' transforms are non-affine, so a "
                 "density on the original scale is not defined by Σ̂ alone")
         x = self._validate_input(x)
-        x = self._check_width(x)
+        x = self._check_width(x, coerced=True)
         x = jnp.asarray(x, dtype=self._dt)
         mom = self.moments
         if self.config.discourage_overlap:

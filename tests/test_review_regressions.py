@@ -119,11 +119,12 @@ def test_init_restarts_unseeded_not_deterministic():
 
 def test_set_params_dtype_change_then_refit():
     """set_params(dtype=...) after a fit must not crash the next fit
-    (round-2 review: the warm-start path returned stale-dtype weights)."""
+    (round-2 review: a stale-dtype weights path; since the round-3
+    sklearn contract the refit is FRESH — fitted state never seeds it)."""
     x = block_data(n=300, p=16, m=2, seed=0)
     c = lc.Corex(n_hidden=2, seed=0).fit(x)
     c.set_params(dtype="float64")
-    c.fit(x)  # warm-starts from the float32 ws, cast to float64
+    c.fit(x)
     assert c.ws.dtype == jnp.float64
     assert np.isfinite(c.tc)
 
@@ -134,3 +135,61 @@ def test_padded_best_n_rule_matches_sequential_early_stop():
     from linearcorex_tpu.models.selection import _best_n_from_scores
     assert _best_n_from_scores([10.0, 10.5, 10.4, 10.45, 12.0], 1e-3) == 2
     assert _best_n_from_scores([1.0, 2.0, 3.0, 3.0005, 3.0006], 1e-3) == 3
+
+
+def test_complex_device_array_rejected():
+    """Round-3 review: a complex jax.Array bypassed the complex-input
+    rejection (the check was nested under isinstance np.ndarray) and cast
+    complex->real silently."""
+    x = block_data(n=60, p=8, m=2, seed=0)
+    c = lc.Corex(n_hidden=2, seed=0, max_iter=30).fit(x)
+    xc = jnp.asarray(x, jnp.complex64)
+    with pytest.raises(ValueError, match="[Cc]omplex"):
+        c.transform(xc)
+    with pytest.raises(ValueError, match="[Cc]omplex"):
+        lc.Corex(n_hidden=2, seed=0).fit(xc)
+
+
+def test_predict_width_uses_fitted_factor_count():
+    """Round-3 review: predict validated against the MUTABLE n_hidden
+    parameter, so set_params(n_hidden=...) after fit rejected the correct
+    factors and let wrong-width input through to an XLA shape error."""
+    x = block_data(n=60, p=8, m=2, seed=0)
+    c = lc.Corex(n_hidden=2, seed=0, max_iter=30).fit(x)
+    z = np.asarray(c.transform(x))
+    c.set_params(n_hidden=5)  # sklearn: params mutable, fitted state kept
+    assert c.predict(z).shape == (60, 8)  # correct factors still accepted
+    with pytest.raises(ValueError, match="fitted"):
+        c.predict(np.zeros((3, 5)))  # new-param width must NOT validate
+
+
+def test_fit_positional_init_ws_raises_loudly():
+    """Round-3 review: the sklearn `y` slot is fit's second positional
+    parameter, so the pre-0.3 form fit(X, W0) would silently DROP the
+    warm start into the ignored y. It must raise instead."""
+    x = block_data(n=60, p=8, m=2, seed=0)
+    w0 = np.zeros((2, 8))
+    with pytest.raises(TypeError, match="init_ws"):
+        lc.Corex(n_hidden=2, seed=0).fit(x, w0)
+    # a legitimate sklearn y (one row per sample) still passes
+    assert lc.Corex(n_hidden=2, seed=0, max_iter=30).fit(
+        x, np.arange(60)).ws is not None
+
+
+def test_config_warning_fires_once_per_configuration():
+    """Round-3 review: the derived-config property re-validated on every
+    access, so config warnings fired once per ACCESS (9x per fit) instead
+    of once per distinct configuration."""
+    import warnings as W
+    c = lc.Corex(n_hidden=2, init="spectral", anneal=True)
+    with W.catch_warnings(record=True) as rec:
+        W.simplefilter("always")
+        for _ in range(5):
+            c.config
+    assert len([w for w in rec if "anneal" in str(w.message)]) == 1
+    # changing a parameter re-validates (new configuration, new warning)
+    c.set_params(max_iter=77)
+    with W.catch_warnings(record=True) as rec2:
+        W.simplefilter("always")
+        c.config
+    assert len([w for w in rec2 if "anneal" in str(w.message)]) == 1

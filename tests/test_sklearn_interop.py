@@ -103,8 +103,9 @@ _EXPECTED_FAILURES = {
     "check_estimators_dtypes": _PREDICT_SEMANTICS,
     "check_dtype_object": _PREDICT_SEMANTICS,
     "check_estimators_nan_inf": _PREDICT_SEMANTICS,
+    # both pickle variants (plain and readonly_memmap=True) report this
+    # same check_name in the results listing
     "check_estimators_pickle": _PREDICT_SEMANTICS,
-    "check_estimators_pickle(readonly_memmap=True)": _PREDICT_SEMANTICS,
     "check_f_contiguous_array_estimator": _PREDICT_SEMANTICS,
     "check_methods_sample_order_invariance": _PREDICT_SEMANTICS,
     "check_methods_subset_invariance": _PREDICT_SEMANTICS,
@@ -126,13 +127,26 @@ def test_check_estimator_battery():
         name = r["check_name"]
         if r["status"] == "failed" and name not in _EXPECTED_FAILURES:
             unexpected.append((name, str(r.get("exception"))[:200]))
-        if r["status"] == "passed" and name in _EXPECTED_FAILURES \
-                and name != "check_estimators_pickle":
+        if r["status"] == "passed" and name in _EXPECTED_FAILURES:
             surprises.append(name)  # expected-failure list gone stale
     assert not unexpected, unexpected
     assert not surprises, (
         f"checks now pass — prune them from _EXPECTED_FAILURES: "
         f"{surprises}")
+
+
+def test_fitted_estimator_pickles(small_block_data):
+    """Fitted state (jax.Arrays included) must survive pickle — joblib
+    parallel cross-validation and model persistence depend on it. (The
+    battery's check_estimators_pickle failure is predict-SEMANTICS only;
+    pickling itself is contract.)"""
+    import pickle
+    m = _est().fit(small_block_data)
+    m2 = pickle.loads(pickle.dumps(m))
+    assert m2.__sklearn_is_fitted__()
+    assert np.allclose(np.asarray(m2.transform(small_block_data)),
+                       np.asarray(m.transform(small_block_data)))
+    assert m2.get_params() == m.get_params()
 
 
 def test_sklearn_tags():
