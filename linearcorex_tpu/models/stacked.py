@@ -38,14 +38,17 @@ class StackedCorex:
                 Corex(n_hidden=m, **(corex_kwargs if k == 0
                                      else deep_kwargs)))
 
-    def fit(self, x, mesh=None, sharding_plan=None):
-        """Fit layer by layer; `mesh`/`sharding_plan` pass through to
-        `Corex.fit(mesh=...)`. Only layer 1 sees the full p-wide data, so
+    def fit(self, x, y=None, mesh=None, sharding_plan=None):
+        """Fit layer by layer; `y` is accepted-and-ignored (unsupervised —
+        the sklearn slot, mirroring `Corex.fit`); `mesh`/`sharding_plan`
+        pass through to `Corex.fit(mesh=...)`. Only layer 1 sees the full
+        p-wide data, so
         the var/factor axes of the plan apply to layer 1 ONLY — deeper
         layers fit on narrow (n, m_k) factor matrices that rarely divide
         those mesh extents (and don't need them); they keep just the
         sample-axis sharding (data/slice), which divides by construction
         (n is unchanged down the stack)."""
+        del y
         data = x
         plan = sharding_plan
         for k, layer in enumerate(self.layers):
@@ -67,6 +70,13 @@ class StackedCorex:
             data = self.layers[k].transform(data)
         return data
 
+    def fit_transform(self, x, y=None):
+        """sklearn convention: fit the stack, return the deepest factors
+        (`y` ignored)."""
+        del y
+        self.fit(x)
+        return self.transform(x)
+
     def transform_all(self, x):
         """List of factor matrices, one per layer (shallow → deep)."""
         out, data = [], x
@@ -81,6 +91,10 @@ class StackedCorex:
         for layer in reversed(self.layers):
             data = layer.predict(data)
         return data
+
+    def inverse_transform(self, y):
+        """sklearn spelling of `predict`: deepest factors → input space."""
+        return self.predict(y)
 
     @property
     def tcs(self):

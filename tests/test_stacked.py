@@ -93,3 +93,15 @@ def test_stacked_mesh_drops_var_factor_axes_for_deep_layers():
     msh = StackedCorex([8, 2], seed=0, dtype="float64").fit(
         x, mesh=make_mesh((("var", 8),)), sharding_plan=plan)
     assert abs(msh.tc - ref.tc) < 1e-8
+
+
+def test_stacked_sklearn_conventions():
+    """StackedCorex mirrors the Corex sklearn slots: ignored y on
+    fit/fit_transform, inverse_transform == predict."""
+    from tests.conftest import block_data
+    x = block_data(n=200, p=16, m=4, seed=1)
+    s = StackedCorex([4, 2], seed=0).fit(x, np.arange(200))
+    z = StackedCorex([4, 2], seed=0).fit_transform(x, None)
+    assert np.allclose(np.asarray(z), np.asarray(s.transform(x)))
+    assert np.allclose(np.asarray(s.inverse_transform(z)),
+                       np.asarray(s.predict(z)))
