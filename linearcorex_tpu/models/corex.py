@@ -1056,14 +1056,17 @@ class Corex:
 
     # ------------------------------------------------------------------
     def __repr__(self):
-        cfg = self.config
+        # reads the RAW parameters, never the validating config/pre_config
+        # properties: a repr must not raise, and sklearn renders estimator
+        # reprs inside its own error messages — including for estimators
+        # holding a deferred-invalid parameter
         fitted = "" if self.ws is None else (
             f", fitted: nv={self.nv}, n_samples={self.n_samples}, "
             f"tc={self.tc:.4f}")
-        return (f"Corex(n_hidden={cfg.n_hidden}, "
-                f"discourage_overlap={cfg.discourage_overlap}, "
-                f"gaussianize={self.pre_config.gaussianize!r}, "
-                f"optimizer={cfg.optimizer!r}, dtype={cfg.dtype!r}"
+        return (f"Corex(n_hidden={self.n_hidden}, "
+                f"discourage_overlap={self.discourage_overlap}, "
+                f"gaussianize={self.gaussianize!r}, "
+                f"optimizer={self.optimizer!r}, dtype={self.dtype!r}"
                 f"{fitted})")
 
     @property

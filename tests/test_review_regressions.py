@@ -193,3 +193,14 @@ def test_config_warning_fires_once_per_configuration():
         W.simplefilter("always")
         c.config
     assert len([w for w in rec2 if "anneal" in str(w.message)]) == 1
+
+
+def test_repr_never_raises():
+    """repr reads raw parameters, not the validating config properties:
+    sklearn renders estimator reprs inside its own error messages, so a
+    deferred-invalid parameter must not make repr itself raise."""
+    r = repr(lc.Corex(gaussianize="nope", optimizer="bogus"))
+    assert "nope" in r and "bogus" in r
+    x = block_data(n=60, p=8, m=2, seed=0)
+    rf = repr(lc.Corex(n_hidden=2, seed=0, max_iter=20).fit(x))
+    assert "fitted" in rf and "tc=" in rf
