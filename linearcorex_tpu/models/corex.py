@@ -832,8 +832,12 @@ class Corex:
         return x
 
     def transform(self, x, details=False):
-        """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`)."""
+        """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`).
+        Under `set_output(transform='pandas')` the plain (details=False)
+        return is a DataFrame with `get_feature_names_out` columns; the
+        details path always returns raw arrays."""
         self._check_fitted()
+        x_orig = x  # pre-coercion input: carries the DataFrame index
         x = self._check_width(x)
         if isinstance(x, np.ndarray) and self.pre_config.missing_values \
                 is None and not np.isfinite(x).all():
@@ -845,7 +849,8 @@ class Corex:
             y, mom = _details_program(x, self.ws, self.theta,
                                       self.pre_config, self.config)
             return y, mom.asdict()
-        return _transform_program(x, self.ws, self.theta, self.pre_config)
+        z = _transform_program(x, self.ws, self.theta, self.pre_config)
+        return self._maybe_wrap_output(z, x_orig)
 
     def predict(self, y):
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
@@ -1041,6 +1046,48 @@ class Corex:
                 "n_iter_ is not available: this Corex instance is not "
                 "fitted yet")
         return int(np.sum(np.asarray(self.diagnostics.iters_per_stage)))
+
+    def get_feature_names_out(self, input_features=None):
+        """sklearn convention: names of the transform outputs, one per
+        FITTED factor (`corex0`..`corex{m-1}` — the class-name-prefix
+        scheme). `input_features`, when given, must match the fitted
+        width; factor names do not derive from input names."""
+        self._check_fitted()
+        if input_features is not None \
+                and len(input_features) != self.nv:
+            raise ValueError(
+                f"input_features should have length equal to "
+                f"n_features_in_ ({self.nv}), got {len(input_features)}")
+        m_fit = self.ws.shape[0]
+        return np.asarray([f"corex{i}" for i in range(m_fit)],
+                          dtype=object)
+
+    def set_output(self, *, transform=None):
+        """sklearn set_output API (self-contained — no sklearn import):
+        `transform='pandas'` makes `transform`/`fit_transform` return a
+        DataFrame with `get_feature_names_out` columns (index preserved
+        from DataFrame inputs); `'default'` restores arrays; None leaves
+        the setting unchanged. `Pipeline.set_output` calls this on every
+        step."""
+        if transform is None:
+            return self
+        if transform not in ("default", "pandas"):
+            raise ValueError(
+                f"set_output transform must be 'default' or 'pandas', "
+                f"got {transform!r}")
+        self._output_transform = None if transform == "default" \
+            else transform
+        return self
+
+    def _maybe_wrap_output(self, z, x_orig):
+        if getattr(self, "_output_transform", None) != "pandas":
+            return z
+        import pandas as pd
+        index = x_orig.index if hasattr(x_orig, "index") \
+            and hasattr(x_orig, "columns") else None
+        return pd.DataFrame(np.asarray(z),
+                            columns=self.get_feature_names_out(),
+                            index=index)
 
     def set_params(self, **params):
         """Update hyperparameters in place (sklearn contract: parameters

@@ -116,8 +116,9 @@ _EXPECTED_FAILURES = {
 
 def test_check_estimator_battery():
     """Run sklearn's full estimator-contract battery. Everything must
-    pass except the documented predict-semantics set (36/46 as of sklearn
-    1.9; the two skips are array-API env gates)."""
+    pass except the documented predict-semantics set (as of sklearn 1.9:
+    35 passed / 10 expected-failed / 1 env-gated array-API skip — the
+    pinned contract is the failure SET, not the counts)."""
     from sklearn.utils.estimator_checks import check_estimator
     results = check_estimator(
         lc.Corex(n_hidden=2, max_iter=30, seed=0, verbose=False),
@@ -160,3 +161,27 @@ def test_sklearn_tags():
     assert t_nan.input_tags.allow_nan is True
     t_unseeded = _est(seed=None).__sklearn_tags__()
     assert t_unseeded.non_deterministic is True
+
+
+def test_feature_names_and_pandas_output(small_block_data):
+    """get_feature_names_out + set_output(transform='pandas'): DataFrame
+    factors with corex{i} columns, input index preserved; 'default'
+    restores arrays; works through Pipeline.set_output."""
+    pd = pytest.importorskip("pandas")
+    x = np.asarray(small_block_data)
+    xdf = pd.DataFrame(x, index=np.arange(len(x)) + 1000)
+    pipe = Pipeline([("corex", _est())]).set_output(transform="pandas")
+    z = pipe.fit_transform(xdf)
+    assert isinstance(z, pd.DataFrame)
+    assert list(z.columns) == [f"corex{i}" for i in range(4)]
+    assert z.index[0] == 1000
+    est = pipe.named_steps["corex"]
+    # input_features length-checked against the fitted width
+    with pytest.raises(ValueError, match="length"):
+        est.get_feature_names_out(["one"])
+    with pytest.raises(NotFittedError):
+        _est().get_feature_names_out()
+    pipe.set_output(transform="default")
+    assert not isinstance(pipe.transform(xdf), pd.DataFrame)
+    with pytest.raises(ValueError, match="set_output"):
+        _est().set_output(transform="polars")
