@@ -42,6 +42,19 @@ def main():
     rel = np.linalg.norm(recon - x) / np.linalg.norm(x)
     print(f"pipeline factors {factors.shape}, reconstruction rel-err {rel:.3f}")
 
+    # --- pandas output: named factor columns ---------------------------
+    try:
+        import pandas as pd
+    except ImportError:
+        pd = None
+    if pd is not None:
+        xdf = pd.DataFrame(x, columns=[f"v{i}" for i in range(18)])
+        named = Pipeline([("corex", lc.Corex(n_hidden=3, seed=0,
+                                             max_iter=200))])
+        named.set_output(transform="pandas")
+        zdf = named.fit_transform(xdf)
+        print("pandas factors:", type(zdf).__name__, list(zdf.columns))
+
     # --- Cross-validated likelihood ------------------------------------
     scores = cross_val_score(
         lc.Corex(n_hidden=3, seed=0, max_iter=200), x, cv=3)
