@@ -185,3 +185,16 @@ def test_feature_names_and_pandas_output(small_block_data):
     assert not isinstance(pipe.transform(xdf), pd.DataFrame)
     with pytest.raises(ValueError, match="set_output"):
         _est().set_output(transform="polars")
+
+
+def test_pandas_output_leaves_details_path_raw(small_block_data):
+    """transform(details=True) is documented to stay raw arrays even
+    under set_output(transform='pandas')."""
+    pd = pytest.importorskip("pandas")
+    est = _est().set_output(transform="pandas").fit(small_block_data)
+    y, mom = est.transform(small_block_data, details=True)
+    assert not isinstance(y, pd.DataFrame)
+    assert isinstance(mom, dict)
+    # the plain path wraps, and plain ndarray input yields a range index
+    z = est.transform(small_block_data)
+    assert isinstance(z, pd.DataFrame) and z.index[0] == 0
