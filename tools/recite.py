@@ -1,0 +1,377 @@
+"""Mechanical re-citation harness for the day /root/reference populates.
+
+SURVEY.md §0 records that the reference mount has been EMPTY at every check
+since survey time, so every `[U] linearcorex/linearcorex.py :: <symbol>`
+anchor in this repo is a knowledge-based citation, and the float64 oracle
+(`linearcorex_tpu/oracle/oracle.py`) is the stand-in spec. SURVEY.md §0.2
+gives a prose checklist to run the moment the mount appears; this module
+IS that checklist, runnable (VERDICT r3 Missing #1 / next-round item 1):
+
+    python tools/recite.py [--reference /root/reference] [--json out.json]
+
+It produces a structured report with four sections:
+
+1. **inventory** — every file under the reference with its LoC.
+2. **anchors** — real `file:line` locations for each `[U] :: <symbol>`
+   anchor used in this repo's docstrings (class Corex, fit, _update_ws,
+   _calculate_moments, preprocess, pick_n_hidden, ...), so the anchors can
+   be replaced with true citations.
+3. **constants** — the [MED]-confidence internals SURVEY §0.2 flags for
+   re-verification, extracted from source text and DIFFED against what the
+   oracle implements: the 0.6**k anneal schedule, the rho clip epsilon,
+   the 'outliers' threshold (~4), the gaussianize mode strings, and the
+   `update_iter` usage site (reported for human review — its semantics are
+   behavioral).
+4. **behavior** — if the real `linearcorex` package imports, seed-matched
+   fits (shared explicit initial weights) of reference-vs-oracle on
+   scaled-down versions of the 5 BASELINE.json configs, reporting TC,
+   cluster-partition agreement, and max |Σ̂_ref − Σ̂_oracle|.
+
+`tests/test_reference_parity.py` drives the same functions under pytest and
+SKIPs while the mount stays empty, so the suite mechanically catches a
+divergence the moment the reference appears (CLAUDE.md quick-start step 1).
+
+Exit codes (CLI): 0 = report produced, no divergence detected;
+2 = reference mount empty/absent; 3 = divergence detected (see report).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+# self-locate the repo (like examples/*.py): `python tools/recite.py` puts
+# tools/ on sys.path, not the checkout root the oracle imports from
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+REFERENCE_DIR = "/root/reference"
+
+# the [U] anchors this repo's docstrings cite (SURVEY.md §2 tables), as
+# regexes over reference source lines
+ANCHOR_PATTERNS = {
+    "class Corex": r"^\s*class\s+Corex\b",
+    "Corex.fit": r"^\s+def\s+fit\b",
+    "_update_ws": r"def\s+_update_ws\b|def\s+update_ws\b",
+    "_calculate_moments": r"def\s+_calculate_moments\b",
+    "preprocess": r"def\s+preprocess\b",
+    "invert": r"def\s+invert\b",
+    "mean_impute": r"def\s+mean_impute\b",
+    "transform": r"^\s+def\s+transform\b",
+    "predict": r"^\s+def\s+predict\b",
+    "get_covariance": r"def\s+get_covariance\b",
+    "pick_n_hidden": r"def\s+pick_n_hidden\b",
+    "gpu branches": r"cudamat|\bgpu\b",
+    "anneal schedule": r"0\.6\s*\*\*|anneal",
+    "discourage_overlap": r"discourage_overlap",
+    "moment-dict keys": r"X_i Y_j|rhoinvrho|\bSi\b|X_i\^2 \| Y",
+}
+
+
+def reference_populated(ref_dir: str = REFERENCE_DIR) -> bool:
+    """True when the mount holds at least one file (the condition the
+    parity test and CLAUDE.md quick-start step 1 key on)."""
+    if not os.path.isdir(ref_dir):
+        return False
+    for _root, _dirs, files in os.walk(ref_dir):
+        if files:
+            return True
+    return False
+
+
+def inventory(ref_dir: str = REFERENCE_DIR):
+    """[{path, lines}] for every file under the reference mount."""
+    out = []
+    for root, _dirs, files in os.walk(ref_dir):
+        for f in sorted(files):
+            path = os.path.join(root, f)
+            try:
+                with open(path, "rb") as fh:
+                    n = fh.read().count(b"\n")
+            except OSError:
+                n = -1
+            out.append({"path": os.path.relpath(path, ref_dir), "lines": n})
+    return out
+
+
+def _py_sources(ref_dir: str):
+    for root, _dirs, files in os.walk(ref_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                path = os.path.join(root, f)
+                try:
+                    with open(path, "r", errors="replace") as fh:
+                        yield os.path.relpath(path, ref_dir), \
+                            fh.read().splitlines()
+                except OSError:
+                    continue
+
+
+def find_anchors(ref_dir: str = REFERENCE_DIR):
+    """{anchor: [file:line, ...]} — the real citations for every `[U] ::`
+    anchor convention used in this repo (replaces SURVEY §0.2's greps)."""
+    hits = {name: [] for name in ANCHOR_PATTERNS}
+    compiled = {name: re.compile(pat) for name, pat in
+                ANCHOR_PATTERNS.items()}
+    for rel, lines in _py_sources(ref_dir):
+        for i, line in enumerate(lines, 1):
+            for name, rx in compiled.items():
+                if rx.search(line):
+                    hits[name].append(f"{rel}:{i}")
+    return hits
+
+
+# --------------------------------------------------------------------------
+# Constant extraction + diff vs the oracle
+# --------------------------------------------------------------------------
+
+_SCHEDULE_RE = re.compile(r"0\.6\s*\*\*")
+_CLIP_RE = re.compile(
+    r"clip\s*\(([^)]*)\)|(1\.?0?\s*-\s*1e-\d+)|np\.clip")
+_OUTLIER_T_RE = re.compile(r"(?:>\s*|<\s*|,\s*)(\d+(?:\.\d+)?)\s*[,)]")
+
+
+def extract_constants(ref_dir: str = REFERENCE_DIR):
+    """Pull the [MED]-confidence internals out of the reference source and
+    diff them against the oracle's values. Text-level extraction: each
+    entry carries the matched source lines so a human can adjudicate when
+    the regex is ambiguous; `behavior_diff` is the ground-truth check."""
+    from linearcorex_tpu.oracle.oracle import _RHO_CLIP, anneal_schedule
+
+    report = {}
+
+    sched_lines, clip_lines, update_iter_lines, gauss_lines = [], [], [], []
+    outlier_lines = []
+    for rel, lines in _py_sources(ref_dir):
+        for i, line in enumerate(lines, 1):
+            tag = f"{rel}:{i}: {line.strip()}"
+            if _SCHEDULE_RE.search(line) or "anneal" in line:
+                sched_lines.append(tag)
+            if "clip" in line and ("rho" in line or "1e-" in line):
+                clip_lines.append(tag)
+            if "update_iter" in line:
+                update_iter_lines.append(tag)
+            if re.search(r"gaussianize|rankdata|norm\.ppf", line):
+                gauss_lines.append(tag)
+            if "outlier" in line.lower() or re.search(
+                    r"np\.abs\([^)]*\)\s*[<>]", line):
+                outlier_lines.append(tag)
+
+    # anneal schedule: the oracle implements 0.6**k k=1..6 then exact 0
+    oracle_sched = anneal_schedule(True, 2, True)
+    sched_consts = set()
+    for tag in sched_lines:
+        for m in re.finditer(r"0\.6\s*\*\*\s*(\w+)", tag):
+            sched_consts.add(m.group(0).replace(" ", ""))
+    report["anneal_schedule"] = {
+        "oracle": oracle_sched,
+        "reference_lines": sched_lines,
+        "geometric_0.6_found": bool(sched_consts),
+        "diverges": bool(sched_lines) and not sched_consts,
+    }
+    report["rho_clip"] = {
+        "oracle": _RHO_CLIP,
+        "reference_lines": clip_lines,
+        # exact value needs human read; flag only a conflicting literal
+        "diverges": any(
+            re.search(r"1\s*-\s*1e-(\d+)", t)
+            and abs(1.0 - float("1e-" + re.search(
+                r"1\s*-\s*1e-(\d+)", t).group(1)) - _RHO_CLIP) > 1e-9
+            for t in clip_lines),
+    }
+    report["outliers_threshold"] = {
+        "oracle": 4.0,
+        "reference_lines": outlier_lines,
+        "diverges": False,  # behavioral; adjudicate from the lines
+    }
+    report["update_iter"] = {
+        "oracle_semantics": "log every update_iter-th iteration "
+                            "(Corex._print_verbose cadence)",
+        "reference_lines": update_iter_lines,
+    }
+    report["gaussianize"] = {
+        "oracle_modes": ["none", "standard", "outliers", "empirical"],
+        "reference_lines": gauss_lines,
+    }
+    return report
+
+
+# --------------------------------------------------------------------------
+# Behavioral diff: import the real package, run seed-matched fits
+# --------------------------------------------------------------------------
+
+def _align_partition(a, b):
+    """Cluster labelings agree iff they induce the same partition of the
+    variables (factor indices are arbitrary up to permutation)."""
+    import numpy as np
+    a, b = np.asarray(a), np.asarray(b)
+    pa = {}
+    for i, lab in enumerate(a):
+        pa.setdefault(int(lab), set()).add(i)
+    pb = {}
+    for i, lab in enumerate(b):
+        pb.setdefault(int(lab), set()).add(i)
+    return sorted(map(sorted, pa.values())) == sorted(
+        map(sorted, pb.values()))
+
+
+def import_reference(ref_dir: str = REFERENCE_DIR):
+    """Import the real `linearcorex` package from the mount. Returns the
+    module or None (with the failure reason printed) — the mount may hold
+    a repo checkout (linearcorex/ subdir) or a flat module."""
+    candidates = [ref_dir] + [
+        os.path.join(ref_dir, d) for d in sorted(os.listdir(ref_dir))
+        if os.path.isdir(os.path.join(ref_dir, d))
+    ]
+    for cand in candidates:
+        if cand not in sys.path:
+            sys.path.insert(0, cand)
+    try:
+        import linearcorex  # noqa: F401  (the upstream package)
+        return linearcorex
+    except Exception as e:  # pragma: no cover - depends on mount content
+        print(f"recite: could not import reference package: {e!r}",
+              file=sys.stderr)
+        return None
+
+
+def _parity_configs():
+    """Scaled-down versions of the 5 BASELINE.json configs (shape RATIOS
+    preserved; sizes small enough for the reference's NumPy loop). Block-
+    structured synthetic data with healthy margins so cluster recovery is
+    well-posed (SURVEY.md §4.2 item 1)."""
+    return [
+        # (name, p, m_blocks, n, n_hidden, kwargs)
+        ("cfg1-small", 64, 8, 512, 8, {}),
+        ("cfg2-restarts", 64, 8, 512, 8, {}),
+        ("cfg3-undersampled", 128, 8, 48, 8, {}),
+        ("cfg4-stacked-l1", 64, 8, 512, 8, {}),
+        ("cfg5-shape", 96, 12, 384, 12, {}),
+    ]
+
+
+def _block_data(p, m_blocks, n, seed):
+    import numpy as np
+    rng = np.random.RandomState(seed)
+    per = p // m_blocks
+    z = rng.normal(size=(n, m_blocks))
+    x = np.empty((n, p))
+    for b in range(m_blocks):
+        load = 0.85 + 0.1 * rng.rand(per)
+        noise = rng.normal(size=(n, per))
+        x[:, b * per:(b + 1) * per] = (
+            load[None, :] * z[:, b:b + 1]
+            + np.sqrt(1 - load[None, :] ** 2) * noise)
+    x[:, m_blocks * per:] = rng.normal(size=(n, p - m_blocks * per))
+    return x
+
+
+def behavior_diff(ref_mod, tol_tc_rel=0.05):
+    """Seed-matched reference-vs-oracle fits on the scaled 5-config suite.
+
+    Shared explicit init weights go to the reference via
+    `pretrained_weights=` and to the oracle via `fit(init_ws=...)` — NumPy
+    vs JAX RNG differences can never explain a diff (SURVEY.md §7.3
+    item 3). Convergence paths may legitimately differ (the reference's
+    `_update_ws` is the one formula SURVEY could not certify), so the
+    assertion surface is CONVERGED state: TC within tol_tc_rel, identical
+    cluster partitions, covariance estimates close."""
+    import numpy as np
+
+    from linearcorex_tpu.oracle.oracle import OracleCorex
+
+    results = []
+    for name, p, m_blocks, n, n_hidden, kwargs in _parity_configs():
+        x = _block_data(p, m_blocks, n, seed=0)
+        w0 = np.random.RandomState(1).normal(
+            scale=1.0 / np.sqrt(p), size=(n_hidden, p))
+        ora = OracleCorex(n_hidden=n_hidden, max_iter=2000, **kwargs)
+        ora.fit(x, init_ws=w0)
+        try:
+            ref = ref_mod.Corex(n_hidden=n_hidden, max_iter=2000,
+                                pretrained_weights=w0.copy(), **kwargs)
+            ref.fit(x)
+        except Exception as e:  # pragma: no cover
+            results.append({"config": name, "error": repr(e)})
+            continue
+        ref_tc = float(np.sum(np.asarray(ref.tcs)))
+        entry = {
+            "config": name,
+            "oracle_tc": ora.tc,
+            "reference_tc": ref_tc,
+            "tc_rel_diff": abs(ora.tc - ref_tc) / max(abs(ref_tc), 1e-12),
+            "clusters_match": _align_partition(ora.clusters, ref.clusters),
+            "cov_max_abs_diff": float(np.max(np.abs(
+                ora.get_covariance() - np.asarray(ref.get_covariance())))),
+        }
+        entry["diverges"] = (entry["tc_rel_diff"] > tol_tc_rel
+                             or not entry["clusters_match"])
+        results.append(entry)
+    return results
+
+
+def run(ref_dir: str = REFERENCE_DIR):
+    """Full report dict (the CLI serializes this)."""
+    if not reference_populated(ref_dir):
+        return {"status": "empty",
+                "detail": f"{ref_dir} holds zero files (as at every check "
+                          f"since SURVEY time — SURVEY.md §0)"}
+    report = {
+        "status": "populated",
+        "inventory": inventory(ref_dir),
+        "anchors": find_anchors(ref_dir),
+        "constants": extract_constants(ref_dir),
+    }
+    ref_mod = import_reference(ref_dir)
+    if ref_mod is not None:
+        report["behavior"] = behavior_diff(ref_mod)
+    else:
+        report["behavior"] = [{"error": "reference package not importable"}]
+    divergent = [
+        k for k, v in report["constants"].items()
+        if isinstance(v, dict) and v.get("diverges")
+    ] + [
+        e.get("config", "?") for e in report["behavior"]
+        if e.get("diverges")
+    ]
+    report["divergences"] = divergent
+    return report
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--reference", default=REFERENCE_DIR)
+    ap.add_argument("--json", default=None,
+                    help="write the full report to this path")
+    args = ap.parse_args(argv)
+    report = run(args.reference)
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(report, fh, indent=2, default=str)
+    if report["status"] == "empty":
+        print(f"recite: {report['detail']}")
+        return 2
+    print(f"recite: {len(report['inventory'])} reference files")
+    for name, locs in report["anchors"].items():
+        print(f"  anchor {name!r}: "
+              f"{', '.join(locs[:3]) or 'NOT FOUND'}"
+              f"{' …' if len(locs) > 3 else ''}")
+    for entry in report["behavior"]:
+        print(f"  behavior {entry}")
+    if report["divergences"]:
+        print(f"recite: DIVERGENCES: {report['divergences']} — diff the "
+              f"oracle (linearcorex_tpu/oracle/oracle.py) against the "
+              f"reference internals above, fix the oracle, then re-run "
+              f"the parity suite (tests/test_parity.py)")
+        return 3
+    print("recite: no divergence detected; replace the [U] anchors with "
+          "the file:line citations above (SURVEY.md §0.2)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
