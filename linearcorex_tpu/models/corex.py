@@ -791,7 +791,10 @@ class Corex:
         deltas = np.asarray(d.delta_per_stage)
         hist = np.asarray(d.tc_history)
         step = max(1, int(self.update_iter))
-        for s, eps in enumerate(self.config.anneal_schedule()):
+        # eps labels come from the FITTED schedule snapshot, not the
+        # current config — set_params(anneal=...) after fit must not
+        # relabel the recorded trajectory
+        for s, eps in enumerate(np.asarray(d.eps_schedule).tolist()):
             k = int(iters[s])
             if hist.shape[1]:  # record_history=True: per-iteration TC known
                 for i in range(step - 1, k, step):
@@ -1146,7 +1149,9 @@ class Corex:
         iters = np.asarray(d.iters_per_stage)
         out = {"iters_per_stage": iters,
                "TC": [], "eps": []}
-        schedule = self.config.anneal_schedule()
+        # the schedule the fit RAN (snapshotted into the diagnostics), so
+        # post-fit set_params cannot mislabel/truncate the trajectory
+        schedule = np.asarray(d.eps_schedule).tolist()
         hist = np.asarray(d.tc_history)
         for s, eps in enumerate(schedule):
             k = int(iters[s])

@@ -218,7 +218,8 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
         tc_per_stage=jnp.asarray(stats["tc"], dt),
         delta_per_stage=jnp.asarray(stats["delta"], dt),
         objective_per_stage=jnp.asarray(stats["obj"], dt),
-        tc_history=jnp.asarray(stats["hist"], dt))
+        tc_history=jnp.asarray(stats["hist"], dt),
+        eps_schedule=jnp.asarray(schedule, dt))
     return model
 
 

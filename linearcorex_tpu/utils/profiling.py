@@ -34,10 +34,14 @@ def trace(logdir: str, create_perfetto_link: bool = False):
 
 
 def fit_report(diagnostics, schedule=None) -> str:
-    """Per-stage convergence table from FitDiagnostics."""
+    """Per-stage convergence table from FitDiagnostics. `schedule`
+    defaults to the fit-time snapshot the diagnostics carry
+    (`eps_schedule`) — pass it explicitly only to override the labels."""
     iters = np.asarray(diagnostics.iters_per_stage)
     tcs = np.asarray(diagnostics.tc_per_stage)
     deltas = np.asarray(diagnostics.delta_per_stage)
+    if schedule is None:
+        schedule = np.asarray(diagnostics.eps_schedule).tolist()
     lines = ["stage  eps      iters   TC           max|dW|"]
     for s in range(len(iters)):
         eps = schedule[s] if schedule is not None else float("nan")
