@@ -127,6 +127,32 @@ class CorexConfig:
     eps_override: Optional[float] = None
 
     def __post_init__(self):
+        # Type validation FIRST: this config is jit-static (hashable) by
+        # contract. An array-valued field (e.g. tol=np.array([1e-5]) via
+        # sklearn set_params) would otherwise surface later as an
+        # unhashable-static-argument error deep inside jit — or as an
+        # ambiguous-truth ValueError from the comparisons below.
+        import numbers
+        for name in ("tol", "y_scale", "momentum_beta", "lr_init",
+                     "lr_growth", "lr_cap", "lr_halve", "lr_min",
+                     "fp_gamma_init", "fp_gamma_cap", "rho_clip"):
+            v = getattr(self, name)
+            if not isinstance(v, numbers.Real):
+                raise TypeError(
+                    f"{name} must be a real scalar, got "
+                    f"{type(v).__name__} ({v!r}) — CorexConfig is "
+                    f"jit-static and every field must stay hashable")
+        for name in ("n_hidden", "max_iter", "gram_max_p"):
+            v = getattr(self, name)
+            if not isinstance(v, numbers.Integral):
+                raise TypeError(
+                    f"{name} must be an integer, got {type(v).__name__} "
+                    f"({v!r})")
+        if self.eps_override is not None and not isinstance(
+                self.eps_override, numbers.Real):
+            raise TypeError(
+                f"eps_override must be a real scalar or None, got "
+                f"{type(self.eps_override).__name__}")
         if self.max_iter < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
         if self.n_hidden < 1:

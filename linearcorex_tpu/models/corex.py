@@ -141,11 +141,22 @@ def pick_fit_strategy(config: CorexConfig, n: int, p: int,
     distributing X over the mesh is the point of such a plan and a Gram
     operand carries no sample axis to shard."""
     strategy = config.pick_strategy(n, p)
-    if (strategy == "gram" and config.moment_strategy == "auto"
-            and plan is not None
+    if (strategy == "gram" and plan is not None
             and (plan.shard_samples or plan.shard_slices)
             and not plan.shard_vars):
-        return "samples"
+        if config.moment_strategy == "auto":
+            return "samples"
+        # explicit 'gram' request: honor it, but a sample-only plan maps
+        # a Gram operand to P(None, None) — the mesh fit would silently
+        # run fully replicated, with no sharded data axis at all
+        import warnings
+        warnings.warn(
+            "moment_strategy='gram' with a ShardingPlan that shards only "
+            "sample axes: a Gram operand carries no sample axis, so the "
+            "mesh fit will run fully REPLICATED (every chip holds the "
+            "whole p x p operand and does the whole work). Use "
+            "ShardingPlan(shard_vars=True) to shard the Gram rows, or "
+            "moment_strategy='auto'/'samples' to shard the sample axis.")
     return strategy
 
 
@@ -522,7 +533,15 @@ class Corex:
                self.matmul_dtype, self.use_pallas, self.matmul_precision,
                self.optimizer, self.momentum_beta, self.init)
         cached = getattr(self, "_cfg_cache", None)
-        if cached is not None and cached[0] == key:
+        # an array-valued parameter (e.g. set_params(tol=np.array([1e-5])))
+        # makes tuple equality raise ambiguous-truth; such a key can never
+        # hit the cache, so fall through to CorexConfig validation, which
+        # owns the error message for invalid parameter types
+        try:
+            hit = cached is not None and bool(cached[0] == key)
+        except (ValueError, TypeError):
+            hit = False
+        if hit:
             return cached[1]
         cfg = CorexConfig(
             n_hidden=self.n_hidden, max_iter=self.max_iter, tol=self.tol,
@@ -771,8 +790,11 @@ class Corex:
             x, resolve=mesh is None, plan=None if mesh is None else plan)
         w0 = self._resolve_w0(init_ws, data=data, strategy=strategy)
         if mesh is not None:
+            # check_overflow=False: _prepare_fit already ran the eager
+            # int8 wrap guard on this exact operand
             self.ws, self.moments, self.diagnostics = fit_sharded(
-                data, w0, cfg, mesh, plan, strategy)
+                data, w0, cfg, mesh, plan, strategy,
+                check_overflow=False)
         else:
             self.ws, self.moments, self.diagnostics = _fit_program(
                 data, w0, cfg, strategy)

@@ -164,8 +164,11 @@ def _restart_batch_runner(mesh, restart_axis: str):
         if pad:
             w0 = jnp.concatenate(
                 [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
+        # check_overflow=False: the sweep quantized via quantize_samples,
+        # which already ran the eager int8 wrap guard on this operand
         out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
-                                   axis_name=restart_axis, n_samples=n)
+                                   axis_name=restart_axis, n_samples=n,
+                                   check_overflow=False)
         if pad:
             out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
         return out

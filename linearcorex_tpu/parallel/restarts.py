@@ -92,20 +92,28 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str,
 
 def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
                          mesh, axis_name: str = "restarts",
-                         n_samples=None):
+                         n_samples=None, check_overflow: bool = True):
     """Restart sweep with the RESTART axis sharded over a device mesh: each
     chip runs its slice of the batch on a replicated copy of the data — the
     zero-communication layout for many small/medium fits (the EP-analog row
     of SURVEY.md §2.8). Complements `parallel.sharding.fit_sharded`, which
-    shards the data instead (one big fit)."""
+    shards the data instead (one big fit).
+
+    A caller-built `QuantizedData` operand runs the int8 accumulator-wrap
+    guard eagerly here (the public sharded boundary is where pre-quantized
+    operands bypass `quantize_samples`'s own guard); check_overflow=False
+    opts out when the same operand was already guarded upstream."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from linearcorex_tpu.models.corex import resolve_config
 
-    from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.ops.moments import QuantizedData, _check_int8_wrap
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
 
     ensure_compile_cache()
+    if (isinstance(data, QuantizedData) and check_overflow
+            and isinstance(data.q, (jax.Array, np.ndarray))):
+        _check_int8_wrap(data)
     if n_samples is None and strategy == "samples":
         n_samples = (data.q if isinstance(data, QuantizedData)
                      else data).shape[0]

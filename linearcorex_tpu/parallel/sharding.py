@@ -315,7 +315,8 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
 
 def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
                 plan: ShardingPlan = ShardingPlan(),
-                strategy: str = "samples", n_samples=None):
+                strategy: str = "samples", n_samples=None,
+                check_overflow: bool = True):
     """Run the annealed fit with the data laid out per `plan` on `mesh`.
 
     strategy='samples': `data` is X (n x p); shardable along samples and/or
@@ -324,7 +325,13 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     medium-p, high-iteration fits — Σ row-blocks live on different chips,
     ΣWᵀ row-blocks are chip-local, and the small m x m products reduce over
     ICI). Returns (ws, Moments, FitDiagnostics) with ws replicated (m x p —
-    small, needed by every chip each iteration)."""
+    small, needed by every chip each iteration).
+
+    A caller-built `QuantizedData` operand runs the int8 accumulator-wrap
+    guard eagerly here (this public boundary is exactly where pre-quantized
+    operands arrive, bypassing `quantize_samples`'s own guard); pass
+    check_overflow=False only when the same operand was already guarded —
+    `Corex.fit(mesh=...)` does, having guarded in `_prepare_fit`."""
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
     ensure_compile_cache()
     # 'auto' knobs resolve against the shapes + mesh (resolve_sharded_
@@ -335,6 +342,9 @@ def fit_sharded(data, w0, cfg: CorexConfig, mesh: Mesh,
     from linearcorex_tpu.ops.moments import QuantizedData
 
     operand = data.q if isinstance(data, QuantizedData) else data
+    if (isinstance(data, QuantizedData) and check_overflow
+            and isinstance(operand, (jax.Array, np.ndarray))):
+        M._check_int8_wrap(data)
     if n_samples is None and strategy == "samples":
         n_samples = operand.shape[0]
     cfg = resolve_sharded_config(cfg, mesh, plan, operand.shape[-1],

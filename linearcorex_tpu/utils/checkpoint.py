@@ -183,8 +183,10 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     for s in range(start_stage, n_stages):
         stage_cfg = _dc.replace(cfg, eps_override=schedule[s])
         if mesh is not None:
+            # check_overflow=False: _prepare_fit already guarded this
+            # operand; re-probing at every anneal stage would be waste
             ws, mom, diag = fit_sharded(data, ws, stage_cfg, mesh, plan,
-                                        strategy)
+                                        strategy, check_overflow=False)
         else:
             ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
         stats["iters"][s] = int(diag.iters_per_stage[0])

@@ -121,6 +121,17 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     _prepare_program.lower(
         jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
         model.config.matmul_dtype).compile()
+    if model.pre_config.gaussianize == "empirical":
+        from linearcorex_tpu.utils import native
+        if native.available():
+            # a fit on NumPy input takes the native host fast path
+            # (Corex._host_preprocess), which calls
+            # _prepare_program(xp, None, ...) — a DIFFERENT static key
+            # than the pre_cfg=model.pre_config variant above; warm it
+            # too so that fit-time prepare compile is also covered
+            _prepare_program.lower(
+                jax.ShapeDtypeStruct((n, p), dt), None, strategy,
+                model.config.matmul_dtype).compile()
     if model.config.init == "spectral":
         # the spectral-init program also runs unsharded, before any
         # device_put (Corex._resolve_w0)

@@ -204,3 +204,41 @@ def test_repr_never_raises():
     x = block_data(n=60, p=8, m=2, seed=0)
     rf = repr(lc.Corex(n_hidden=2, seed=0, max_iter=20).fit(x))
     assert "fitted" in rf and "tc=" in rf
+
+
+def test_array_valued_param_surfaces_config_validation():
+    """Round-3 advisor: an array-valued hyperparameter (set_params(
+    tol=np.array([1e-5]))) must surface through CorexConfig validation,
+    not an ambiguous-truth ValueError from the config memo's tuple
+    comparison."""
+    c = lc.Corex(n_hidden=4)
+    _ = c.config  # populate the memo so the comparison path runs
+    c.set_params(tol=np.array([1e-5, 1e-4]))
+    with pytest.raises((ValueError, TypeError)) as ei:
+        _ = c.config
+    assert "ambiguous" not in str(ei.value)
+
+
+def test_explicit_gram_with_sample_only_plan_warns():
+    """Round-3 advisor: moment_strategy='gram' + a mesh plan that shards
+    only sample axes yields a fully replicated Gram operand; the strategy
+    pick must say so instead of silently running unsharded."""
+    from linearcorex_tpu.models.corex import pick_fit_strategy
+    from linearcorex_tpu.parallel.sharding import ShardingPlan
+
+    cfg = CorexConfig(n_hidden=4, moment_strategy="gram")
+    with pytest.warns(UserWarning, match="REPLICATED"):
+        got = pick_fit_strategy(cfg, 4096, 64, ShardingPlan())
+    assert got == "gram"  # the explicit request is honored
+    # 'auto' silently reroutes to samples instead (no warning)
+    import warnings as W
+    cfg_auto = CorexConfig(n_hidden=4, moment_strategy="auto")
+    with W.catch_warnings():
+        W.simplefilter("error")
+        assert pick_fit_strategy(cfg_auto, 4096, 64,
+                                 ShardingPlan()) == "samples"
+    # a vars-sharding plan is the documented gram layout: no warning
+    with W.catch_warnings():
+        W.simplefilter("error")
+        assert pick_fit_strategy(
+            cfg, 4096, 64, ShardingPlan(shard_vars=True)) == "gram"
