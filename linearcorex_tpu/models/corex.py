@@ -860,10 +860,38 @@ class Corex:
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`).
         Under `set_output(transform='pandas')` the plain (details=False)
         return is a DataFrame with `get_feature_names_out` columns; the
-        details path always returns raw arrays."""
+        details path always returns raw arrays.
+
+        gaussianize='empirical' is BATCH-RELATIVE at transform time: the
+        new batch is re-ranked against itself, norm.ppf((rank-0.5)/n_batch)
+        — matching the oracle and the reference's `preprocess(x,
+        fit=False)` [MED] semantics (docs/API.md pins this). The hazardous
+        edge is guarded: a 1-row batch would map every value to
+        ndtri(0.5) = 0.0 exactly (all-zero factors, silently), so it
+        raises; small batches warn (coarse n_batch-quantile resolution).
+        For single-row serving use an affine mode ('standard'/'outliers')
+        or transform rows together with reference data."""
         self._check_fitted()
         x_orig = x  # pre-coercion input: carries the DataFrame index
         x = self._check_width(x)
+        if self.pre_config.gaussianize == "empirical":
+            n_batch = x.shape[0]
+            if n_batch == 1:
+                raise ValueError(
+                    "transform of a single row with gaussianize="
+                    "'empirical' is ill-defined: the batch-relative rank "
+                    "transform maps every value to ndtri(0.5) = 0.0 "
+                    "exactly, returning all-zero factors. Transform rows "
+                    "in batches, or refit with an affine mode "
+                    "('standard'/'outliers') for single-row serving.")
+            if n_batch < 20:
+                import warnings
+                warnings.warn(
+                    f"transform batch of {n_batch} rows with gaussianize="
+                    f"'empirical': ranks are batch-relative, so quantiles "
+                    f"resolve only to 1/{n_batch} — factor values will be "
+                    f"coarse. Larger batches (or an affine gaussianize "
+                    f"mode) give stable transforms.")
         if isinstance(x, np.ndarray) and self.pre_config.missing_values \
                 is None and not np.isfinite(x).all():
             raise ValueError(

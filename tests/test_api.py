@@ -422,3 +422,48 @@ def test_spectral_init_params_roundtrip(tmp_path, small_block_data):
     m.set_params(init="spectral")
     save_corex(m, str(tmp_path / "m"))
     assert load_corex(str(tmp_path / "m")).config.init == "spectral"
+
+
+def test_empirical_transform_batch_relative_semantics():
+    """Pin (VERDICT r3 Missing #5): gaussianize='empirical' re-ranks the
+    TRANSFORM batch against itself (matching the oracle / presumed
+    upstream `preprocess(x, fit=False)`). Sharp consequence: the
+    transform is invariant to any strictly monotone per-column
+    deformation of the batch — only ranks matter."""
+    rng = np.random.RandomState(0)
+    x = rng.lognormal(size=(300, 16))
+    c = lc.Corex(n_hidden=4, seed=0, gaussianize="empirical",
+                 max_iter=300).fit(x)
+    batch = rng.lognormal(size=(64, 16))
+    y1 = np.asarray(c.transform(batch))
+    y2 = np.asarray(c.transform(np.exp(batch)))  # monotone deformation
+    np.testing.assert_allclose(y1, y2, atol=1e-6)
+
+
+def test_empirical_transform_single_row_raises():
+    """A 1-row 'empirical' transform maps every value to ndtri(0.5)=0
+    exactly — all-zero factors, silently. It must raise by name."""
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(200, 8))
+    c = lc.Corex(n_hidden=2, seed=0, gaussianize="empirical",
+                 max_iter=200).fit(x)
+    with pytest.raises(ValueError, match="empirical"):
+        c.transform(x[:1])
+    with pytest.raises(ValueError, match="empirical"):
+        c.transform(x[:1], details=True)
+
+
+def test_empirical_transform_small_batch_warns():
+    rng = np.random.RandomState(1)
+    x = rng.normal(size=(200, 8))
+    c = lc.Corex(n_hidden=2, seed=0, gaussianize="empirical",
+                 max_iter=200).fit(x)
+    with pytest.warns(UserWarning, match="batch-relative"):
+        y = c.transform(x[:5])
+    assert y.shape == (5, 2)
+    # affine modes have no batch-size hazard: no warning, no raise
+    c2 = lc.Corex(n_hidden=2, seed=0, max_iter=200).fit(x)
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        assert c2.transform(x[:1]).shape == (1, 2)
