@@ -137,14 +137,18 @@ def _score_batch(xv, mom_b, overlap: bool):
     return np.asarray(scorer(xv, mom_b.cy, mom_b.c_xy))
 
 
-def _restart_batch_runner(mesh, restart_axis: str):
+def _restart_batch_runner(mesh, restart_axis: str,
+                          data_axis: Optional[str] = None):
     """Batch-fit dispatcher for the selection sweep: single-device
     `fit_restarts`, or — with a mesh — `fit_restarts_sharded` with the
     (candidate, restart) batch axis sharded over `restart_axis` (the
-    zero-communication EP layout, SURVEY.md §2.8; VERDICT r2 Missing #4a).
-    A batch that does not divide the axis is padded by repeating the last
-    init (GSPMD sharding needs divisibility) and the padded lanes are
-    dropped from every result before scoring."""
+    zero-communication EP layout, SURVEY.md §2.8; VERDICT r2 Missing #4a)
+    and, when `data_axis` is given, the sample rows over that axis too
+    (the combined restarts x data layout — for sweeps whose data is too
+    large to replicate per device). A batch that does not divide the axis
+    is padded by repeating the last init (GSPMD sharding needs
+    divisibility) and the padded lanes are dropped from every result
+    before scoring."""
     if mesh is None:
         return lambda data, w0, cfg, strategy, n: fit_restarts(
             data, w0, cfg, strategy, n_samples=n)
@@ -168,7 +172,8 @@ def _restart_batch_runner(mesh, restart_axis: str):
         # which already ran the eager int8 wrap guard on this operand
         out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
                                    axis_name=restart_axis, n_samples=n,
-                                   check_overflow=False)
+                                   check_overflow=False,
+                                   data_axis=data_axis)
         if pad:
             out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
         return out
@@ -181,15 +186,21 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
                   dtype: str = "float32", seed: Optional[int] = None,
                   padded_sweep: bool = True, criterion: str = "tc",
                   val_fraction: float = 0.2, mesh=None,
-                  restart_axis: str = "restarts", **corex_kwargs):
+                  restart_axis: str = "restarts",
+                  data_axis: Optional[str] = None, **corex_kwargs):
     """Choose n_hidden; returns (best_n, scores).
 
     `mesh` (a jax.sharding.Mesh with a `restart_axis` axis) shards the
     (candidate, restart) batch over the mesh's devices — each device runs
     its slice of the sweep against a replicated copy of the data, the
-    zero-communication layout for many small/medium fits. Results are
-    identical to the single-device sweep up to fp reduction order
-    (tests/test_selection.py equivalence test).
+    zero-communication layout for many small/medium fits. `data_axis`
+    (a second mesh axis) additionally shards the sample rows over that
+    axis — the combined restarts x data layout for sweeps whose data is
+    too large to replicate per device (samples strategy only; the psum'd
+    cross-moments ride the data axis, nothing rides the restart axis —
+    `parallel.audit.audit_restarts`). Results are identical to the
+    single-device sweep up to fp reduction order (tests/test_selection.py
+    equivalence test).
 
     criterion='tc' (the reference's rule, `[U] :: pick_n_hidden`): scan
     until the training TC saturates; scores[k] is the best TC over
@@ -263,12 +274,19 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     strategy = probe.pick_strategy(n, p)
+    if (data_axis is not None and strategy == "gram"
+            and probe.moment_strategy == "auto"):
+        # same rule as models.corex.pick_fit_strategy: distributing the
+        # sample rows is the point of a data axis, and a Gram operand
+        # has no sample axis to shard (an EXPLICIT 'gram' request falls
+        # through to fit_restarts_sharded's named error)
+        strategy = "samples"
     shared = M.compute_gram(xp) if strategy == "gram" else xp
     if probe.matmul_dtype == "int8":
         shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
     overlap = not probe.discourage_overlap
     label = "TC" if criterion == "tc" else "held-out loglik"
-    run_batch = _restart_batch_runner(mesh, restart_axis)
+    run_batch = _restart_batch_runner(mesh, restart_axis, data_axis)
 
     if padded_sweep:
         cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,

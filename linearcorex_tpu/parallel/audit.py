@@ -190,3 +190,53 @@ def audit_fit(data, w0, cfg, mesh, plan=None, strategy="samples",
         cfg, plan, strategy)
     hlo = lowered.compile().as_text()
     return hlo_collectives(hlo)
+
+
+def audit_restarts(data, w0_batch, cfg, mesh, strategy="samples",
+                   axis_name="restarts", data_axis=None, n_samples=None):
+    """Compile (without executing) the sharded restart sweep and return
+    its collectives — the audit companion of
+    `parallel.restarts.fit_restarts_sharded`. With `data_axis` set (the
+    combined restarts x data layout, BASELINE config 5) the expected
+    surface is: p x m-shaped all-reduces riding the data axis only, and
+    NOTHING riding the restart axis (restart lanes are independent);
+    tests/test_sharding.py asserts exactly that. `data`/`w0_batch` may be
+    arrays or ShapeDtypeStructs."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from linearcorex_tpu.models.corex import resolve_config
+    from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.parallel.restarts import _fit_restarts_program
+
+    quant = isinstance(data, QuantizedData)
+    operand = data.q if quant else data
+    if quant and cfg.matmul_dtype != "int8":
+        raise ValueError(
+            "a QuantizedData operand requires cfg.matmul_dtype='int8' "
+            "(the audited program must be the one the sweep would run)")
+    if data_axis is not None and strategy != "samples":
+        raise ValueError(
+            "data_axis shards sample rows; the combined layout is "
+            "samples-strategy only (fit_restarts_sharded raises too)")
+    if n_samples is None and strategy == "samples":
+        n_samples = operand.shape[0]
+    cfg = resolve_config(cfg, w0_batch.shape[-1],
+                         platform=mesh.devices.flat[0].platform,
+                         n_samples=n_samples)
+    data_spec = P(data_axis, None) if data_axis is not None else P()
+    data_arg = jax.ShapeDtypeStruct(
+        operand.shape, operand.dtype,
+        sharding=NamedSharding(mesh, data_spec))
+    if quant:
+        import jax.numpy as jnp
+        data_arg = QuantizedData(
+            q=data_arg,
+            scale=jax.ShapeDtypeStruct((), jnp.float32,
+                                       sharding=NamedSharding(mesh, P())))
+    w_arg = jax.ShapeDtypeStruct(
+        w0_batch.shape, w0_batch.dtype,
+        sharding=NamedSharding(mesh, P(axis_name, None, None)))
+    hlo = _fit_restarts_program.lower(
+        data_arg, w_arg, cfg, strategy).compile().as_text()
+    return hlo_collectives(hlo)

@@ -92,12 +92,25 @@ def fit_restarts(data, w0_batch, cfg: CorexConfig, strategy: str,
 
 def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
                          mesh, axis_name: str = "restarts",
-                         n_samples=None, check_overflow: bool = True):
+                         n_samples=None, check_overflow: bool = True,
+                         data_axis: Optional[str] = None):
     """Restart sweep with the RESTART axis sharded over a device mesh: each
-    chip runs its slice of the batch on a replicated copy of the data — the
-    zero-communication layout for many small/medium fits (the EP-analog row
-    of SURVEY.md §2.8). Complements `parallel.sharding.fit_sharded`, which
-    shards the data instead (one big fit).
+    chip runs its slice of the batch — the zero-communication layout for
+    many small/medium fits (the EP-analog row of SURVEY.md §2.8).
+    Complements `parallel.sharding.fit_sharded`, which shards the data
+    instead (one big fit).
+
+    `data_axis` (a second mesh axis, e.g. 'data') additionally shards the
+    SAMPLE rows of the operand across that axis — the combined
+    restarts x data layout of BASELINE config 5 ("sample-sharded with
+    psum moments; vmapped 32-restart sweep", SURVEY.md §2.8 DP+EP rows,
+    §3.5): restart lanes split over `axis_name`, each lane's X row-blocks
+    over `data_axis`, and GSPMD reduces each lane's p x m cross-moment
+    over the data axis ONLY (audited: `parallel.audit.audit_restarts`;
+    no collective rides the restart axis). This is the layout that makes
+    a 32-restart cfg5 sweep feasible — with the data replicated, bf16
+    OOMs a single chip at 4 restarts (benchmarks/RESULTS.md).
+    Samples strategy only: a Gram operand has no sample axis to shard.
 
     A caller-built `QuantizedData` operand runs the int8 accumulator-wrap
     guard eagerly here (the public sharded boundary is where pre-quantized
@@ -114,22 +127,43 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
     if (isinstance(data, QuantizedData) and check_overflow
             and isinstance(data.q, (jax.Array, np.ndarray))):
         _check_int8_wrap(data)
+    operand = data.q if isinstance(data, QuantizedData) else data
     if n_samples is None and strategy == "samples":
-        n_samples = (data.q if isinstance(data, QuantizedData)
-                     else data).shape[0]
+        n_samples = operand.shape[0]
     cfg = resolve_config(cfg, w0_batch.shape[-1],
                          platform=mesh.devices.flat[0].platform,
                          n_samples=n_samples)
-    d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    d = sizes.get(axis_name)
     if d is None or w0_batch.shape[0] % d:
         raise ValueError(
             f"the restart batch ({w0_batch.shape[0]} fits) shards over "
             f"mesh axis {axis_name!r} (size {d}); the batch must divide "
             f"evenly — pad the init stack (pick_n_hidden does this "
             f"automatically) or adjust the mesh")
+    data_spec = P()
+    if data_axis is not None:
+        if strategy != "samples":
+            raise ValueError(
+                "data_axis shards the SAMPLE rows of X; a Gram operand "
+                "carries none — the combined restarts x data layout is "
+                "samples-strategy only")
+        dd = sizes.get(data_axis)
+        if dd is None or operand.shape[0] % dd:
+            raise ValueError(
+                f"data_axis={data_axis!r}: the {operand.shape[0]} sample "
+                f"rows must divide the mesh axis (size {dd}) evenly — "
+                f"trim/pad the rows or adjust the mesh (XLA shards "
+                f"without padding)")
+        data_spec = P(data_axis, None)
     w0_batch = jax.device_put(
         w0_batch, NamedSharding(mesh, P(axis_name, None, None)))
-    data = jax.device_put(data, NamedSharding(mesh, P()))
+    if isinstance(data, QuantizedData):
+        data = QuantizedData(
+            q=jax.device_put(data.q, NamedSharding(mesh, data_spec)),
+            scale=jax.device_put(data.scale, NamedSharding(mesh, P())))
+    else:
+        data = jax.device_put(data, NamedSharding(mesh, data_spec))
     with jax.set_mesh(mesh):
         return _fit_restarts_program(data, w0_batch, cfg, strategy)
 

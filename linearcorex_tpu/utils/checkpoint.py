@@ -116,7 +116,10 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     Missing #4b). The stage weights come back replicated, so the .npz
     format is mesh-independent: a fit checkpointed on one mesh can resume
     on another mesh, or on a single device (the fingerprint covers
-    (config, data, schedule) — the math is layout-invariant).
+    (config, data, schedule) — the math is layout-invariant). Like every
+    mesh entry point, the GSPMD divisibility contract applies to the
+    TARGET mesh — it is enforced when the data is prepared under the
+    mesh, even if the checkpoint turns out to be complete.
 
     `stage_callback(stage, eps, ws, stats)` runs on host after each stage
     (SURVEY.md §5 metrics row: host observability at stage boundaries
@@ -145,7 +148,7 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
                                                        fit_sharded)
         plan = sharding_plan or ShardingPlan()
     data, cfg, strategy = model._prepare_fit(x, resolve=mesh is None,
-                                             plan=plan)
+                                             plan=plan, mesh=mesh)
     schedule = cfg.anneal_schedule()
     fingerprint = _fit_fingerprint(model, x, schedule)
     n_stages = len(schedule)

@@ -115,36 +115,37 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     else:
         data_dt = dt
 
-    # the preprocessing+operand program runs on the host device layout in
-    # both the single-device and the mesh fit (Corex._prepare_fit), so
-    # warm it unsharded
-    _prepare_program.lower(
-        jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
-        model.config.matmul_dtype).compile()
-    if model.pre_config.gaussianize == "empirical":
-        from linearcorex_tpu.utils import native
-        if native.available():
-            # a fit on NumPy input takes the native host fast path
-            # (Corex._host_preprocess), which calls
-            # _prepare_program(xp, None, ...) — a DIFFERENT static key
-            # than the pre_cfg=model.pre_config variant above; warm it
-            # too so that fit-time prepare compile is also covered
-            _prepare_program.lower(
-                jax.ShapeDtypeStruct((n, p), dt), None, strategy,
-                model.config.matmul_dtype).compile()
-    if model.config.init == "spectral":
-        # the spectral-init program also runs unsharded, before any
-        # device_put (Corex._resolve_w0)
-        from linearcorex_tpu.models.corex import _spectral_init_program
-        if model.config.matmul_dtype == "int8":
-            init_data = QuantizedData(
-                q=jax.ShapeDtypeStruct(data_shape, jnp.int8),
-                scale=jax.ShapeDtypeStruct((), jnp.float32))
-        else:
-            init_data = jax.ShapeDtypeStruct(data_shape, data_dt)
-        _spectral_init_program.lower(
-            init_data, jax.ShapeDtypeStruct((p, model.m), dt), strategy,
+    if mesh is None:
+        # single-device fit: the preprocessing+operand program runs on
+        # the host device layout (the mesh variant is warmed below,
+        # under the mesh, with the plan baked in — a different program)
+        _prepare_program.lower(
+            jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
             model.config.matmul_dtype).compile()
+        if model.pre_config.gaussianize == "empirical":
+            from linearcorex_tpu.utils import native
+            if native.available():
+                # a fit on NumPy input takes the native host fast path
+                # (Corex._host_preprocess), which calls
+                # _prepare_program(xp, None, ...) — a DIFFERENT static
+                # key than the pre_cfg=model.pre_config variant above;
+                # warm it too so that fit-time prepare compile is also
+                # covered
+                _prepare_program.lower(
+                    jax.ShapeDtypeStruct((n, p), dt), None, strategy,
+                    model.config.matmul_dtype).compile()
+        if model.config.init == "spectral":
+            # the spectral-init program runs on the prepared operand
+            from linearcorex_tpu.models.corex import _spectral_init_program
+            if model.config.matmul_dtype == "int8":
+                init_data = QuantizedData(
+                    q=jax.ShapeDtypeStruct(data_shape, jnp.int8),
+                    scale=jax.ShapeDtypeStruct((), jnp.float32))
+            else:
+                init_data = jax.ShapeDtypeStruct(data_shape, data_dt)
+            _spectral_init_program.lower(
+                init_data, jax.ShapeDtypeStruct((p, model.m), dt), strategy,
+                model.config.matmul_dtype).compile()
 
     def sds(shape, dtype, spec=None):
         if mesh is None:
@@ -169,6 +170,21 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                 scale=sds((), jnp.float32, P()))
         else:
             data_arg = sds(data_shape, data_dt, data_spec)
+        # the mesh fit's prepare runs UNDER the mesh with the plan
+        # constraining its output and the raw X sharded per x_spec
+        # (Corex._prepare_fit(mesh=...)); the native host fast path is
+        # skipped there, so this is the only live prepare variant
+        with jax.set_mesh(mesh):
+            _prepare_program.lower(
+                sds((n, p), dt, plan.x_spec()), model.pre_config,
+                strategy, model.config.matmul_dtype, plan).compile()
+        if model.config.init == "spectral":
+            # under a mesh, spectral init consumes the PLAN-sharded
+            # operand (omega is small and replicated)
+            from linearcorex_tpu.models.corex import _spectral_init_program
+            _spectral_init_program.lower(
+                data_arg, sds((p, model.m), dt, P(None, None)), strategy,
+                model.config.matmul_dtype).compile()
         S._fit_program_sharded.lower(
             data_arg, sds((model.m, p), dt, w_spec), cfg, plan,
             strategy).compile()

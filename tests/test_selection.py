@@ -230,3 +230,17 @@ def test_padded_nh1_candidate_not_worse_than_dedicated_fit():
         f"padded nh=1 candidate (annealed, {padded_nh1_tc}) fell below "
         f"the dedicated non-annealed fit ({dedicated}) — the "
         f"'unchanged or better' claim in selection.py no longer holds")
+
+
+def test_pick_n_hidden_2d_restarts_x_data_mesh_equivalence():
+    """pick_n_hidden on a 2-D restarts x data mesh (the combined layout)
+    agrees with the single-device sweep."""
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    x = block_data(n=480, p=32, m=4, seed=5)
+    kw = dict(repeat=2, max_n_hidden=5, seed=0, max_iter=800,
+              dtype="float64")
+    best_u, scores_u = pick_n_hidden(x, **kw)
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    best_s, scores_s = pick_n_hidden(x, mesh=mesh, data_axis="data", **kw)
+    assert best_s == best_u
+    np.testing.assert_allclose(scores_s, scores_u, rtol=1e-8)

