@@ -49,9 +49,9 @@ def _mesh_platform(mesh: Mesh) -> str:
     must resolve use_pallas='auto' to 'never'."""
     return mesh.devices.flat[0].platform
 
-__all__ = ["ShardingPlan", "make_mesh", "fit_sharded", "fit_shard_map",
-           "operand_specs", "SLICE_AXIS", "DATA_AXIS", "VAR_AXIS",
-           "FACTOR_AXIS"]
+__all__ = ["ShardingPlan", "make_mesh", "make_hybrid_mesh", "fit_sharded",
+           "fit_shard_map", "operand_specs", "SLICE_AXIS", "DATA_AXIS",
+           "VAR_AXIS", "FACTOR_AXIS"]
 
 DATA_AXIS = "data"     # shards the sample axis n (intra-slice / ICI)
 VAR_AXIS = "var"       # shards the variable axis p
@@ -174,6 +174,89 @@ def make_mesh(axes: Optional[Tuple[Tuple[str, int], ...]] = None,
     sizes = tuple(s for _, s in axes)
     arr = np.asarray(devices).reshape(sizes)
     return Mesh(arr, names)
+
+
+def make_hybrid_mesh(axes, devices=None, *, process_is_granule: bool = False,
+                     granule_key=None) -> Mesh:
+    """Build the 2-level multi-slice mesh on a REAL hybrid deployment
+    (SURVEY.md §2.8 comm row: "ICI within a slice, DCN for multi-slice";
+    VERDICT r3 Missing #4). `make_mesh` reshapes `jax.devices()` in
+    enumeration order — correct on one slice, but on a multi-slice (or
+    multi-host) deployment the DCN axis must follow the PHYSICAL slice
+    grouping and each slice's block must be ICI-contiguous, or every
+    "intra-slice" collective silently crosses DCN. This helper wraps
+    `jax.experimental.mesh_utils.create_hybrid_device_mesh` so the
+    device array is grouped physically; the audit classification
+    (`parallel.audit.groups_subset_of_axis`) is construction-agnostic —
+    it indexes the LOGICAL mesh positions — so the comm-surface tests
+    hold unchanged on hybrid meshes (tests/test_sharding.py).
+
+    axes: ((SLICE_AXIS, n_slices), (name, size), ...) — the FIRST axis
+      must be `SLICE_AXIS` (the DCN axis); the remaining axes are
+      intra-slice (ICI), ordered by increasing network intensity per the
+      `mesh_utils` convention.
+    devices: defaults to `jax.devices()` — on a multi-host deployment
+      call `jax.distributed.initialize()` first so this is the GLOBAL
+      device list (docs/SCALING.md has the full recipe).
+    process_is_granule: treat processes as slices on platforms that do
+      not set `device.slice_index` (the `mesh_utils` fallback).
+    granule_key: optional callable `device -> slice id`, overriding the
+      attribute lookup entirely — for tests (CPU devices carry no
+      slice topology) and exotic platforms. Groups are ordered by
+      sorted key, matching `create_hybrid_device_mesh`.
+
+    Returns a `Mesh` of shape (n_slices, *ici_sizes) with the given axis
+    names; pass it to `fit_sharded` with a `shard_slices=True` plan.
+    """
+    from jax.experimental import mesh_utils
+
+    names = tuple(a for a, _ in axes)
+    sizes = tuple(s for _, s in axes)
+    if not names or names[0] != SLICE_AXIS:
+        raise ValueError(
+            f"the first axis of a hybrid mesh must be {SLICE_AXIS!r} "
+            f"(the DCN axis); got axes {names} — reorder, or use "
+            f"make_mesh for single-slice layouts")
+    n_slices, ici_sizes = sizes[0], sizes[1:]
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) != int(np.prod(sizes)):
+        raise ValueError(
+            f"axes {dict(axes)} need {int(np.prod(sizes))} devices, "
+            f"got {len(devices)}")
+    if granule_key is None:
+        # the standard path: delegate the grouping AND the per-slice ICI
+        # ordering to mesh_utils (slice_index, or process_index as the
+        # documented fallback)
+        attr = "process_index" if process_is_granule else "slice_index"
+        if not hasattr(devices[0], attr):
+            raise ValueError(
+                f"devices have no {attr!r} attribute on this platform — "
+                f"pass process_is_granule=True (processes as slices) or "
+                f"granule_key=<device -> slice id>")
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1,) + tuple(ici_sizes), (n_slices,) + (1,) * len(ici_sizes),
+            devices, process_is_granule=process_is_granule)
+        return Mesh(arr.reshape(sizes), names)
+    groups: dict = {}
+    for d in devices:
+        groups.setdefault(granule_key(d), []).append(d)
+    if len(groups) != n_slices:
+        raise ValueError(
+            f"granule_key yields {len(groups)} slices; the mesh asks for "
+            f"{n_slices}")
+    per_slice = []
+    for key in sorted(groups):
+        g = groups[key]
+        if len(g) != int(np.prod(ici_sizes, dtype=int)):
+            raise ValueError(
+                f"slice {key!r} holds {len(g)} devices; the intra-slice "
+                f"axes {dict(axes[1:])} need "
+                f"{int(np.prod(ici_sizes, dtype=int))}")
+        per_slice.append(
+            mesh_utils.create_device_mesh(ici_sizes, g) if ici_sizes
+            else np.asarray(g))
+    return Mesh(np.stack(per_slice).reshape(sizes), names)
 
 
 def resolve_sharded_config(cfg: CorexConfig, mesh: Mesh,
