@@ -267,10 +267,12 @@ def run_e2e_cfg5():
             # equal-or-better TC on every seed at this data's block
             # strength, 4x fewer iterations
             ("momentum+int8, anneal=False", "momentum", "int8", False),
-            # the round-3 best config (init study in this file's footer):
-            # spectral init + no anneal
-            ("momentum+int8, anneal=False, init=spectral", "momentum",
-             "int8", False)):
+            # the round-3 best config (init study in this file's footer);
+            # this row IS Corex(preset='throughput') resolved at cfg5
+            # shapes — pinned in lockstep by
+            # tests/test_api.py::test_throughput_preset_matches_maintained_e2e_row
+            ("momentum+int8, anneal=False, init=spectral"
+             " [= preset='throughput']", "momentum", "int8", False)):
         cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd,
                                     anneal=anneal)
         d = xq if mmd == "int8" else x

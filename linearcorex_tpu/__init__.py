@@ -27,7 +27,7 @@ from linearcorex_tpu.utils.streaming import (GramAccumulator,
                                              fit_csv,
                                              fit_from_covariance)
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 __all__ = [
     "Corex",
     "NotFittedError",

@@ -13,6 +13,62 @@ import dataclasses
 from typing import Optional, Tuple
 
 
+# Named hyperparameter bundles for `Corex(preset=...)` (VERDICT r3 #8):
+# each maps constructor parameters to the preset's DEFAULT values; a
+# parameter the user sets to any non-default value wins over the preset
+# (resolution lives in models.corex.Corex.config — the single config
+# policy — so warmup/AOT, sharded fits, and checkpointing all see the
+# resolved values with no forked logic).
+#
+# 'reference': the reference's recipe — every default unchanged (random
+#   init, annealed 0.6^k schedule, float32). The implicit preset of a
+#   bare Corex().
+# 'throughput': the measured-fastest production recipe at cfg5 scale
+#   (p=100k, m=512; benchmarks/RESULTS.md init study, 2026-08-17):
+#   int8 MXU operands + spectral init + anneal=False + tol=1e-4 (the
+#   int8 gradient noise floor) + the measured regime policy for the
+#   optimizer. Measured: best TC of any config on strong structure
+#   (206231-206246 in ~1.5 s vs annealed-random's 204835-205296 in
+#   ~3.2 s) and rescues the no-anneal collapse on weak structure
+#   (6961-6975 vs 4623, within the annealed seed spread at 2.4-7x less
+#   wall). CAVEAT: unseeded single fits occasionally land in a visibly
+#   worse basin (~12% of cfg5 fits measured) — pair with restarts
+#   (`fit_restarts_sharded` / `pick_n_hidden`) when the TC matters.
+PRESETS = {
+    "reference": {},
+    "throughput": {
+        "matmul_dtype": "int8",
+        "init": "spectral",
+        "anneal": False,
+        "tol": 1e-4,
+        "optimizer": "auto",
+    },
+}
+
+
+def apply_preset(preset: str, user_set: dict) -> dict:
+    """Merge `user_set` (parameters the caller explicitly chose) over the
+    preset's values — the ONE definition of preset precedence
+    (`Corex.config` resolves through here; any future preset-aware
+    driver must too, so presets can never mean different things in
+    different entry points). Returns a dict covering the preset's keys
+    plus everything in `user_set`; raises the named error on an unknown
+    preset. Presets are an estimator-level knob on purpose: restart
+    sweeps (`pick_n_hidden`) draw DIVERSE random inits, which the
+    throughput preset's deterministic spectral init would collapse to
+    identical lanes — pass the individual kwargs there instead."""
+    try:
+        overrides = PRESETS[preset]
+    except (KeyError, TypeError):
+        raise ValueError(
+            f"unknown preset: {preset!r} (expected one of "
+            f"{tuple(PRESETS)})") from None
+    out = dict(user_set)
+    for k, v in overrides.items():
+        out.setdefault(k, v)
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class CorexConfig:
     """Hyperparameters of one Linear CorEx solve (jit-static).

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linearcorex_tpu.config import CorexConfig, PreprocessConfig
+from linearcorex_tpu.config import (CorexConfig, PreprocessConfig,
+                                    apply_preset)
 from linearcorex_tpu.core.solver import FitDiagnostics, fit_core, sort_by_tcs
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
@@ -453,6 +454,21 @@ def _cov_rows_program(z, std, start, block):
     return stdb[:, None] * std[None, :] * rows
 
 
+def _ctor_defaults():
+    """Constructor-signature defaults of Corex.__init__, read from the
+    signature itself so preset resolution (`Corex.config`) can never
+    drift from the real defaults. Cached after the first call."""
+    cached = getattr(_ctor_defaults, "_cache", None)
+    if cached is None:
+        import inspect
+        cached = {
+            k: v.default
+            for k, v in inspect.signature(Corex.__init__).parameters.items()
+            if v.default is not inspect.Parameter.empty}
+        _ctor_defaults._cache = cached
+    return cached
+
+
 class Corex:
     """TPU-native Linear CorEx estimator (reference-compatible surface)."""
 
@@ -463,7 +479,8 @@ class Corex:
                  seed=None, dtype="float32", moment_strategy="auto",
                  record_history=True, matmul_dtype="float32",
                  use_pallas="auto", matmul_precision="default",
-                 optimizer="momentum", momentum_beta=0.9, init="random"):
+                 optimizer="momentum", momentum_beta=0.9, init="random",
+                 preset="reference"):
         # sklearn init contract: store the constructor arguments VERBATIM
         # and nothing else (no validation, no derived objects) — the
         # frozen jit-static CorexConfig/PreprocessConfig are derived
@@ -493,6 +510,7 @@ class Corex:
         self.optimizer = optimizer
         self.momentum_beta = momentum_beta
         self.init = init
+        self.preset = preset
         # warm-start weights live APART from fitted state so that a
         # repeated fit() is fresh/idempotent (sklearn contract; matches
         # the reference, which re-initializes per fit from
@@ -546,12 +564,22 @@ class Corex:
         __init__ (sklearn deferred-validation contract). Memoized on the
         parameter values so validation WARNINGS fire once per distinct
         configuration, not once per access (a single fit reads this
-        several times)."""
+        several times).
+
+        `preset` resolution also happens here (config.PRESETS; VERDICT
+        r3 #8): a preset supplies DEFAULTS — any parameter the user set
+        to a non-default value wins over the preset's value (a parameter
+        explicitly passed AT its constructor default is indistinguishable
+        from one left alone, so it takes the preset's value; use
+        preset='reference' for full manual control). Resolving in this
+        one place means warmup/AOT compiles, sharded fits, and
+        checkpoint drivers all derive the same cache key — no forked
+        policy."""
         key = (self.n_hidden, self.max_iter, self.tol, self.anneal,
                self.discourage_overlap, self.y_scale, self.dtype,
                self.moment_strategy, self.record_history,
                self.matmul_dtype, self.use_pallas, self.matmul_precision,
-               self.optimizer, self.momentum_beta, self.init)
+               self.optimizer, self.momentum_beta, self.init, self.preset)
         cached = getattr(self, "_cfg_cache", None)
         # an array-valued parameter (e.g. set_params(tol=np.array([1e-5])))
         # makes tuple equality raise ambiguous-truth; such a key can never
@@ -563,7 +591,7 @@ class Corex:
             hit = False
         if hit:
             return cached[1]
-        cfg = CorexConfig(
+        raw = dict(
             n_hidden=self.n_hidden, max_iter=self.max_iter, tol=self.tol,
             anneal=self.anneal, discourage_overlap=self.discourage_overlap,
             y_scale=self.y_scale, dtype=self.dtype,
@@ -573,6 +601,18 @@ class Corex:
             matmul_precision=self.matmul_precision,
             optimizer=self.optimizer, momentum_beta=self.momentum_beta,
             init=self.init)
+        defaults = _ctor_defaults()
+        user_set = {}
+        for name, val in raw.items():
+            try:
+                changed = bool(val != defaults[name])
+            except (ValueError, TypeError):
+                # array-valued parameter: treat as user-set and let
+                # CorexConfig validation own the error message
+                changed = True
+            if changed:
+                user_set[name] = val
+        cfg = CorexConfig(**{**raw, **apply_preset(self.preset, user_set)})
         self._cfg_cache = (key, cfg)
         return cfg
 
@@ -1099,7 +1139,7 @@ class Corex:
         "discourage_overlap", "gaussianize", "gpu", "y_scale",
         "update_iter", "pretrained_weights", "verbose", "seed", "dtype",
         "moment_strategy", "record_history", "matmul_dtype", "use_pallas",
-        "matmul_precision", "optimizer", "momentum_beta", "init")
+        "matmul_precision", "optimizer", "momentum_beta", "init", "preset")
 
     def get_params(self, deep=True):
         """Every constructor argument, verbatim (sklearn protocol; the

@@ -467,3 +467,68 @@ def test_empirical_transform_small_batch_warns():
     with W.catch_warnings():
         W.simplefilter("error")
         assert c2.transform(x[:1]).shape == (1, 2)
+
+
+# ---------------------------------------------------------------------------
+# Presets (VERDICT r3 #8): named hyperparameter bundles, resolved through
+# the single config policy in Corex.config (config.apply_preset)
+
+
+def test_throughput_preset_resolves_the_measured_recipe():
+    cfg = lc.Corex(preset="throughput").config
+    assert cfg.matmul_dtype == "int8"
+    assert cfg.init == "spectral"
+    assert cfg.anneal is False
+    assert cfg.tol == 1e-4
+    assert cfg.optimizer == "auto"
+    # reference preset == bare constructor (the implicit preset)
+    assert lc.Corex(preset="reference").config == lc.Corex().config
+
+
+def test_preset_user_overrides_win():
+    cfg = lc.Corex(preset="throughput", matmul_dtype="bfloat16",
+                   tol=1e-3).config
+    assert cfg.matmul_dtype == "bfloat16"
+    assert cfg.tol == 1e-3
+    assert cfg.init == "spectral"     # untouched knobs keep the preset
+
+
+def test_preset_unknown_is_deferred_to_first_use():
+    model = lc.Corex(preset="warp9")  # sklearn contract: ctor never raises
+    with pytest.raises(ValueError, match="preset"):
+        model.config
+    with pytest.raises(ValueError, match="preset"):
+        model.fit(np.zeros((20, 4)))
+
+
+def test_preset_participates_in_sklearn_protocol():
+    from sklearn.base import clone
+    m = clone(lc.Corex(preset="throughput"))
+    assert m.preset == "throughput"
+    assert m.get_params()["preset"] == "throughput"
+    m.set_params(preset="reference")
+    assert m.config.matmul_dtype == "float32"
+
+
+def test_throughput_preset_matches_maintained_e2e_row():
+    """Lockstep pin: the preset must resolve, at the cfg5 shapes, to
+    exactly the solver settings of the maintained benchmark row
+    'momentum+int8, anneal=False, init=spectral'
+    (benchmarks/run_benchmarks.py e2e harness; RESULTS.md init study) —
+    if either side changes, re-measure and update both."""
+    from linearcorex_tpu.models.corex import resolve_config
+    cfg = lc.Corex(n_hidden=512, preset="throughput").config
+    r = resolve_config(cfg, 100_000, platform="tpu", n_samples=10_000)
+    assert (r.matmul_dtype, r.init, r.anneal, r.tol) == (
+        "int8", "spectral", False, 1e-4)
+    assert r.optimizer == "momentum"   # 'auto' at n=10k < p=100k
+    assert cfg.anneal_schedule() == (0.0,)
+
+
+def test_throughput_preset_fit_runs_end_to_end():
+    rng = np.random.RandomState(3)
+    z = rng.normal(size=(400, 4))
+    x = np.repeat(z, 8, axis=1) * 0.9 + 0.5 * rng.normal(size=(400, 32))
+    m = lc.Corex(n_hidden=4, seed=0, preset="throughput").fit(x)
+    assert m.tc > 5.0
+    assert m.transform(x[:16]).shape == (16, 4)
