@@ -15,7 +15,8 @@ Usage (reference-compatible, `import linearcorex_tpu as lc`):
 
 from linearcorex_tpu.config import CorexConfig, PreprocessConfig
 from linearcorex_tpu.models.corex import Corex, NotFittedError
-from linearcorex_tpu.models.selection import pick_n_hidden
+from linearcorex_tpu.models.selection import (pick_n_hidden,
+                                               warmup_sweep)
 from linearcorex_tpu.models.stacked import StackedCorex
 from linearcorex_tpu.ops.moments import (QuantizedData, quantize_gram,
                                          quantize_samples)
@@ -35,6 +36,7 @@ __all__ = [
     "PreprocessConfig",
     "StackedCorex",
     "pick_n_hidden",
+    "warmup_sweep",
     "save_corex",
     "load_corex",
     "GramAccumulator",

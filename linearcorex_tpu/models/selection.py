@@ -41,7 +41,32 @@ from linearcorex_tpu.parallel.restarts import (fit_restarts,
                                                fit_restarts_sharded,
                                                init_restarts, seed_base)
 
-__all__ = ["pick_n_hidden"]
+__all__ = ["pick_n_hidden", "warmup_sweep"]
+
+
+def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
+                            data_axis: Optional[str], corex_kwargs: dict):
+    """(sweep CorexConfig, moment strategy) for the padded sweep — the ONE
+    definition of the compiled program's static key, shared by
+    `pick_n_hidden` and `warmup_sweep` (a forked copy would let warmup
+    compile a cache entry the real sweep never hits, silently defeating
+    AOT warmup — the same rule CLAUDE.md pins for warmup_fit).
+    `corex_kwargs` must already exclude the preprocessing-only kwargs
+    (gaussianize/missing_values) and record_history (sweeps force it
+    off)."""
+    probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
+                        **corex_kwargs)
+    strategy = probe.pick_strategy(n, p)
+    if (data_axis is not None and strategy == "gram"
+            and probe.moment_strategy == "auto"):
+        # same rule as models.corex.pick_fit_strategy: distributing the
+        # sample rows is the point of a data axis, and a Gram operand
+        # has no sample axis to shard (an EXPLICIT 'gram' request falls
+        # through to fit_restarts_sharded's named error)
+        strategy = "samples"
+    cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
+                      record_history=False, **corex_kwargs)
+    return cfg, strategy
 
 
 def _padded_inits(max_n: int, repeat: int, p: int, seed: Optional[int],
@@ -271,26 +296,16 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     if xv is not None:
         xv = P.preprocess(jnp.asarray(xv, x.dtype), gaussianize, theta,
                           missing_values)
-    probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
-                        **corex_kwargs)
-    strategy = probe.pick_strategy(n, p)
-    if (data_axis is not None and strategy == "gram"
-            and probe.moment_strategy == "auto"):
-        # same rule as models.corex.pick_fit_strategy: distributing the
-        # sample rows is the point of a data axis, and a Gram operand
-        # has no sample axis to shard (an EXPLICIT 'gram' request falls
-        # through to fit_restarts_sharded's named error)
-        strategy = "samples"
+    cfg, strategy = _sweep_cfg_and_strategy(n, p, max_n_hidden, dtype,
+                                            data_axis, corex_kwargs)
     shared = M.compute_gram(xp) if strategy == "gram" else xp
-    if probe.matmul_dtype == "int8":
+    if cfg.matmul_dtype == "int8":
         shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
-    overlap = not probe.discourage_overlap
+    overlap = not cfg.discourage_overlap
     label = "TC" if criterion == "tc" else "held-out loglik"
     run_batch = _restart_batch_runner(mesh, restart_axis, data_axis)
 
     if padded_sweep:
-        cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
-                          record_history=False, **corex_kwargs)
         w0 = _padded_inits(max_n_hidden, repeat, p, seed, jnp.dtype(dtype))
         _, mom_b, _ = run_batch(shared, w0, cfg, strategy, n)
         if criterion == "heldout":
@@ -330,3 +345,84 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     if criterion == "heldout":
         best_n = _smallest_within_tol(np.array(scores), tc_gain_tol)
     return best_n, np.array(scores)
+
+
+def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
+                 max_n_hidden: Optional[int] = None, dtype: str = "float32",
+                 criterion: str = "tc", val_fraction: float = 0.2,
+                 mesh=None, restart_axis: str = "restarts",
+                 data_axis: Optional[str] = None, **corex_kwargs) -> None:
+    """Ahead-of-time compile of the padded `pick_n_hidden` sweep program
+    for declared shapes — the selection counterpart of
+    `utils.compile_cache.warmup_fit`. The (candidate, restart) grid is the
+    single most expensive compile in the library (measured 40 s and 199 s
+    for the same cfg5-scale sweep on the remote compile service,
+    benchmarks/RESULTS.md); with the persistent cache on, running this at
+    deploy time turns the first real sweep's compile wait into a cache
+    deserialize.
+
+    Pass EXACTLY the arguments the real `pick_n_hidden(data, ...)` call
+    will use (jit is shape- and config-specialized): `n_samples` /
+    `n_variables` are the data's shape — under criterion='heldout' the
+    validation split is reproduced here, so pass the FULL row count. The
+    config/strategy/padding pipeline is shared with `pick_n_hidden`
+    (`_sweep_cfg_and_strategy`; lockstep-pinned by
+    tests/test_selection.py), so the lowered program is key-identical to
+    the one the sweep dispatches. Only the padded sweep is warmed
+    (padded_sweep=False compiles one small program per candidate);
+    the tiny heldout scorer / preprocessing programs compile in seconds
+    and are not worth declaring shapes for."""
+    import jax
+    import jax.numpy as jnp
+
+    from linearcorex_tpu.models.corex import resolve_config
+    from linearcorex_tpu.ops.moments import QuantizedData
+    from linearcorex_tpu.parallel import restarts as R
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+
+    ensure_compile_cache()
+    n, p = int(n_samples), int(n_variables)
+    if criterion not in ("tc", "heldout"):
+        raise ValueError(f"unknown criterion: {criterion!r} "
+                         f"(expected 'tc' or 'heldout')")
+    if criterion == "heldout":
+        n -= max(1, int(round(n * val_fraction)))   # training rows only
+    if max_n_hidden is None:
+        max_n_hidden = min(p, 16)
+    kwargs = dict(corex_kwargs)
+    for k in ("gaussianize", "missing_values", "record_history"):
+        kwargs.pop(k, None)
+    cfg, strategy = _sweep_cfg_and_strategy(n, p, max_n_hidden, dtype,
+                                            data_axis, kwargs)
+    platform = mesh.devices.flat[0].platform if mesh is not None else None
+    cfg = resolve_config(cfg, p, platform=platform, n_samples=n)
+    dt = jnp.dtype(dtype)
+    data_shape = (p, p) if strategy == "gram" else (n, p)
+    batch = max_n_hidden * repeat
+    w_spec, data_spec, scale_spec = None, None, None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P_
+
+        sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+        if restart_axis not in sizes:
+            raise ValueError(
+                f"mesh has axes {mesh.axis_names}; the sweep shards the "
+                f"restart batch over {restart_axis!r}")
+        batch += (-batch) % sizes[restart_axis]   # the runner's padding
+        w_spec = NamedSharding(mesh, P_(restart_axis, None, None))
+        data_spec = NamedSharding(
+            mesh, P_(data_axis, None) if data_axis is not None else P_())
+        scale_spec = NamedSharding(mesh, P_())
+    if cfg.matmul_dtype == "int8":
+        data_arg = QuantizedData(
+            q=jax.ShapeDtypeStruct(data_shape, jnp.int8,
+                                   sharding=data_spec),
+            scale=jax.ShapeDtypeStruct((), jnp.float32,
+                                       sharding=scale_spec))
+    else:
+        data_arg = jax.ShapeDtypeStruct(data_shape, dt, sharding=data_spec)
+    w_arg = jax.ShapeDtypeStruct((batch, max_n_hidden, p), dt,
+                                 sharding=w_spec)
+    # module-attribute access (not a from-import) so tests can intercept
+    # the one program object both this warmup and the real sweep use
+    R._fit_restarts_program.lower(data_arg, w_arg, cfg, strategy).compile()

@@ -244,3 +244,81 @@ def test_pick_n_hidden_2d_restarts_x_data_mesh_equivalence():
     best_s, scores_s = pick_n_hidden(x, mesh=mesh, data_axis="data", **kw)
     assert best_s == best_u
     np.testing.assert_allclose(scores_s, scores_u, rtol=1e-8)
+
+
+def test_warmup_sweep_is_key_identical_to_the_real_sweep(monkeypatch):
+    """warmup_sweep must lower EXACTLY the program pick_n_hidden
+    dispatches — same operand shapes/dtypes/shardings, same resolved
+    config, same strategy — or AOT warmup compiles a cache entry the
+    real sweep never hits. Intercepts the one shared program object
+    (parallel.restarts._fit_restarts_program) on a deliberately awkward
+    case: heldout split (changes the row count), int8 (QuantizedData
+    operand), 2-D restarts x data mesh, and a batch (3 cands x 3
+    restarts = 9) that needs padding to divide the restart axis."""
+    import jax
+    import linearcorex_tpu.parallel.restarts as R
+    from linearcorex_tpu.models.selection import warmup_sweep
+    from linearcorex_tpu.parallel.sharding import make_mesh
+
+    def spec(a):
+        sh = getattr(a, "sharding", None)
+        return (tuple(a.shape), jnp.dtype(a.dtype).name,
+                getattr(sh, "spec", None))
+
+    recorded = []
+    orig = R._fit_restarts_program
+
+    class Probe:
+        def __call__(self, data, w0, cfg, strategy):
+            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
+                             cfg, strategy))
+            return orig(data, w0, cfg, strategy)
+
+        def lower(self, data, w0, cfg, strategy):
+            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
+                             cfg, strategy))
+            return orig.lower(data, w0, cfg, strategy)
+
+    monkeypatch.setattr(R, "_fit_restarts_program", Probe())
+    x = block_data(n=480, p=32, m=4, seed=7)
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    kw = dict(repeat=3, max_n_hidden=3, max_iter=300, criterion="heldout",
+              val_fraction=0.2, matmul_dtype="int8", tol=1e-4,
+              mesh=mesh, data_axis="data")
+    warmup_sweep(480, 32, **kw)
+    pick_n_hidden(x, seed=0, **kw)
+    assert len(recorded) == 2, recorded
+    warm, real = recorded
+    assert warm == real, f"\nwarmup: {warm}\nreal:   {real}"
+
+
+def test_warmup_sweep_key_identity_single_device_gram(monkeypatch):
+    """Same lockstep pin on the single-device gram path (no mesh)."""
+    import jax
+    import linearcorex_tpu.parallel.restarts as R
+    from linearcorex_tpu.models.selection import warmup_sweep
+
+    def spec(a):
+        return (tuple(a.shape), jnp.dtype(a.dtype).name)
+
+    recorded = []
+    orig = R._fit_restarts_program
+
+    class Probe:
+        def __call__(self, data, w0, cfg, strategy):
+            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
+                             cfg, strategy))
+            return orig(data, w0, cfg, strategy)
+
+        def lower(self, data, w0, cfg, strategy):
+            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
+                             cfg, strategy))
+            return orig.lower(data, w0, cfg, strategy)
+
+    monkeypatch.setattr(R, "_fit_restarts_program", Probe())
+    x = block_data(n=200, p=24, m=3, seed=1)
+    kw = dict(repeat=2, max_n_hidden=4, max_iter=300, dtype="float64")
+    warmup_sweep(200, 24, **kw)
+    pick_n_hidden(x, seed=0, **kw)
+    assert len(recorded) == 2
+    assert recorded[0] == recorded[1], recorded
