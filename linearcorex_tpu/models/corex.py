@@ -789,8 +789,11 @@ class Corex:
 
             from linearcorex_tpu.parallel.sharding import (
                 validate_plan_shapes)
+            # raw_x=True: the device_put below shards the RAW (n, p) X
+            # per x_spec even for gram strategy, so the sample-axis
+            # divisibility check applies regardless of the operand
             validate_plan_shapes(plan, strategy, mesh, self.n_samples,
-                                 self.nv, self.m)
+                                 self.nv, self.m, raw_x=True)
             x = jax.device_put(x, NamedSharding(mesh, plan.x_spec()))
             if x.dtype != self._dt:
                 x = x.astype(self._dt)  # sharded cast, no gather

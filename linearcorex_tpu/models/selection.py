@@ -34,7 +34,7 @@ from typing import Optional
 import numpy as np
 
 from linearcorex_tpu.config import CorexConfig
-from linearcorex_tpu.models.corex import Corex
+from linearcorex_tpu.models.corex import Corex, pick_fit_strategy
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 from linearcorex_tpu.parallel.restarts import (fit_restarts,
@@ -50,20 +50,29 @@ def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
     definition of the compiled program's static key, shared by
     `pick_n_hidden` and `warmup_sweep` (a forked copy would let warmup
     compile a cache entry the real sweep never hits, silently defeating
-    AOT warmup — the same rule CLAUDE.md pins for warmup_fit).
+    AOT warmup — the same rule CLAUDE.md pins for warmup_fit). The
+    strategy choice delegates to `models.corex.pick_fit_strategy` — the
+    single plan-aware policy — by expressing `data_axis` as the
+    sample-sharding plan it is; an EXPLICIT 'gram' request with a data
+    axis raises here (a Gram operand has no sample axis to shard —
+    `fit_restarts_sharded` rejects the combination, so a warmup must
+    too, not silently compile a program the sweep can never dispatch).
     `corex_kwargs` must already exclude the preprocessing-only kwargs
     (gaussianize/missing_values) and record_history (sweeps force it
     off)."""
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
-    strategy = probe.pick_strategy(n, p)
-    if (data_axis is not None and strategy == "gram"
-            and probe.moment_strategy == "auto"):
-        # same rule as models.corex.pick_fit_strategy: distributing the
-        # sample rows is the point of a data axis, and a Gram operand
-        # has no sample axis to shard (an EXPLICIT 'gram' request falls
-        # through to fit_restarts_sharded's named error)
-        strategy = "samples"
+    plan = None
+    if data_axis is not None:
+        if probe.moment_strategy == "gram":
+            raise ValueError(
+                "data_axis shards the SAMPLE rows of X; a Gram operand "
+                "carries none — the combined restarts x data layout is "
+                "samples-strategy only (drop data_axis, or use "
+                "moment_strategy='auto'/'samples')")
+        from linearcorex_tpu.parallel.sharding import ShardingPlan
+        plan = ShardingPlan(shard_samples=True)
+    strategy = pick_fit_strategy(probe, n, p, plan)
     cfg = CorexConfig(n_hidden=max_n_hidden, dtype=dtype,
                       record_history=False, **corex_kwargs)
     return cfg, strategy
@@ -257,6 +266,14 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     if criterion not in ("tc", "heldout"):
         raise ValueError(f"unknown criterion: {criterion!r} "
                          f"(expected 'tc' or 'heldout')")
+    if data_axis is not None and mesh is None:
+        # without this, the single-device runner would silently ignore
+        # the requested combined restarts x data layout (while the
+        # strategy choice still honored it — a different, slower program
+        # than the user asked for, with no sharding at all)
+        raise ValueError(
+            "data_axis shards the sample rows over a mesh axis — pass "
+            "mesh= too (make_mesh(((restart_axis, a), (data_axis, b))))")
     x = np.asarray(data)
     n, p = x.shape
     xv = None
@@ -385,6 +402,10 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
     if criterion not in ("tc", "heldout"):
         raise ValueError(f"unknown criterion: {criterion!r} "
                          f"(expected 'tc' or 'heldout')")
+    if data_axis is not None and mesh is None:
+        raise ValueError(
+            "data_axis shards the sample rows over a mesh axis — pass "
+            "mesh= too (make_mesh(((restart_axis, a), (data_axis, b))))")
     if criterion == "heldout":
         n -= max(1, int(round(n * val_fraction)))   # training rows only
     if max_n_hidden is None:
@@ -408,6 +429,16 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
             raise ValueError(
                 f"mesh has axes {mesh.axis_names}; the sweep shards the "
                 f"restart batch over {restart_axis!r}")
+        if data_axis is not None:
+            dd = sizes.get(data_axis)
+            if dd is None or n % dd:
+                # mirror fit_restarts_sharded's check: a warmup must not
+                # compile a program the real sweep would reject
+                raise ValueError(
+                    f"data_axis={data_axis!r}: the {n} (training) sample "
+                    f"rows must divide the mesh axis (size {dd}) evenly "
+                    f"— trim/pad the rows or adjust the mesh (XLA shards "
+                    f"without padding)")
         batch += (-batch) % sizes[restart_axis]   # the runner's padding
         w_spec = NamedSharding(mesh, P_(restart_axis, None, None))
         data_spec = NamedSharding(
@@ -424,5 +455,14 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
     w_arg = jax.ShapeDtypeStruct((batch, max_n_hidden, p), dt,
                                  sharding=w_spec)
     # module-attribute access (not a from-import) so tests can intercept
-    # the one program object both this warmup and the real sweep use
-    R._fit_restarts_program.lower(data_arg, w_arg, cfg, strategy).compile()
+    # the one program object both this warmup and the real sweep use.
+    # The mesh context matters for the cache key, not just the operand
+    # shardings: fit_restarts_sharded compiles INSIDE jax.set_mesh(mesh),
+    # and a module lowered outside it differs (and misses the cache) —
+    # tests/test_selection.py pins lowered-module-text identity.
+    import contextlib
+    ctx = jax.set_mesh(mesh) if mesh is not None else (
+        contextlib.nullcontext())
+    with ctx:
+        R._fit_restarts_program.lower(data_arg, w_arg, cfg,
+                                      strategy).compile()

@@ -123,13 +123,20 @@ def operand_specs(plan: "ShardingPlan", strategy: str):
 
 
 def validate_plan_shapes(plan: "ShardingPlan", strategy: str, mesh: Mesh,
-                         n: Optional[int], p: int, m: int) -> None:
+                         n: Optional[int], p: int, m: int,
+                         raw_x: bool = False) -> None:
     """Fail fast, by name, on GSPMD's divisibility requirement: every
     sharded dimension must divide by the product of its mesh axes (XLA
     does not pad operands). Without this, the error surfaces as an
     opaque device_put sharding exception deep inside jit (found by the
     round-3 fuzzer). Pad or trim the data — or drop the offending plan
-    flag — to fix."""
+    flag — to fix.
+
+    raw_x=True: the caller shards the RAW X (n x p) per `plan.x_spec()`
+    BEFORE the operand is built (the mesh-aware prepare, `Corex.
+    _prepare_fit(mesh=...)` / `warmup_fit(mesh=...)`), so the sample-axis
+    check applies even when strategy='gram' — the Gram OPERAND has no
+    sample axis, but the raw input being sharded does."""
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
 
     def need(axes_used, dim, value, what):
@@ -148,7 +155,7 @@ def validate_plan_shapes(plan: "ShardingPlan", strategy: str, mesh: Mesh,
                 f"without padding — trim/pad the {dim} dimension or "
                 f"adjust the plan/mesh")
 
-    if strategy != "gram":
+    if raw_x or strategy != "gram":
         sample_axes = [a for a, on in ((SLICE_AXIS, plan.shard_slices),
                                        (DATA_AXIS, plan.shard_samples))
                        if on]

@@ -160,9 +160,11 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         from linearcorex_tpu.parallel import sharding as S
 
         cfg = S.resolve_sharded_config(model.config, mesh, plan, p, n)
-        S.validate_plan_shapes(plan, strategy, mesh,
-                               None if strategy == "gram" else n, p,
-                               model.m)
+        # raw_x=True: the prepare lowered below declares the RAW (n, p)
+        # X sharded per x_spec even for gram strategy — same rule as
+        # Corex._prepare_fit(mesh=...)
+        S.validate_plan_shapes(plan, strategy, mesh, n, p, model.m,
+                               raw_x=True)
         data_spec, w_spec = S.operand_specs(plan, strategy)
         if cfg.matmul_dtype == "int8":
             data_arg = QuantizedData(
@@ -180,14 +182,21 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                 strategy, model.config.matmul_dtype, plan).compile()
         if model.config.init == "spectral":
             # under a mesh, spectral init consumes the PLAN-sharded
-            # operand (omega is small and replicated)
+            # operand; omega is small and arrives UNCOMMITTED from
+            # _resolve_w0 — declare it without a sharding, or the
+            # lowered module carries an annotation the real call's
+            # doesn't and the cache key never matches
             from linearcorex_tpu.models.corex import _spectral_init_program
             _spectral_init_program.lower(
-                data_arg, sds((p, model.m), dt, P(None, None)), strategy,
+                data_arg, jax.ShapeDtypeStruct((p, model.m), dt), strategy,
                 model.config.matmul_dtype).compile()
-        S._fit_program_sharded.lower(
-            data_arg, sds((model.m, p), dt, w_spec), cfg, plan,
-            strategy).compile()
+        # fit_sharded compiles INSIDE jax.set_mesh(mesh); the mesh
+        # context is part of the lowered module (hence the cache key),
+        # so the warmup must lower under it too
+        with jax.set_mesh(mesh):
+            S._fit_program_sharded.lower(
+                data_arg, sds((model.m, p), dt, w_spec), cfg, plan,
+                strategy).compile()
         return
 
     cfg = resolve_config(model.config, p, n_samples=n)

@@ -132,3 +132,47 @@ def test_warmup_serving_requires_width():
     from linearcorex_tpu.utils.compile_cache import warmup_serving
     with pytest.raises(ValueError, match="n_variables"):
         warmup_serving(lc.Corex(n_hidden=2), batch_rows=8)
+
+
+def test_warmup_sharded_is_module_identical_to_real_fit(monkeypatch):
+    """warmup_fit(mesh=...) must lower EXACTLY the modules fit(mesh=...)
+    dispatches — for the fit program (compiled INSIDE jax.set_mesh(mesh)
+    by fit_sharded; a module lowered outside that scope differs, and so
+    does its persistent-cache key) and for the spectral-init program
+    (whose omega arrives UNCOMMITTED from _resolve_w0 — declaring it
+    with a replicated sharding annotates the module and misses the
+    cache). Module-text identity is the proxy for cache-key identity;
+    the probes lower again with the real call's concrete args under its
+    ambient context."""
+    import linearcorex_tpu.models.corex as C
+    import linearcorex_tpu.parallel.sharding as S
+    from linearcorex_tpu.parallel.sharding import make_mesh
+
+    fit_texts, spec_texts = [], []
+
+    def probe(orig, recorded):
+        class Probe:
+            def __call__(self, *args):
+                recorded.append(orig.lower(*args).as_text())
+                return orig(*args)
+
+            def lower(self, *args):
+                low = orig.lower(*args)
+                recorded.append(low.as_text())
+                return low
+        return Probe()
+
+    monkeypatch.setattr(S, "_fit_program_sharded",
+                        probe(S._fit_program_sharded, fit_texts))
+    monkeypatch.setattr(C, "_spectral_init_program",
+                        probe(C._spectral_init_program, spec_texts))
+    mesh = make_mesh()
+    x = block_data(n=480, p=32, m=4, seed=0)
+    model = lc.Corex(n_hidden=4, seed=0, init="spectral", anneal=False,
+                     max_iter=50, record_history=False)
+    model.warmup(480, 32, mesh=mesh)
+    model.fit(x, mesh=mesh)
+    assert len(fit_texts) == 2 and fit_texts[0] == fit_texts[1], \
+        "warmup_fit lowered a different sharded fit module than fit"
+    assert len(spec_texts) == 2 and spec_texts[0] == spec_texts[1], \
+        "warmup_fit lowered a different spectral-init module than fit"

@@ -246,40 +246,48 @@ def test_pick_n_hidden_2d_restarts_x_data_mesh_equivalence():
     np.testing.assert_allclose(scores_s, scores_u, rtol=1e-8)
 
 
+def _module_text_probe(orig, recorded):
+    """Probe standing in for a jitted program object: records the FULL
+    lowered module text both when warmup lowers it and when the real
+    driver dispatches it (lowering again with the real call's concrete
+    args, under the real call's ambient context). Module-text identity
+    is the strongest available proxy for persistent-cache-key identity —
+    it catches context drift (e.g. lowering outside the driver's
+    jax.set_mesh(mesh) scope, which changes the module and the key even
+    with identical arg shardings) that arg-spec comparison cannot."""
+
+    class Probe:
+        def __call__(self, *args):
+            recorded.append(orig.lower(*args).as_text())
+            return orig(*args)
+
+        def lower(self, *args):
+            low = orig.lower(*args)
+            recorded.append(low.as_text())
+            return low
+
+    return Probe()
+
+
 def test_warmup_sweep_is_key_identical_to_the_real_sweep(monkeypatch):
     """warmup_sweep must lower EXACTLY the program pick_n_hidden
-    dispatches — same operand shapes/dtypes/shardings, same resolved
-    config, same strategy — or AOT warmup compiles a cache entry the
-    real sweep never hits. Intercepts the one shared program object
-    (parallel.restarts._fit_restarts_program) on a deliberately awkward
-    case: heldout split (changes the row count), int8 (QuantizedData
-    operand), 2-D restarts x data mesh, and a batch (3 cands x 3
-    restarts = 9) that needs padding to divide the restart axis."""
-    import jax
+    dispatches — same lowered module (operand shapes/dtypes/shardings,
+    resolved config, strategy, AND mesh context: fit_restarts_sharded
+    compiles inside jax.set_mesh(mesh), so the warmup must too) — or AOT
+    warmup compiles a cache entry the real sweep never hits. Intercepts
+    the one shared program object (parallel.restarts.
+    _fit_restarts_program) on a deliberately awkward case: heldout split
+    (changes the row count), int8 (QuantizedData operand), 2-D
+    restarts x data mesh, and a batch (3 cands x 3 restarts = 9) that
+    needs padding to divide the restart axis."""
     import linearcorex_tpu.parallel.restarts as R
     from linearcorex_tpu.models.selection import warmup_sweep
     from linearcorex_tpu.parallel.sharding import make_mesh
 
-    def spec(a):
-        sh = getattr(a, "sharding", None)
-        return (tuple(a.shape), jnp.dtype(a.dtype).name,
-                getattr(sh, "spec", None))
-
     recorded = []
-    orig = R._fit_restarts_program
-
-    class Probe:
-        def __call__(self, data, w0, cfg, strategy):
-            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
-                             cfg, strategy))
-            return orig(data, w0, cfg, strategy)
-
-        def lower(self, data, w0, cfg, strategy):
-            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
-                             cfg, strategy))
-            return orig.lower(data, w0, cfg, strategy)
-
-    monkeypatch.setattr(R, "_fit_restarts_program", Probe())
+    monkeypatch.setattr(R, "_fit_restarts_program",
+                        _module_text_probe(R._fit_restarts_program,
+                                           recorded))
     x = block_data(n=480, p=32, m=4, seed=7)
     mesh = make_mesh((("restarts", 2), ("data", 4)))
     kw = dict(repeat=3, max_n_hidden=3, max_iter=300, criterion="heldout",
@@ -287,38 +295,66 @@ def test_warmup_sweep_is_key_identical_to_the_real_sweep(monkeypatch):
               mesh=mesh, data_axis="data")
     warmup_sweep(480, 32, **kw)
     pick_n_hidden(x, seed=0, **kw)
-    assert len(recorded) == 2, recorded
-    warm, real = recorded
-    assert warm == real, f"\nwarmup: {warm}\nreal:   {real}"
+    assert len(recorded) == 2, len(recorded)
+    assert recorded[0] == recorded[1], \
+        "warmup_sweep lowered a different module than the real sweep"
 
 
 def test_warmup_sweep_key_identity_single_device_gram(monkeypatch):
     """Same lockstep pin on the single-device gram path (no mesh)."""
-    import jax
     import linearcorex_tpu.parallel.restarts as R
     from linearcorex_tpu.models.selection import warmup_sweep
 
-    def spec(a):
-        return (tuple(a.shape), jnp.dtype(a.dtype).name)
-
     recorded = []
-    orig = R._fit_restarts_program
-
-    class Probe:
-        def __call__(self, data, w0, cfg, strategy):
-            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
-                             cfg, strategy))
-            return orig(data, w0, cfg, strategy)
-
-        def lower(self, data, w0, cfg, strategy):
-            recorded.append((jax.tree_util.tree_map(spec, data), spec(w0),
-                             cfg, strategy))
-            return orig.lower(data, w0, cfg, strategy)
-
-    monkeypatch.setattr(R, "_fit_restarts_program", Probe())
+    monkeypatch.setattr(R, "_fit_restarts_program",
+                        _module_text_probe(R._fit_restarts_program,
+                                           recorded))
     x = block_data(n=200, p=24, m=3, seed=1)
     kw = dict(repeat=2, max_n_hidden=4, max_iter=300, dtype="float64")
     warmup_sweep(200, 24, **kw)
     pick_n_hidden(x, seed=0, **kw)
     assert len(recorded) == 2
-    assert recorded[0] == recorded[1], recorded
+    assert recorded[0] == recorded[1], \
+        "warmup_sweep lowered a different module than the real sweep"
+
+
+def test_data_axis_without_mesh_raises():
+    """data_axis without a mesh must raise, not silently run the
+    single-device sweep with a silently different strategy choice."""
+    from linearcorex_tpu.models.selection import warmup_sweep
+
+    x = block_data(n=200, p=24, m=3, seed=1)
+    with pytest.raises(ValueError, match="mesh"):
+        pick_n_hidden(x, repeat=2, max_n_hidden=3, data_axis="data")
+    with pytest.raises(ValueError, match="mesh"):
+        warmup_sweep(200, 24, repeat=2, max_n_hidden=3, data_axis="data")
+
+
+def test_explicit_gram_with_data_axis_raises_in_sweep_and_warmup():
+    """An explicit moment_strategy='gram' with a data axis must raise
+    from BOTH pick_n_hidden and warmup_sweep (fit_restarts_sharded
+    rejects the combination, so a warmup must not silently compile a
+    row-sharded Gram program the real sweep can never dispatch)."""
+    from linearcorex_tpu.models.selection import warmup_sweep
+    from linearcorex_tpu.parallel.sharding import make_mesh
+
+    x = block_data(n=480, p=24, m=3, seed=1)
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    kw = dict(repeat=2, max_n_hidden=3, mesh=mesh, data_axis="data",
+              moment_strategy="gram")
+    with pytest.raises(ValueError, match="samples-strategy only"):
+        pick_n_hidden(x, **kw)
+    with pytest.raises(ValueError, match="samples-strategy only"):
+        warmup_sweep(480, 24, **kw)
+
+
+def test_warmup_sweep_rejects_non_dividing_data_axis():
+    """warmup_sweep must reject declared row counts the real sweep's
+    fit_restarts_sharded would reject (XLA shards without padding)."""
+    from linearcorex_tpu.models.selection import warmup_sweep
+    from linearcorex_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh((("restarts", 2), ("data", 4)))
+    with pytest.raises(ValueError, match="divide"):
+        warmup_sweep(481, 24, repeat=2, max_n_hidden=3, mesh=mesh,
+                     data_axis="data")

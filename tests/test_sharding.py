@@ -599,6 +599,22 @@ def test_mesh_aware_prepare_int8_still_guarded():
                            mesh=mesh)
 
 
+def test_mesh_aware_prepare_gram_non_dividing_n_fails_by_name():
+    """The mesh-aware prepare shards the RAW (n, p) X per plan.x_spec()
+    for EVERY strategy — so the sample-axis divisibility check must fire
+    even when the resolved strategy is 'gram' (whose OPERAND carries no
+    sample axis). Without raw_x=True in the validator this surfaced as
+    the opaque device_put sharding exception the round-3 fuzzer
+    contract forbids."""
+    x = np.asarray(block_data(n=502, p=64, m=8, seed=0))   # 502 % 4 != 0
+    mesh = make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+    model = lc.Corex(n_hidden=8, record_history=False)
+    # auto strategy picks 'gram' here (n > p/2 regime), plan shards both
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    with pytest.raises(ValueError, match="n_samples"):
+        model._prepare_fit(x, resolve=False, plan=plan, mesh=mesh)
+
+
 def test_make_hybrid_mesh_granule_key_and_audit_classification():
     """make_hybrid_mesh (VERDICT r3 Missing #4): the DCN axis follows the
     physical slice grouping, not enumeration order. CPU devices carry no
