@@ -221,3 +221,51 @@ def test_restart_sharding_divisibility_named():
     with pytest.raises(ValueError, match="restart batch"):
         fit_restarts_sharded(x, w0, cfg, "samples",
                              make_mesh((("restarts", 8),)))
+
+
+_R4_PLANS = (
+    dict(),                                       # DP (sample rows)
+    dict(shard_samples=True, shard_vars=True),    # DP x SP
+    dict(shard_samples=False, shard_vars=True),   # SP only
+)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_round4_mesh_prepare(trial):
+    """Randomized coverage of the round-4 mesh-aware prepare:
+    fit(mesh=...) under a random plan / gaussianize / moment strategy
+    either reproduces the single-device fit (divisible shapes, f64,
+    1e-7) or fails by NAME on a non-divisible sample count — never via
+    GSPMD's opaque device_put exception. The named-error arm covers
+    every strategy, because the prepare shards the RAW X per the plan
+    regardless of the operand (the round-4 gram/raw-X divisibility
+    finding's class)."""
+    import warnings
+
+    from linearcorex_tpu.parallel.sharding import ShardingPlan, make_mesh
+
+    rng = np.random.RandomState(88000 + trial)
+    p = int(rng.randint(2, 6)) * 8
+    n = int(rng.randint(8, 30)) * 8
+    m = int(rng.randint(1, 3)) * 2
+    gauss = ("none", "standard", "empirical")[rng.randint(0, 3)]
+    strat = ("auto", "samples", "gram")[rng.randint(0, 3)]
+    plan = ShardingPlan(**_R4_PLANS[rng.randint(0, len(_R4_PLANS))])
+    mesh = (make_mesh((("data", 4), ("var", 2))) if plan.shard_vars
+            else make_mesh())
+    x = block_data(n=n, p=p, m=2, seed=int(rng.randint(0, 1000)))
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(p), size=(m, p))
+    kw = dict(n_hidden=m, dtype="float64", record_history=False,
+              gaussianize=gauss, moment_strategy=strat)
+    with warnings.catch_warnings():
+        # explicit 'gram' + a sample-only plan warns (documented); the
+        # fuzz draw asserts equivalence, not the warning
+        warnings.simplefilter("ignore")
+        ref = lc.Corex(**kw).fit(x, init_ws=w0)
+        msh = lc.Corex(**kw).fit(x, init_ws=w0, mesh=mesh,
+                                 sharding_plan=plan)
+        assert abs(msh.tc - ref.tc) < 1e-7, (gauss, strat, plan)
+        if plan.shard_samples:
+            with pytest.raises(ValueError, match="n_samples"):
+                lc.Corex(**kw).fit(x[:-1], init_ws=w0, mesh=mesh,
+                                   sharding_plan=plan)
