@@ -60,8 +60,10 @@ class _Carry(NamedTuple):
 
 
 def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
-           eps: jax.Array):
+           eps: jax.Array, tol: jax.Array):
     """Run one annealing stage to convergence (traced while_loop).
+    `tol` is the stage's convergence tolerance (cfg.tol_schedule():
+    non-final stages may run looser via cfg.stage_tol_factor).
 
     Optimizer: deterministic step-halving line search over plain GD,
     heavy-ball momentum (v ← β·v − lr·g, reset to 0 on a rejected step), or
@@ -81,7 +83,7 @@ def _stage(obj_grad: ObjGrad, cfg: CorexConfig, ws0: jax.Array,
     f0, g0, tc0 = obj_grad(ws0, eps)
 
     def cond(c: _Carry):
-        return ((c.it < cfg.max_iter) & (c.delta >= cfg.tol)
+        return ((c.it < cfg.max_iter) & (c.delta >= tol)
                 & (c.lr >= cfg.lr_min))
 
     def body(c: _Carry):
@@ -125,13 +127,15 @@ def fit_core(obj_grad: ObjGrad, w0: jax.Array, cfg: CorexConfig):
     while_loop per stage. Returns (ws, FitDiagnostics). Pure and jittable;
     callers close `obj_grad` over the data (samples or Gram matrix)."""
     schedule = jnp.asarray(cfg.anneal_schedule(), dtype=w0.dtype)
+    tols = jnp.asarray(cfg.tol_schedule(), dtype=w0.dtype)
 
-    def scan_body(ws, eps):
-        ws_new, stats = _stage(obj_grad, cfg, ws, eps)
+    def scan_body(ws, eps_tol):
+        eps, tol = eps_tol
+        ws_new, stats = _stage(obj_grad, cfg, ws, eps, tol)
         return ws_new, stats
 
     ws, (iters, tcs, deltas, objs, hists) = jax.lax.scan(
-        scan_body, w0, schedule)
+        scan_body, w0, (schedule, tols))
     diag = FitDiagnostics(iters_per_stage=iters, tc_per_stage=tcs,
                           delta_per_stage=deltas, objective_per_stage=objs,
                           tc_history=hists, eps_schedule=schedule)

@@ -480,7 +480,7 @@ class Corex:
                  record_history=True, matmul_dtype="float32",
                  use_pallas="auto", matmul_precision="default",
                  optimizer="momentum", momentum_beta=0.9, init="random",
-                 preset="reference"):
+                 preset="reference", stage_tol_factor=1.0):
         # sklearn init contract: store the constructor arguments VERBATIM
         # and nothing else (no validation, no derived objects) — the
         # frozen jit-static CorexConfig/PreprocessConfig are derived
@@ -511,6 +511,7 @@ class Corex:
         self.momentum_beta = momentum_beta
         self.init = init
         self.preset = preset
+        self.stage_tol_factor = stage_tol_factor
         # warm-start weights live APART from fitted state so that a
         # repeated fit() is fresh/idempotent (sklearn contract; matches
         # the reference, which re-initializes per fit from
@@ -579,7 +580,8 @@ class Corex:
                self.discourage_overlap, self.y_scale, self.dtype,
                self.moment_strategy, self.record_history,
                self.matmul_dtype, self.use_pallas, self.matmul_precision,
-               self.optimizer, self.momentum_beta, self.init, self.preset)
+               self.optimizer, self.momentum_beta, self.init, self.preset,
+               self.stage_tol_factor)
         cached = getattr(self, "_cfg_cache", None)
         # an array-valued parameter (e.g. set_params(tol=np.array([1e-5])))
         # makes tuple equality raise ambiguous-truth; such a key can never
@@ -600,7 +602,7 @@ class Corex:
             matmul_dtype=self.matmul_dtype, use_pallas=self.use_pallas,
             matmul_precision=self.matmul_precision,
             optimizer=self.optimizer, momentum_beta=self.momentum_beta,
-            init=self.init)
+            init=self.init, stage_tol_factor=self.stage_tol_factor)
         defaults = _ctor_defaults()
         user_set = {}
         for name, val in raw.items():
@@ -1142,7 +1144,8 @@ class Corex:
         "discourage_overlap", "gaussianize", "gpu", "y_scale",
         "update_iter", "pretrained_weights", "verbose", "seed", "dtype",
         "moment_strategy", "record_history", "matmul_dtype", "use_pallas",
-        "matmul_precision", "optimizer", "momentum_beta", "init", "preset")
+        "matmul_precision", "optimizer", "momentum_beta", "init", "preset",
+        "stage_tol_factor")
 
     def get_params(self, deep=True):
         """Every constructor argument, verbatim (sklearn protocol; the

@@ -337,7 +337,7 @@ class OracleCorex:
                  gaussianize="standard", gpu=False, y_scale=1.0,
                  update_iter=10, pretrained_weights=None, verbose=False,
                  seed=None, optimizer="momentum", momentum_beta=0.9,
-                 init="random"):
+                 init="random", stage_tol_factor=1.0):
         del gpu  # accepted for API parity; the oracle is CPU NumPy by design
         self.m = n_hidden
         self.max_iter = max_iter
@@ -358,6 +358,10 @@ class OracleCorex:
                 f"unknown init: {init!r} (expected 'random' or "
                 f"'spectral')")
         self.init = init
+        if stage_tol_factor < 1.0:
+            raise ValueError(
+                f"stage_tol_factor must be >= 1.0, got {stage_tol_factor}")
+        self.stage_tol_factor = stage_tol_factor
         # per-fit resolution of 'auto' (fit() overwrites); pre-fit direct
         # calls into _obj_grad/_fit_stage see the constructor value
         self.resolved_optimizer_ = optimizer
@@ -412,9 +416,13 @@ class OracleCorex:
                        else self._init_ws(self.nv))
         schedule = anneal_schedule(self.anneal, self.m,
                                    self.discourage_overlap)
-        for eps in schedule:
+        # mirror CorexConfig.tol_schedule(): non-final stages run at
+        # tol x stage_tol_factor, the final stage at tol exactly
+        tols = ([self.tol * self.stage_tol_factor] * (len(schedule) - 1)
+                + [self.tol])
+        for eps, stage_tol in zip(schedule, tols):
             self.eps = eps
-            self._fit_stage(x, eps)
+            self._fit_stage(x, eps, stage_tol)
         self.moments = calculate_moments(
             x, self.ws, eps=0.0, y_scale=self.y_scale, quick=False)
         order = np.argsort(-self.moments["TCs"])
@@ -452,8 +460,11 @@ class OracleCorex:
         f, g = _overlap_objective_grad(ws, x, eps, self.y_scale)
         return f, g, -f
 
-    def _fit_stage(self, x, eps):
+    def _fit_stage(self, x, eps, tol=None):
         """Deterministic first-order solver with step halving.
+        `tol` is the stage's convergence tolerance (defaults to
+        self.tol; fit() passes the per-stage schedule mirroring
+        CorexConfig.tol_schedule()).
 
         The same accept/reject rule is mirrored exactly by the JAX
         `lax.while_loop` solver so seed-matched runs are step-for-step
@@ -465,6 +476,8 @@ class OracleCorex:
         damped closed-form update with γ starting at 0.5, capped at 1.0
         (undamped).
         """
+        if tol is None:
+            tol = self.tol
         fixed_point = self.resolved_optimizer_ == "fixed_point"
         lr = 0.5 if fixed_point else 0.05
         lr_cap = 1.0 if fixed_point else 2.0
@@ -496,7 +509,7 @@ class OracleCorex:
             if self.verbose and it % self.update_iter == 0:
                 print(f"eps={eps:.4f} it={it} TC={tc:.6f} "
                       f"delta={delta:.2e} lr={lr:.2e}")
-            if delta < self.tol or lr < 1e-14:
+            if delta < tol or lr < 1e-14:
                 break
         self.history["iters_per_stage"].append(it + 1)
 

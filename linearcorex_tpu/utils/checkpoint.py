@@ -183,8 +183,13 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
         ws = model._resolve_w0(init_ws, data=data, strategy=strategy)
 
     fp_arr = np.frombuffer(fingerprint.encode(), dtype=np.uint8)
+    tols = cfg.tol_schedule()
     for s in range(start_stage, n_stages):
-        stage_cfg = _dc.replace(cfg, eps_override=schedule[s])
+        # pre-bake this stage's tol (stage_tol_factor loosens non-final
+        # stages): an eps_override program's length-1 schedule makes its
+        # only stage "final", so tol passes through unchanged
+        stage_cfg = _dc.replace(cfg, eps_override=schedule[s],
+                                tol=tols[s])
         if mesh is not None:
             # check_overflow=False: _prepare_fit already guarded this
             # operand; re-probing at every anneal stage would be waste

@@ -532,3 +532,34 @@ def test_throughput_preset_fit_runs_end_to_end():
     m = lc.Corex(n_hidden=4, seed=0, preset="throughput").fit(x)
     assert m.tc > 5.0
     assert m.transform(x[:16]).shape == (16, 4)
+
+
+def test_stage_tol_factor_semantics(med_block_data):
+    """stage_tol_factor loosens ONLY the non-final anneal stages: at an
+    extreme factor every eps>0 stage stops after its first accepted
+    step, while the final eps=0 stage still converges at the full tol.
+    Values < 1 are rejected (at config derivation, per the sklearn
+    deferred-validation contract); anneal=False makes the knob inert."""
+    import pytest
+
+    from linearcorex_tpu.config import CorexConfig
+
+    x = med_block_data
+    w0 = np.random.RandomState(5).normal(scale=1 / 8, size=(8, 64))
+    c = lc.Corex(n_hidden=8, dtype="float64",
+                 stage_tol_factor=1e6).fit(x, init_ws=w0)
+    iters = np.asarray(c.diagnostics.iters_per_stage)
+    deltas = np.asarray(c.diagnostics.delta_per_stage)
+    assert (iters[:-1] == 1).all(), iters
+    assert deltas[-1] < 1e-5
+    # deferred validation: constructing is fine, deriving config raises
+    bad = lc.Corex(n_hidden=2, stage_tol_factor=0.5)
+    with pytest.raises(ValueError, match="stage_tol_factor"):
+        bad.config
+    # schedule alignment + anneal=False inertness
+    cfg = CorexConfig(n_hidden=8, tol=1e-5, stage_tol_factor=10.0)
+    assert cfg.tol_schedule() == (1e-4,) * 6 + (1e-5,)
+    assert len(cfg.tol_schedule()) == len(cfg.anneal_schedule())
+    off = CorexConfig(n_hidden=8, tol=1e-5, anneal=False,
+                      stage_tol_factor=10.0)
+    assert off.tol_schedule() == (1e-5,)

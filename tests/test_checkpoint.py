@@ -238,3 +238,23 @@ def test_stage_callback_runs_per_stage(tmp_path, small_block_data):
     assert [s[1] for s in seen] == [float(e) for e in schedule]
     assert all(shape == (4, 32) for _, _, shape, _ in seen)
     assert all(iters > 0 for *_, iters in seen)
+
+
+def test_fit_with_checkpoints_respects_stage_tol_factor(tmp_path,
+                                                        small_block_data):
+    """The stage-by-stage driver pre-bakes each stage's tol from
+    tol_schedule() into its eps_override config, so a checkpointed
+    stage_tol_factor fit lands exactly on the one-program fit."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+    x = small_block_data
+    w0 = np.random.RandomState(5).normal(scale=1 / np.sqrt(32),
+                                         size=(4, 32))
+    ref = lc.Corex(n_hidden=4, dtype="float64",
+                   stage_tol_factor=10.0).fit(x, init_ws=w0)
+    m2 = lc.Corex(n_hidden=4, dtype="float64", stage_tol_factor=10.0)
+    fit_with_checkpoints(m2, x, str(tmp_path / "ck"), init_ws=w0)
+    assert abs(m2.tc - ref.tc) < 1e-9
+    assert np.abs(np.asarray(m2.ws) - np.asarray(ref.ws)).max() < 1e-9
+    # and it genuinely loosened the non-final stages
+    assert (np.asarray(m2.diagnostics.iters_per_stage)[:-1]
+            <= np.asarray(ref.diagnostics.iters_per_stage)[:-1]).all()

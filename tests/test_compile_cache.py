@@ -19,14 +19,25 @@ from tests.conftest import block_data
 
 @pytest.fixture
 def clean_cache_config(monkeypatch, tmp_path):
-    """Reset the process-global cache config around a test (jax.config is
-    global state; tests must not leak a tmp_path cache dir)."""
+    """Reset the process-global cache state around a test. Restoring
+    jax.config alone is NOT enough: jax's compilation_cache module binds
+    a global `_cache` object at most ONCE per process, and `_get_cache`
+    ignores the config after that — a leaked binding makes EVERY later
+    slow compile in the suite write cache entries to a pytest tmp dir
+    with the config off (found when an XLA:CPU executable.serialize()
+    inside such a stray write SEGFAULTED the suite at 90%, in a test
+    file that never touches the cache). reset_cache() on both sides
+    confines persistent-cache writes to the tests that opted in."""
+    from jax._src import compilation_cache as jcc
+
     prev = jax.config.jax_compilation_cache_dir
     monkeypatch.delenv("LINEARCOREX_TPU_NO_COMPILE_CACHE", raising=False)
     monkeypatch.setenv("LINEARCOREX_TPU_CACHE_DIR", str(tmp_path / "jc"))
     jax.config.update("jax_compilation_cache_dir", None)
+    jcc.reset_cache()
     yield str(tmp_path / "jc")
     jax.config.update("jax_compilation_cache_dir", prev)
+    jcc.reset_cache()
 
 
 def test_ensure_sets_cache_dir_and_is_idempotent(clean_cache_config):
@@ -176,3 +187,31 @@ def test_warmup_sharded_is_module_identical_to_real_fit(monkeypatch):
         "warmup_fit lowered a different sharded fit module than fit"
     assert len(spec_texts) == 2 and spec_texts[0] == spec_texts[1], \
         "warmup_fit lowered a different spectral-init module than fit"
+
+
+def test_cache_binding_does_not_leak_past_fixture(clean_cache_config):
+    """Regression for the round-4 suite segfault: after a test enables
+    the cache, jax's module-global binding must NOT outlive the fixture
+    (jax._get_cache ignores the config once `_cache` is bound, so a leak
+    silently routes every later slow compile through cache writes —
+    including XLA:CPU executable.serialize(), which has segfaulted
+    here). The fixture's own teardown is exercised by running this
+    test's body, then conftest-level sanity lives in the next test."""
+    from jax._src import compilation_cache as jcc
+
+    d = ensure_compile_cache()
+    assert d is not None
+    lc.Corex(n_hidden=2, max_iter=3, record_history=False).fit(
+        block_data(n=60, p=8, m=2, seed=0))
+    assert jcc._cache is not None  # bound by the compiles above
+
+
+def test_cache_binding_is_clear_without_fixture():
+    """Runs WITHOUT clean_cache_config: if a prior test leaked the
+    binding, this fails — the suite-order guard for the segfault class.
+    (Test order puts this after every fixture user in this file.)"""
+    from jax._src import compilation_cache as jcc
+
+    assert jcc._cache is None, (
+        "a test leaked jax's compilation-cache binding; every later "
+        "slow compile would write cache entries with the config off")

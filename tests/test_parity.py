@@ -147,3 +147,22 @@ def test_full_moment_dict_keys_parity(med_block_data):
         assert key in md, f"missing moment key {key!r}"
     assert np.abs(np.asarray(md["X_i Z_j"]) - mo["X_i Z_j"]).max() < 1e-5
     assert abs(float(md["additivity"]) - mo["additivity"]) < 1e-4
+
+
+def test_f64_parity_stage_tol_factor(med_block_data):
+    """stage_tol_factor=10 stays step-matched with the oracle (the
+    per-stage tol schedule is mirrored exactly: non-final stages at
+    tol x factor, final stage at tol) — and actually changes the
+    trajectory vs factor=1, so the pin is not vacuous."""
+    x = med_block_data
+    w0 = _shared_init(8, 64)
+    c = lc.Corex(n_hidden=8, dtype="float64",
+                 stage_tol_factor=10.0).fit(x, init_ws=w0)
+    o = OracleCorex(n_hidden=8, stage_tol_factor=10.0).fit(x, init_ws=w0)
+    assert np.asarray(c.diagnostics.iters_per_stage).tolist() == \
+        o.history["iters_per_stage"], "solver must be step-matched"
+    assert abs(c.tc - o.tc) < 1e-5
+    assert np.abs(np.asarray(c.ws) - o.ws).max() < 1e-5
+    base = lc.Corex(n_hidden=8, dtype="float64").fit(x, init_ws=w0)
+    assert np.asarray(c.diagnostics.iters_per_stage).tolist() != \
+        np.asarray(base.diagnostics.iters_per_stage).tolist()
