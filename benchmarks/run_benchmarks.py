@@ -259,10 +259,14 @@ def run_e2e_cfg5():
     rows = []
     # (label, optimizer, matmul_dtype): int8 is the fastest measured cfg5
     # config at identical converged TC (see the int8 rows' TC)
-    for label, opt, mmd, anneal in (
+    for label, opt, mmd, anneal, *rest in (
             ("momentum", "momentum", "bfloat16", True),
             ("fixed_point", "fixed_point", "bfloat16", True),
             ("momentum+int8", "momentum", "int8", True),
+            # round-4 annealed-path knob: non-final stages at tol x 10
+            # (RESULTS.md stage-tol study; final stage still at tol)
+            ("momentum+int8, stage_tol_factor=10", "momentum", "int8",
+             True, 10.0),
             # the strong-structure throughput knob (DESIGN.md): measured
             # equal-or-better TC on every seed at this data's block
             # strength, 4x fewer iterations
@@ -274,7 +278,9 @@ def run_e2e_cfg5():
             ("momentum+int8, anneal=False, init=spectral"
              " [= preset='throughput']", "momentum", "int8", False)):
         cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd,
-                                    anneal=anneal)
+                                    anneal=anneal,
+                                    stage_tol_factor=rest[0] if rest
+                                    else 1.0)
         d = xq if mmd == "int8" else x
         w0_row = w0_spec if "spectral" in label else w0
         run(d, w0_row, cfg_o, "samples")[1].tc_per_stage.block_until_ready()

@@ -35,6 +35,7 @@ def _draw(rng):
         matmul_dtype=_MM[rng.randint(0, len(_MM))],
         discourage_overlap=bool(rng.randint(0, 4)),  # mostly True
         moment_strategy=("auto", "samples", "gram")[rng.randint(0, 3)],
+        stage_tol_factor=(1.0, 10.0)[rng.randint(0, 2)],
     )
     # respect documented constraints instead of skipping
     if not cfg["discourage_overlap"]:
