@@ -170,8 +170,12 @@ class CorexConfig:
     # weak structure and 1.2-1.3x on strong structure at final TC
     # identical to ~0.01 (iteration counts are platform-independent;
     # the TPU wall win follows from the measured t = 0.89 ms x iters
-    # law). 1.0 (default) = reference-parity per-stage convergence.
-    # Inert when annealing is off (schedule length 1 = final stage).
+    # law). CAVEAT: the factor COMPOSES with tol — under int8's
+    # tol=1e-4 the anneal stages stop at 1e-3, measured TC drift grows
+    # to ~0.3% (weak) and seed-dependent ~1% (strong); treat it as a
+    # weak-structure knob there (RESULTS.md int8 note). 1.0 (default) =
+    # reference-parity per-stage convergence. Inert when annealing is
+    # off (schedule length 1 = final stage).
     stage_tol_factor: float = 1.0
     lr_init: float = 0.05
     lr_growth: float = 1.1
