@@ -35,17 +35,38 @@ def _npz_path(path: str) -> str:
     return path if path.endswith(".npz") else path + ".npz"
 
 
+def _non_default_fields(cfg_obj) -> dict:
+    """Config as a dict with fields AT their dataclass default dropped.
+    Used by the fit fingerprint so ADDING a config field (with a default)
+    does not invalidate every pre-existing stage checkpoint: a long fit
+    interrupted before a library upgrade must resume after it when its
+    semantics are bit-identical (found when `stage_tol_factor` landed —
+    the asdict-based payload restarted default-factor fits from stage 0).
+    A field explicitly set TO its default is indistinguishable from one
+    left alone; the resulting fit is identical, so the fingerprint
+    SHOULD treat them the same."""
+    out = {}
+    for f in dataclasses.fields(cfg_obj):
+        v = getattr(cfg_obj, f.name)
+        if f.default is not dataclasses.MISSING and v == f.default:
+            continue
+        out[f.name] = v
+    return out
+
+
 def _fit_fingerprint(model: Corex, x, schedule) -> str:
     """Hash of (config, preprocessing, data shape + content sample, anneal
     schedule). Stored in stage checkpoints so a resume against different
     data or hyperparameters is detected instead of silently continuing
-    from stale weights."""
+    from stale weights. Default-valued config fields are excluded
+    (`_non_default_fields`) so additive config evolution preserves
+    resumes."""
     import hashlib
 
     payload = json.dumps(
         {
-            "config": dataclasses.asdict(model.config),
-            "pre_config": dataclasses.asdict(model.pre_config),
+            "config": _non_default_fields(model.config),
+            "pre_config": _non_default_fields(model.pre_config),
             "shape": [int(s) for s in np.shape(x)],
             "schedule": [float(e) for e in schedule],
         },
@@ -261,6 +282,7 @@ def load_corex(path: str) -> Corex:
             matmul_precision=cfg.matmul_precision,
             optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta,
             init=getattr(cfg, "init", "random"),
+            stage_tol_factor=cfg.stage_tol_factor,
             update_iter=meta.get("update_iter", 10),
             verbose=meta.get("verbose", False))
         dt = jnp.dtype(cfg.dtype)

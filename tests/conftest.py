@@ -16,6 +16,14 @@ test module imports jax).
 import os
 
 os.environ.setdefault("JAX_ENABLE_X64", "1")
+# A dev shell exporting the library's cache env vars (e.g. after running
+# benchmarks/probe_warmup_sweep.sh) must not change suite behavior:
+# ensure_compile_cache() would otherwise enable the persistent cache on
+# CPU for every fit — XLA:CPU cache writes have segfaulted here, and the
+# cache-binding order guard in tests/test_compile_cache.py would read
+# the legitimate global enablement as a fixture leak.
+os.environ.pop("LINEARCOREX_TPU_CACHE_DIR", None)
+os.environ.pop("LINEARCOREX_TPU_NO_COMPILE_CACHE", None)
 
 import jax
 
