@@ -259,10 +259,10 @@ def run_e2e_cfg5():
     rows = []
     # (label, optimizer, matmul_dtype): int8 is the fastest measured cfg5
     # config at identical converged TC (see the int8 rows' TC)
-    for label, opt, mmd, anneal, *rest in (
-            ("momentum", "momentum", "bfloat16", True),
-            ("fixed_point", "fixed_point", "bfloat16", True),
-            ("momentum+int8", "momentum", "int8", True),
+    for label, opt, mmd, anneal, stage_tol in (
+            ("momentum", "momentum", "bfloat16", True, 1.0),
+            ("fixed_point", "fixed_point", "bfloat16", True, 1.0),
+            ("momentum+int8", "momentum", "int8", True, 1.0),
             # round-4 annealed-path knob: non-final stages at tol x 10
             # (RESULTS.md stage-tol study; final stage still at tol)
             ("momentum+int8, stage_tol_factor=10", "momentum", "int8",
@@ -270,17 +270,17 @@ def run_e2e_cfg5():
             # the strong-structure throughput knob (DESIGN.md): measured
             # equal-or-better TC on every seed at this data's block
             # strength, 4x fewer iterations
-            ("momentum+int8, anneal=False", "momentum", "int8", False),
+            ("momentum+int8, anneal=False", "momentum", "int8", False,
+             1.0),
             # the round-3 best config (init study in this file's footer);
             # this row IS Corex(preset='throughput') resolved at cfg5
             # shapes — pinned in lockstep by
             # tests/test_api.py::test_throughput_preset_matches_maintained_e2e_row
             ("momentum+int8, anneal=False, init=spectral"
-             " [= preset='throughput']", "momentum", "int8", False)):
+             " [= preset='throughput']", "momentum", "int8", False, 1.0)):
         cfg_o = dataclasses.replace(cfg, optimizer=opt, matmul_dtype=mmd,
                                     anneal=anneal,
-                                    stage_tol_factor=rest[0] if rest
-                                    else 1.0)
+                                    stage_tol_factor=stage_tol)
         d = xq if mmd == "int8" else x
         w0_row = w0_spec if "spectral" in label else w0
         run(d, w0_row, cfg_o, "samples")[1].tc_per_stage.block_until_ready()

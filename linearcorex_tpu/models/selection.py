@@ -43,6 +43,10 @@ from linearcorex_tpu.parallel.restarts import (fit_restarts,
 
 __all__ = ["pick_n_hidden", "warmup_sweep"]
 
+_DATA_AXIS_NEEDS_MESH = (
+    "data_axis shards the sample rows over a mesh axis — pass "
+    "mesh= too (make_mesh(((restart_axis, a), (data_axis, b))))")
+
 
 def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
                             data_axis: Optional[str], corex_kwargs: dict):
@@ -271,9 +275,7 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         # the requested combined restarts x data layout (while the
         # strategy choice still honored it — a different, slower program
         # than the user asked for, with no sharding at all)
-        raise ValueError(
-            "data_axis shards the sample rows over a mesh axis — pass "
-            "mesh= too (make_mesh(((restart_axis, a), (data_axis, b))))")
+        raise ValueError(_DATA_AXIS_NEEDS_MESH)
     x = np.asarray(data)
     n, p = x.shape
     xv = None
@@ -403,9 +405,7 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
         raise ValueError(f"unknown criterion: {criterion!r} "
                          f"(expected 'tc' or 'heldout')")
     if data_axis is not None and mesh is None:
-        raise ValueError(
-            "data_axis shards the sample rows over a mesh axis — pass "
-            "mesh= too (make_mesh(((restart_axis, a), (data_axis, b))))")
+        raise ValueError(_DATA_AXIS_NEEDS_MESH)
     if criterion == "heldout":
         n -= max(1, int(round(n * val_fraction)))   # training rows only
     if max_n_hidden is None:

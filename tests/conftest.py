@@ -76,3 +76,26 @@ def small_block_data():
 @pytest.fixture
 def med_block_data():
     return block_data(n=1000, p=64, m=8, seed=0)
+
+
+def module_text_probe(orig, recorded):
+    """Probe standing in for a jitted program object: records the FULL
+    lowered module text both when a warmup lowers it and when the real
+    driver dispatches it (lowering again with the real call's concrete
+    args, under the real call's ambient context). Module-text identity
+    is the strongest available proxy for persistent-cache-key identity —
+    it catches context drift (e.g. lowering outside the driver's
+    jax.set_mesh(mesh) scope, which changes the module and the key even
+    with identical arg shardings) that arg-spec comparison cannot."""
+
+    class Probe:
+        def __call__(self, *args):
+            recorded.append(orig.lower(*args).as_text())
+            return orig(*args)
+
+        def lower(self, *args):
+            low = orig.lower(*args)
+            recorded.append(low.as_text())
+            return low
+
+    return Probe()

@@ -159,24 +159,15 @@ def test_warmup_sharded_is_module_identical_to_real_fit(monkeypatch):
     import linearcorex_tpu.parallel.sharding as S
     from linearcorex_tpu.parallel.sharding import make_mesh
 
+    from tests.conftest import module_text_probe
+
     fit_texts, spec_texts = [], []
-
-    def probe(orig, recorded):
-        class Probe:
-            def __call__(self, *args):
-                recorded.append(orig.lower(*args).as_text())
-                return orig(*args)
-
-            def lower(self, *args):
-                low = orig.lower(*args)
-                recorded.append(low.as_text())
-                return low
-        return Probe()
-
     monkeypatch.setattr(S, "_fit_program_sharded",
-                        probe(S._fit_program_sharded, fit_texts))
+                        module_text_probe(S._fit_program_sharded,
+                                          fit_texts))
     monkeypatch.setattr(C, "_spectral_init_program",
-                        probe(C._spectral_init_program, spec_texts))
+                        module_text_probe(C._spectral_init_program,
+                                          spec_texts))
     mesh = make_mesh()
     x = block_data(n=480, p=32, m=4, seed=0)
     model = lc.Corex(n_hidden=4, seed=0, init="spectral", anneal=False,

@@ -12,7 +12,7 @@ from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 from linearcorex_tpu.parallel.restarts import (best_restart, fit_restarts,
                                                init_restarts)
-from tests.conftest import block_data
+from tests.conftest import block_data, module_text_probe
 
 
 def test_fit_restarts_matches_single():
@@ -246,29 +246,6 @@ def test_pick_n_hidden_2d_restarts_x_data_mesh_equivalence():
     np.testing.assert_allclose(scores_s, scores_u, rtol=1e-8)
 
 
-def _module_text_probe(orig, recorded):
-    """Probe standing in for a jitted program object: records the FULL
-    lowered module text both when warmup lowers it and when the real
-    driver dispatches it (lowering again with the real call's concrete
-    args, under the real call's ambient context). Module-text identity
-    is the strongest available proxy for persistent-cache-key identity —
-    it catches context drift (e.g. lowering outside the driver's
-    jax.set_mesh(mesh) scope, which changes the module and the key even
-    with identical arg shardings) that arg-spec comparison cannot."""
-
-    class Probe:
-        def __call__(self, *args):
-            recorded.append(orig.lower(*args).as_text())
-            return orig(*args)
-
-        def lower(self, *args):
-            low = orig.lower(*args)
-            recorded.append(low.as_text())
-            return low
-
-    return Probe()
-
-
 def test_warmup_sweep_is_key_identical_to_the_real_sweep(monkeypatch):
     """warmup_sweep must lower EXACTLY the program pick_n_hidden
     dispatches — same lowered module (operand shapes/dtypes/shardings,
@@ -286,7 +263,7 @@ def test_warmup_sweep_is_key_identical_to_the_real_sweep(monkeypatch):
 
     recorded = []
     monkeypatch.setattr(R, "_fit_restarts_program",
-                        _module_text_probe(R._fit_restarts_program,
+                        module_text_probe(R._fit_restarts_program,
                                            recorded))
     x = block_data(n=480, p=32, m=4, seed=7)
     mesh = make_mesh((("restarts", 2), ("data", 4)))
@@ -307,7 +284,7 @@ def test_warmup_sweep_key_identity_single_device_gram(monkeypatch):
 
     recorded = []
     monkeypatch.setattr(R, "_fit_restarts_program",
-                        _module_text_probe(R._fit_restarts_program,
+                        module_text_probe(R._fit_restarts_program,
                                            recorded))
     x = block_data(n=200, p=24, m=3, seed=1)
     kw = dict(repeat=2, max_n_hidden=4, max_iter=300, dtype="float64")
