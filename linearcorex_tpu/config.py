@@ -168,14 +168,19 @@ class CorexConfig:
     # "stage-tol study", p=2048/m=64/n=4096, momentum f32):
     # stage_tol_factor=10 cuts total annealed iterations 1.9-2.4x on
     # weak structure and 1.2-1.3x on strong structure at final TC
-    # identical to ~0.01 (iteration counts are platform-independent;
-    # the TPU wall win follows from the measured t = 0.89 ms x iters
-    # law). CAVEAT: the factor COMPOSES with tol — under int8's
-    # tol=1e-4 the anneal stages stop at 1e-3, measured TC drift grows
-    # to ~0.3% (weak) and seed-dependent ~1% (strong); treat it as a
-    # weak-structure knob there (RESULTS.md int8 note). 1.0 (default) =
-    # reference-parity per-stage convergence. Inert when annealing is
-    # off (schedule length 1 = final stage).
+    # identical to ~0.01. Confirmed ON TPU at cfg5 scale (p=100k,
+    # float32 tol=1e-5, RESULTS.md cfg5 wall rows): 1.5x wall on weak
+    # structure (12.9 -> 8.6 s), 1.24x on strong, TC held; factor=30
+    # also holds at cfg5. CAVEAT (measured, scale-dependent): do NOT
+    # combine the factor with matmul_dtype='int8' at scale — under
+    # int8 moment noise a loosened stage tol truncates annealing and
+    # COLLAPSES TC (cfg5: -24% on BOTH regimes at factor=10; strong
+    # collapses already at factor=3, while float32 holds TC at the
+    # same composed tols). models.corex.resolve_optimizer warns when
+    # tol*factor*sqrt(p) >= 0.05 on the int8 path; small-scale int8
+    # (p~2k, below the threshold) measured only mild drift. 1.0
+    # (default) = reference-parity per-stage convergence. Inert when
+    # annealing is off (schedule length 1 = final stage).
     stage_tol_factor: float = 1.0
     lr_init: float = 0.05
     lr_growth: float = 1.1

@@ -122,7 +122,36 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
                       n_samples: Optional[int]) -> CorexConfig:
     """Resolve optimizer='auto' alone (platform-independent — usable by
     drivers that resolve use_pallas later against their own mesh). Policy
-    and measured basis: see `resolve_config`."""
+    and measured basis: see `resolve_config`.
+
+    Also the single p-aware hazard check shared by every resolution
+    funnel (Corex.fit, sharded/streaming/checkpointed drivers, AOT
+    warmup): stage_tol_factor x int8 at scale — see the warning below."""
+    if (cfg.anneal and cfg.stage_tol_factor > 1.0
+            and cfg.matmul_dtype == "int8"
+            and cfg.tol * cfg.stage_tol_factor * np.sqrt(nv) >= 0.05):
+        # Measured hazard (benchmarks/RESULTS.md stage-tol study, cfg5
+        # rows): under int8 moment noise, a composed non-final stage tol
+        # (tol x factor) that is large relative to the ~1/sqrt(p) W-entry
+        # scale TRUNCATES annealing and collapses TC at scale — cfg5
+        # (p=100k, tol=1e-4): -24% TC on BOTH structure regimes at
+        # factor=10, and strong structure collapses already at factor=3
+        # (composed 3e-4), while float32 at the SAME composed tols holds
+        # TC. Threshold 0.05 on tol*factor*sqrt(p) is calibrated from the
+        # measured points: p=2048 composed 1e-3 -> 0.045 (mild drift, no
+        # warning) vs p=100k composed 3e-4 -> 0.095 (collapse, warns).
+        import warnings
+        warnings.warn(
+            f"stage_tol_factor={cfg.stage_tol_factor:g} with "
+            f"matmul_dtype='int8' at p={nv}: the composed non-final "
+            f"stage tol (tol x factor = {cfg.tol * cfg.stage_tol_factor:g}) "
+            f"is large relative to the ~1/sqrt(p) W-entry scale, and "
+            f"under int8 moment noise this is measured to truncate "
+            f"annealing and COLLAPSE TC at scale (p=100k: -24% on both "
+            f"structure regimes; float32 holds TC at the same composed "
+            f"tols — benchmarks/RESULTS.md stage-tol study). Use "
+            f"stage_tol_factor=1 with int8, or keep the factor on the "
+            f"float32/bfloat16 path.")
     if cfg.optimizer != "auto":
         return cfg
     import dataclasses

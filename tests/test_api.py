@@ -387,6 +387,43 @@ def test_spectral_init_warns_with_anneal():
         lc.Corex(n_hidden=4, init="spectral", anneal=True).config
 
 
+def test_int8_stage_tol_scale_hazard_warns():
+    """Pin the measured int8 x stage_tol_factor scale hazard
+    (benchmarks/RESULTS.md stage-tol study, cfg5 rows): at p=100k with
+    int8's tol=1e-4, factor>=3 collapses TC ~24%, so resolve_optimizer
+    warns when tol*factor*sqrt(p) >= 0.05 on the int8 annealed path —
+    and stays silent at every measured-safe point."""
+    from linearcorex_tpu.models.corex import resolve_config
+
+    def cfg(**kw):
+        base = dict(n_hidden=8, tol=1e-4, matmul_dtype="int8",
+                    optimizer="momentum", anneal=True,
+                    stage_tol_factor=10.0)
+        base.update(kw)
+        return lc.CorexConfig(**base)
+
+    with pytest.warns(UserWarning, match="int8 moment noise"):
+        resolve_config(cfg(), 100_000, platform="cpu", n_samples=10_000)
+    # composed 3e-4 at p=100k -> 0.095: the measured strong-structure
+    # collapse point must warn too
+    with pytest.warns(UserWarning, match="COLLAPSE"):
+        resolve_config(cfg(stage_tol_factor=3.0), 100_000,
+                       platform="cpu", n_samples=10_000)
+    import warnings as W
+    with W.catch_warnings():
+        W.simplefilter("error")
+        # measured-safe: small scale (p=2048 -> 0.045), factor=1 at any
+        # scale, f32 at the same composed tol, and anneal=False
+        resolve_config(cfg(), 2048, platform="cpu", n_samples=4096)
+        resolve_config(cfg(stage_tol_factor=1.0), 100_000,
+                       platform="cpu", n_samples=10_000)
+        resolve_config(cfg(matmul_dtype="float32", tol=1e-5,
+                           stage_tol_factor=30.0), 100_000,
+                       platform="cpu", n_samples=10_000)
+        resolve_config(cfg(anneal=False), 100_000, platform="cpu",
+                       n_samples=10_000)
+
+
 def test_spectral_init_f64_oracle_parity(med_block_data):
     """Seeded spectral init is step-matched with the oracle (same
     RandomState Ω, same one-power-iteration range finder): identical
