@@ -127,9 +127,16 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
     Also the single p-aware hazard check shared by every resolution
     funnel (Corex.fit, sharded/streaming/checkpointed drivers, AOT
     warmup): stage_tol_factor x int8 at scale — see the warning below."""
-    if (cfg.anneal and cfg.stage_tol_factor > 1.0
+    # Read the composed stage tol off the ACTUAL schedule, not
+    # tol*factor: the checkpoint driver pre-bakes tol*factor into each
+    # stage's `tol` while keeping stage_tol_factor, so recomputing the
+    # product here would square the factor and warn on measured-safe
+    # fits — and its eps_override programs (length-1 schedule, factor
+    # inert) have no non-final stage to hazard-check at all.
+    stage_tols = cfg.tol_schedule()
+    if (len(stage_tols) > 1 and cfg.stage_tol_factor > 1.0
             and cfg.matmul_dtype == "int8"
-            and cfg.tol * cfg.stage_tol_factor * np.sqrt(nv) >= 0.05):
+            and max(stage_tols[:-1]) * np.sqrt(nv) >= 0.05):
         # Measured hazard (benchmarks/RESULTS.md stage-tol study, cfg5
         # rows): under int8 moment noise, a composed non-final stage tol
         # (tol x factor) that is large relative to the ~1/sqrt(p) W-entry
@@ -144,7 +151,7 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
         warnings.warn(
             f"stage_tol_factor={cfg.stage_tol_factor:g} with "
             f"matmul_dtype='int8' at p={nv}: the composed non-final "
-            f"stage tol (tol x factor = {cfg.tol * cfg.stage_tol_factor:g}) "
+            f"stage tol ({max(stage_tols[:-1]):g}) "
             f"is large relative to the ~1/sqrt(p) W-entry scale, and "
             f"under int8 moment noise this is measured to truncate "
             f"annealing and COLLAPSE TC at scale (p=100k: -24% on both "

@@ -29,7 +29,7 @@ per-candidate loop (early-stops on saturation; one compile per candidate).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -219,6 +219,32 @@ def _restart_batch_runner(mesh, restart_axis: str,
     return run
 
 
+def _heldout_split_sizes(n: int, val_fraction: float,
+                         gaussianize: str) -> Tuple[int, int]:
+    """Validate criterion='heldout' arguments and return
+    (n_train, n_val). Shared by `pick_n_hidden` and `warmup_sweep` so
+    the two agree on both the rules and the training-row count — the
+    warmup compiles the sweep's exact shapes, and a forked copy would
+    either warm a program the sweep refuses to run or fail with an
+    opaque negative-dimension error instead of the named check."""
+    if not 0.0 < val_fraction < 1.0:
+        raise ValueError(
+            f"val_fraction must be in (0, 1), got {val_fraction}")
+    if gaussianize not in ("none", "standard"):
+        # same guard as Corex.score: 'empirical' re-ranks validation
+        # rows against THEMSELVES (rank transforms ignore theta), so
+        # the held-out likelihood would be meaningless
+        raise ValueError(
+            "criterion='heldout' requires gaussianize='none' or "
+            "'standard' (non-affine transforms have no comparable "
+            "held-out density)")
+    n_val = max(1, int(round(n * val_fraction)))
+    if n - n_val < 2:
+        raise ValueError(
+            f"need >= 2 training rows after holding out {n_val}")
+    return n - n_val, n_val
+
+
 def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
                   verbose: bool = False, tc_gain_tol: float = 1e-3,
                   dtype: str = "float32", seed: Optional[int] = None,
@@ -280,22 +306,8 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     n, p = x.shape
     xv = None
     if criterion == "heldout":
-        if not 0.0 < val_fraction < 1.0:
-            raise ValueError(
-                f"val_fraction must be in (0, 1), got {val_fraction}")
-        if corex_kwargs.get("gaussianize", "standard") not in ("none",
-                                                               "standard"):
-            # same guard as Corex.score: 'empirical' re-ranks validation
-            # rows against THEMSELVES (rank transforms ignore theta), so
-            # the held-out likelihood would be meaningless
-            raise ValueError(
-                "criterion='heldout' requires gaussianize='none' or "
-                "'standard' (non-affine transforms have no comparable "
-                "held-out density)")
-        n_val = max(1, int(round(n * val_fraction)))
-        if n - n_val < 2:
-            raise ValueError(
-                f"need >= 2 training rows after holding out {n_val}")
+        _, n_val = _heldout_split_sizes(
+            n, val_fraction, corex_kwargs.get("gaussianize", "standard"))
         perm = np.random.RandomState(seed_base(seed)).permutation(n)
         xv, x = x[perm[:n_val]], x[perm[n_val:]]
         n = x.shape[0]
@@ -370,7 +382,9 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
                  max_n_hidden: Optional[int] = None, dtype: str = "float32",
                  criterion: str = "tc", val_fraction: float = 0.2,
                  mesh=None, restart_axis: str = "restarts",
-                 data_axis: Optional[str] = None, **corex_kwargs) -> None:
+                 data_axis: Optional[str] = None, verbose: bool = False,
+                 tc_gain_tol: float = 1e-3, seed: Optional[int] = None,
+                 padded_sweep: bool = True, **corex_kwargs) -> None:
     """Ahead-of-time compile of the padded `pick_n_hidden` sweep program
     for declared shapes — the selection counterpart of
     `utils.compile_cache.warmup_fit`. The (candidate, restart) grid is the
@@ -387,10 +401,14 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
     config/strategy/padding pipeline is shared with `pick_n_hidden`
     (`_sweep_cfg_and_strategy`; lockstep-pinned by
     tests/test_selection.py), so the lowered program is key-identical to
-    the one the sweep dispatches. Only the padded sweep is warmed
-    (padded_sweep=False compiles one small program per candidate);
-    the tiny heldout scorer / preprocessing programs compile in seconds
-    and are not worth declaring shapes for."""
+    the one the sweep dispatches. Selection-rule knobs that don't touch
+    the compiled shapes (`verbose`, `tc_gain_tol`, `seed`) are accepted
+    and ignored, so a literal copy of the sweep call's arguments warms
+    cleanly. Only the padded sweep can be warmed — `padded_sweep=False`
+    raises by name (the sequential path compiles one small program per
+    candidate on first use); the tiny heldout scorer / preprocessing
+    programs compile in seconds and are not worth declaring shapes
+    for."""
     import jax
     import jax.numpy as jnp
 
@@ -400,14 +418,26 @@ def warmup_sweep(n_samples: int, n_variables: int, repeat: int = 1,
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
 
     ensure_compile_cache()
+    # Accepted so a literal copy of the pick_n_hidden call's arguments
+    # warms cleanly; they steer the selection rule / init values, not
+    # the compiled program's shapes or cache key.
+    del verbose, tc_gain_tol, seed
     n, p = int(n_samples), int(n_variables)
     if criterion not in ("tc", "heldout"):
         raise ValueError(f"unknown criterion: {criterion!r} "
                          f"(expected 'tc' or 'heldout')")
+    if not padded_sweep:
+        raise ValueError(
+            "warmup_sweep warms the padded one-program sweep only; "
+            "padded_sweep=False runs small per-candidate programs that "
+            "compile quickly on first use — nothing to warm")
     if data_axis is not None and mesh is None:
         raise ValueError(_DATA_AXIS_NEEDS_MESH)
     if criterion == "heldout":
-        n -= max(1, int(round(n * val_fraction)))   # training rows only
+        # training rows only; shares pick_n_hidden's validation so the
+        # warmup never compiles a program the real sweep would refuse
+        n, _ = _heldout_split_sizes(
+            n, val_fraction, corex_kwargs.get("gaussianize", "standard"))
     if max_n_hidden is None:
         max_n_hidden = min(p, 16)
     kwargs = dict(corex_kwargs)

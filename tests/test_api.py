@@ -422,6 +422,14 @@ def test_int8_stage_tol_scale_hazard_warns():
                        platform="cpu", n_samples=10_000)
         resolve_config(cfg(anneal=False), 100_000, platform="cpu",
                        n_samples=10_000)
+        # the checkpoint driver's unit: a pre-baked single-stage program
+        # (eps_override set, tol already composed, factor kept). The
+        # factor is inert on a length-1 schedule — recomputing
+        # tol*factor here would square the factor and mis-warn on a
+        # measured-safe fit (found in round-4 review)
+        import dataclasses as _dc
+        resolve_config(_dc.replace(cfg(), eps_override=0.6, tol=1e-3),
+                       2048, platform="cpu", n_samples=4096)
 
 
 def test_spectral_init_f64_oracle_parity(med_block_data):

@@ -335,3 +335,26 @@ def test_warmup_sweep_rejects_non_dividing_data_axis():
     with pytest.raises(ValueError, match="divide"):
         warmup_sweep(481, 24, repeat=2, max_n_hidden=3, mesh=mesh,
                      data_axis="data")
+
+
+def test_warmup_sweep_accepts_full_sweep_call_signature():
+    """The docstring says 'pass EXACTLY the arguments the real
+    pick_n_hidden call will use' — so the selection-rule knobs that
+    don't touch shapes (seed/verbose/tc_gain_tol) must be accepted,
+    padded_sweep=False must raise by name (nothing to warm), and the
+    heldout validation must fire HERE with pick_n_hidden's named
+    errors, not as an opaque negative-dimension lowering failure
+    (round-4 review findings)."""
+    from linearcorex_tpu.models.selection import warmup_sweep
+
+    # a literal copy of a sweep call's arguments, selection knobs and all
+    warmup_sweep(200, 16, repeat=2, max_n_hidden=2, seed=3, verbose=True,
+                 tc_gain_tol=1e-2, max_iter=50)
+    with pytest.raises(ValueError, match="padded_sweep"):
+        warmup_sweep(200, 16, repeat=2, max_n_hidden=2,
+                     padded_sweep=False)
+    with pytest.raises(ValueError, match="val_fraction"):
+        warmup_sweep(100, 10, criterion="heldout", val_fraction=1.5)
+    with pytest.raises(ValueError, match="heldout"):
+        warmup_sweep(100, 10, criterion="heldout",
+                     gaussianize="empirical")

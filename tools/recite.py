@@ -129,9 +129,6 @@ def find_anchors(ref_dir: str = REFERENCE_DIR):
 # --------------------------------------------------------------------------
 
 _SCHEDULE_RE = re.compile(r"0\.6\s*\*\*")
-_CLIP_RE = re.compile(
-    r"clip\s*\(([^)]*)\)|(1\.?0?\s*-\s*1e-\d+)|np\.clip")
-_OUTLIER_T_RE = re.compile(r"(?:>\s*|<\s*|,\s*)(\d+(?:\.\d+)?)\s*[,)]")
 
 
 def extract_constants(ref_dir: str = REFERENCE_DIR):
