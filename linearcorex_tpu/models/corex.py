@@ -20,6 +20,7 @@ Differences by design (TPU-native):
 
 from __future__ import annotations
 
+import contextlib
 import sys
 from functools import partial
 from typing import Optional
@@ -987,11 +988,75 @@ class Corex:
                 f"n_variables); got shape {x.shape}")
         return x
 
-    def transform(self, x, details=False):
+    def _to_dt(self, a):
+        """Model-dtype cast that never stages a host array on one device:
+        NumPy input casts host-side (the mesh serving path device_puts it
+        straight into its sharded layout afterwards)."""
+        if isinstance(a, jax.Array):
+            return a.astype(self._dt) if a.dtype != self._dt else a
+        return np.asarray(a, dtype=self._dt)
+
+    def _serving_mesh(self, mesh, sharding_plan, n_rows):
+        """Resolve the serving layout for an inference call under `mesh`
+        and move the FITTED state onto it per the plan — the inference
+        side of the mesh-aware prepare (round 4 made `fit(mesh=...,
+        plan=shard_vars)` reachable for p beyond one chip's HBM; this
+        makes the fitted model SERVE in the same regime, with no p-sized
+        buffer required to live on one device: `transform`/`score` shard
+        the incoming X per the plan, `predict` shards its (n, p) output,
+        and the m x p state shards over VAR_AXIS). Only the moment fields
+        the inference programs consume are placed; the m x m `cy` stays
+        replicated (small solves/Cholesky are best unpartitioned).
+
+        The sharded state is stored back on the estimator: `device_put`
+        of an already-resident array is a no-op, so repeated serving
+        calls pay zero placement cost (`load_corex` → first sharded call
+        pays the one host→mesh transfer).
+
+        Returns (plan, put) with put(array, spec) committing an operand
+        to the mesh."""
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as PS
+
+        from linearcorex_tpu.parallel.sharding import (FACTOR_AXIS,
+                                                       VAR_AXIS,
+                                                       ShardingPlan,
+                                                       validate_plan_shapes)
+
+        plan = sharding_plan or ShardingPlan()
+        validate_plan_shapes(plan, "samples", mesh, n_rows, self.nv,
+                             self.ws.shape[0], raw_x=True)
+
+        def put(a, spec):
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        var = VAR_AXIS if plan.shard_vars else None
+        fac = FACTOR_AXIS if plan.shard_factors else None
+        self.ws = put(self.ws, PS(fac, var))
+        mom = self.moments
+        self.moments = mom._replace(
+            rhoinvrho=put(mom.rhoinvrho, PS(fac, var)),
+            si=put(mom.si, PS(var)),
+            z2=put(mom.z2, PS(fac)),
+            cy=put(mom.cy, PS(None, None)),
+            c_xy=put(mom.c_xy, PS(var, fac)))
+        self.theta = P.Theta(mean=put(self.theta.mean, PS(var)),
+                             std=put(self.theta.std, PS(var)))
+        return plan, put
+
+    def transform(self, x, details=False, mesh=None, sharding_plan=None):
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`).
         Under `set_output(transform='pandas')` the plain (details=False)
         return is a DataFrame with `get_feature_names_out` columns; the
         details path always returns raw arrays.
+
+        `mesh` (+ optional `sharding_plan`, default sample-sharding) runs
+        the identical program sharded over the mesh — the serving
+        companion to `fit(mesh=...)`: X is device_put per the plan and the
+        fitted state per its axis roles, so `plan=ShardingPlan(
+        shard_vars=True)` serves p beyond one chip's HBM (the output Y is
+        n x m, sharded over the sample axes). Verified equivalent to the
+        single-device call on the CPU mesh (tests/test_sharding.py).
 
         gaussianize='empirical' is BATCH-RELATIVE at transform time: the
         new batch is re-ranked against itself, norm.ppf((rank-0.5)/n_batch)
@@ -1028,20 +1093,32 @@ class Corex:
             raise ValueError(
                 "input to transform contains NaN/inf; pass "
                 "missing_values=<sentinel> or clean the data first")
-        x = jnp.asarray(x, dtype=self._dt)
-        if details:
-            y, mom = _details_program(x, self.ws, self.theta,
-                                      self.pre_config, self.config)
-            return y, mom.asdict()
-        z = _transform_program(x, self.ws, self.theta, self.pre_config)
+        if mesh is not None:
+            plan, put = self._serving_mesh(mesh, sharding_plan, x.shape[0])
+            x = put(self._to_dt(x), plan.x_spec())
+            ctx = jax.set_mesh(mesh)
+        else:
+            x = jnp.asarray(x, dtype=self._dt)
+            ctx = contextlib.nullcontext()
+        with ctx:
+            if details:
+                y, mom = _details_program(x, self.ws, self.theta,
+                                          self.pre_config, self.config)
+                return y, mom.asdict()
+            z = _transform_program(x, self.ws, self.theta, self.pre_config)
         return self._maybe_wrap_output(z, x_orig)
 
-    def predict(self, y):
+    def predict(self, y, mesh=None, sharding_plan=None):
         """Reconstruct variables from factors (`[U] :: Corex.predict`):
         posterior-mean reconstruction, then invert preprocessing. Note the
         reference semantics: the argument is the FACTOR matrix (n, m) from
         `transform`, not raw data — `inverse_transform` is the sklearn
-        spelling of the same operation."""
+        spelling of the same operation.
+
+        `mesh` (+ optional `sharding_plan`) reconstructs under the mesh:
+        the (n, p) output — the big buffer here — shards over the plan's
+        sample/variable axes, so reconstruction works for p beyond one
+        chip's HBM (`shard_vars=True`)."""
         self._check_fitted()
         y = self._coerce_2d(y, what="y")
         # validate against the FITTED factor count (ws.shape[0]), not the
@@ -1055,18 +1132,25 @@ class Corex:
         if isinstance(y, np.ndarray) and not np.isfinite(y).all():
             raise ValueError(
                 "factor input to predict contains NaN/inf")
-        y = jnp.asarray(y, dtype=self._dt)
-        if self.config.discourage_overlap:
-            mom = self.moments
-            return _predict_ns_program(y, mom.rhoinvrho, mom.si, mom.z2,
-                                       self.theta)
-        return _predict_overlap_program(y, self.moments.cy,
-                                        self.moments.c_xy, self.theta)
+        if mesh is not None:
+            plan, put = self._serving_mesh(mesh, sharding_plan, y.shape[0])
+            y = put(self._to_dt(y), plan.y_spec())
+            ctx = jax.set_mesh(mesh)
+        else:
+            y = jnp.asarray(y, dtype=self._dt)
+            ctx = contextlib.nullcontext()
+        with ctx:
+            if self.config.discourage_overlap:
+                mom = self.moments
+                return _predict_ns_program(y, mom.rhoinvrho, mom.si,
+                                           mom.z2, self.theta)
+            return _predict_overlap_program(y, self.moments.cy,
+                                            self.moments.c_xy, self.theta)
 
-    def inverse_transform(self, y):
+    def inverse_transform(self, y, mesh=None, sharding_plan=None):
         """sklearn spelling of `predict`: map factors (n, m) back to the
         variable space (n, p). Enables `Pipeline.inverse_transform`."""
-        return self.predict(y)
+        return self.predict(y, mesh=mesh, sharding_plan=sharding_plan)
 
     def get_covariance(self):
         """Dense p x p factor-model covariance estimate
@@ -1078,7 +1162,7 @@ class Corex:
             return _cov_ns_program(mom.rhoinvrho, mom.si, self.theta.std)
         return _cov_overlap_program(mom.cy, mom.c_xy, self.theta.std)
 
-    def score(self, x, y=None):
+    def score(self, x, y=None, mesh=None, sharding_plan=None):
         """Mean Gaussian log-likelihood of `x` under the fitted factor
         covariance N(mean, Σ̂) — the sklearn scoring convention (higher is
         better; `y` is accepted and ignored, as cross-validation passes it
@@ -1100,45 +1184,73 @@ class Corex:
                 "density on the original scale is not defined by Σ̂ alone")
         x = self._validate_input(x)
         x = self._check_width(x, coerced=True)
-        x = jnp.asarray(x, dtype=self._dt)
+        if mesh is not None:
+            plan, put = self._serving_mesh(mesh, sharding_plan, x.shape[0])
+            x = put(self._to_dt(x), plan.x_spec())
+            ctx = jax.set_mesh(mesh)
+        else:
+            x = jnp.asarray(x, dtype=self._dt)
+            ctx = contextlib.nullcontext()
         mom = self.moments
-        if self.config.discourage_overlap:
-            return _score_ns_program(x, mom.rhoinvrho, mom.si, self.theta,
-                                     self.pre_config)
-        return _score_overlap_program(x, mom.cy, mom.c_xy, self.theta,
-                                      self.pre_config)
+        with ctx:
+            if self.config.discourage_overlap:
+                return _score_ns_program(x, mom.rhoinvrho, mom.si,
+                                         self.theta, self.pre_config)
+            return _score_overlap_program(x, mom.cy, mom.c_xy, self.theta,
+                                          self.pre_config)
 
-    def covariance_matvec(self, v):
+    def covariance_matvec(self, v, mesh=None, sharding_plan=None):
         """Σ̂·v via skinny GEMMs — the blocked/matvec form required at
         p=100k where dense p x p is 40 GB (SURVEY.md §3.4 note). Matches
         `get_covariance` exactly on both solver paths: the non-overlap
         factorization Z = rhoinvrho/(1+S_i), or the m x m-solve form
-        C_xy·C_y⁻¹·C_xyᵀ for overlap (discourage_overlap=False) models."""
+        C_xy·C_y⁻¹·C_xyᵀ for overlap (discourage_overlap=False) models.
+        `mesh` (+ `sharding_plan`, typically shard_vars) applies the
+        operator sharded — the export path for p beyond one chip."""
         self._check_fitted()
+        if mesh is not None:
+            plan, put = self._serving_mesh(mesh, sharding_plan, None)
+            v = put(self._to_dt(v), plan.v_spec())
+            ctx = jax.set_mesh(mesh)
+        else:
+            v = jnp.asarray(v, dtype=self._dt)
+            ctx = contextlib.nullcontext()
         mom = self.moments
-        v = jnp.asarray(v, dtype=self._dt)
-        if self.config.discourage_overlap:
-            return _matvec_ns_program(mom.rhoinvrho, mom.si,
-                                      self.theta.std, v)
-        return _matvec_overlap_program(mom.cy, mom.c_xy, self.theta.std, v)
+        with ctx:
+            if self.config.discourage_overlap:
+                return _matvec_ns_program(mom.rhoinvrho, mom.si,
+                                          self.theta.std, v)
+            return _matvec_overlap_program(mom.cy, mom.c_xy,
+                                           self.theta.std, v)
 
-    def covariance_matmat(self, v):
+    def covariance_matmat(self, v, mesh=None, sharding_plan=None):
         """Σ̂·V for a (p, k) block of vectors — the block generalization of
         `covariance_matvec` (SURVEY.md §3.4 note; VERDICT r2 Missing #5):
         k columns cost one skinny-GEMM pass instead of k matvec dispatches,
         and the p x p never materializes. Matches `get_covariance` exactly
-        on both solver paths (tests/test_api.py)."""
+        on both solver paths (tests/test_api.py). `mesh` as in
+        `covariance_matvec`."""
         self._check_fitted()
-        v = jnp.asarray(v, dtype=self._dt)
+        if not hasattr(v, "ndim"):
+            v = np.asarray(v)
         if v.ndim != 2 or v.shape[0] != self.nv:
             raise ValueError(
                 f"v must be 2-D with {self.nv} rows (the fitted "
                 f"n_variables); got shape {getattr(v, 'shape', None)}")
+        if mesh is not None:
+            plan, put = self._serving_mesh(mesh, sharding_plan, None)
+            v = put(self._to_dt(v), plan.v_spec(ndim=2))
+            ctx = jax.set_mesh(mesh)
+        else:
+            v = jnp.asarray(v, dtype=self._dt)
+            ctx = contextlib.nullcontext()
         mom = self.moments
-        if self.config.discourage_overlap:
-            return _matmat_ns_program(mom.rhoinvrho, mom.si,
-                                      self.theta.std, v)
-        return _matmat_overlap_program(mom.cy, mom.c_xy, self.theta.std, v)
+        with ctx:
+            if self.config.discourage_overlap:
+                return _matmat_ns_program(mom.rhoinvrho, mom.si,
+                                          self.theta.std, v)
+            return _matmat_overlap_program(mom.cy, mom.c_xy,
+                                           self.theta.std, v)
 
     def _factor_z(self):
         """The shared covariance factorization Z (m x p): Σ̂_std has

@@ -105,6 +105,19 @@ class ShardingPlan:
         return P(FACTOR_AXIS if self.shard_factors else None,
                  VAR_AXIS if self.shard_vars else None)
 
+    def y_spec(self) -> P:
+        """(n, m) factor-matrix layout: rows over the sample axes, columns
+        over FACTOR_AXIS — the transform-output / predict-input spec used
+        by the sharded serving surface (`Corex.transform(mesh=...)`)."""
+        return P(self._sample_axes(),
+                 FACTOR_AXIS if self.shard_factors else None)
+
+    def v_spec(self, ndim: int = 1) -> P:
+        """(p,) / (p, k) operand layout (`covariance_matvec` / `_matmat`
+        under a mesh): rows over VAR_AXIS, trailing dims replicated."""
+        return P(VAR_AXIS if self.shard_vars else None,
+                 *([None] * (ndim - 1)))
+
 
 def operand_specs(plan: "ShardingPlan", strategy: str):
     """(data_spec, w_spec) for a fit operand under `plan` — the single

@@ -679,3 +679,125 @@ def test_make_hybrid_mesh_validation():
     with pytest.raises(ValueError, match="slice_index"):
         # CPU devices carry no slice_index and the fallback was not asked
         make_hybrid_mesh(((SLICE_AXIS, 1), (DATA_AXIS, 8)))
+
+
+# ------------------------------------------------------------------------
+# Sharded serving: the inference surface under a mesh (round 4 — the
+# serving companion to the mesh-aware prepare: fit(mesh=..., shard_vars)
+# made p-beyond-one-chip FITTABLE; transform/predict/score/covariance_*
+# (mesh=...) make the same regime SERVABLE).
+# ------------------------------------------------------------------------
+
+def _fresh_pair(**kw):
+    """Two identically-initialized fitted models on the module's block
+    data: mesh serving mutates state placement in place, so each test
+    drives its own instance and compares against an untouched twin."""
+    x = np.asarray(block_data(n=512, p=64, m=8, seed=0))
+    w0 = np.random.RandomState(42).normal(scale=1 / 8, size=(8, 64))
+    kw = dict(dict(n_hidden=8, dtype="float64", record_history=False,
+                   moment_strategy="samples", seed=0), **kw)
+    return (x, lc.Corex(**kw).fit(x, init_ws=w0),
+            lc.Corex(**kw).fit(x, init_ws=w0))
+
+
+SERVING_PLANS = (
+    (ShardingPlan(), ((DATA_AXIS, 8),)),
+    (ShardingPlan(shard_samples=False, shard_vars=True), ((VAR_AXIS, 8),)),
+    (ShardingPlan(shard_samples=True, shard_vars=True),
+     ((DATA_AXIS, 4), (VAR_AXIS, 2))),
+    (ShardingPlan(shard_samples=True, shard_factors=True),
+     ((DATA_AXIS, 2), (FACTOR_AXIS, 4))),
+)
+
+
+@pytest.mark.parametrize("plan,axes", SERVING_PLANS)
+def test_serving_mesh_equivalence_nonoverlap(plan, axes):
+    x, cm, cs = _fresh_pair()
+    mesh = make_mesh(axes)
+    y_ref = np.asarray(cs.transform(x))
+    y = cm.transform(x, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(y) - y_ref).max() < 1e-9
+    xh = cm.predict(y_ref, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(xh) - np.asarray(cs.predict(y_ref))).max() \
+        < 1e-9
+    s = cm.score(x, mesh=mesh, sharding_plan=plan)
+    assert abs(float(s) - float(cs.score(x))) < 1e-9
+    v = np.random.RandomState(3).normal(size=64)
+    mv = cm.covariance_matvec(v, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(mv)
+                  - np.asarray(cs.covariance_matvec(v))).max() < 1e-9
+    vb = np.random.RandomState(4).normal(size=(64, 5))
+    mm = cm.covariance_matmat(vb, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(mm)
+                  - np.asarray(cs.covariance_matmat(vb))).max() < 1e-9
+
+
+def test_serving_mesh_equivalence_overlap():
+    """The overlap (discourage_overlap=False) inference programs — m x m
+    solves on replicated cy, var-shardable c_xy — under the 2-D mesh."""
+    x, cm, cs = _fresh_pair(discourage_overlap=False, max_iter=300)
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    mesh = make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+    y_ref = np.asarray(cs.transform(x))
+    y = cm.transform(x, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(y) - y_ref).max() < 1e-9
+    xh = cm.predict(y_ref, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(xh) - np.asarray(cs.predict(y_ref))).max() \
+        < 1e-9
+    assert abs(float(cm.score(x, mesh=mesh, sharding_plan=plan))
+               - float(cs.score(x))) < 1e-9
+    v = np.random.RandomState(5).normal(size=64)
+    assert np.abs(np.asarray(cm.covariance_matvec(v, mesh=mesh,
+                                                  sharding_plan=plan))
+                  - np.asarray(cs.covariance_matvec(v))).max() < 1e-9
+
+
+def test_serving_mesh_shards_input_and_state():
+    """Under shard_vars the serving path must actually DISTRIBUTE the
+    p-sized buffers: the fitted state and the device_put input carry
+    var-sharded (not fully replicated) layouts — the property that makes
+    p-beyond-one-chip serving real, mirroring the mesh-prepare test."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    x, cm, _ = _fresh_pair()
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    mesh = make_mesh(((VAR_AXIS, 8),))
+    cm.transform(x, mesh=mesh, sharding_plan=plan)
+    assert cm.ws.sharding.is_equivalent_to(
+        NamedSharding(mesh, PS(None, VAR_AXIS)), 2), cm.ws.sharding
+    assert not cm.ws.sharding.is_fully_replicated
+    assert cm.moments.rhoinvrho.sharding.is_equivalent_to(
+        NamedSharding(mesh, PS(None, VAR_AXIS)), 2)
+    assert cm.theta.std.sharding.is_equivalent_to(
+        NamedSharding(mesh, PS(VAR_AXIS)), 1)
+    # the (n, p) reconstruction comes back var-sharded, never gathered
+    xh = cm.predict(np.asarray(cm.transform(x)), mesh=mesh,
+                    sharding_plan=plan)
+    assert not xh.sharding.is_fully_replicated
+    assert xh.addressable_shards[0].data.shape[1] == 64 // 8
+
+
+def test_serving_mesh_details_and_empirical():
+    """details=True and the batch-relative 'empirical' rank transform run
+    under the mesh (the distributed sort/searchsorted path) and match the
+    single-device call."""
+    x, cm, cs = _fresh_pair(gaussianize="empirical")
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    y, det = cm.transform(x, details=True, mesh=mesh)
+    y_ref, det_ref = cs.transform(x, details=True)
+    assert np.abs(np.asarray(y) - np.asarray(y_ref)).max() < 1e-9
+    assert abs(float(det["TC"]) - float(det_ref["TC"])) < 1e-9
+    assert np.abs(np.asarray(det["rho"])
+                  - np.asarray(det_ref["rho"])).max() < 1e-9
+
+
+def test_serving_mesh_divisibility_error():
+    x, cm, _ = _fresh_pair()
+    mesh = make_mesh(((DATA_AXIS, 8),))
+    with pytest.raises(ValueError, match="divisible"):
+        cm.transform(x[:510], mesh=mesh)
+    with pytest.raises(ValueError, match="mesh has axes"):
+        # plan shards over VAR_AXIS but the mesh carries only DATA_AXIS
+        cm.covariance_matvec(np.zeros(64), mesh=mesh,
+                             sharding_plan=ShardingPlan(shard_vars=True))
