@@ -210,7 +210,8 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
 
 
 def warmup_serving(model, batch_rows: int, n_variables=None,
-                   matmat_k=None, cov_block=None) -> None:
+                   matmat_k=None, cov_block=None, mesh=None,
+                   sharding_plan=None) -> None:
     """Ahead-of-time compile of the serving programs for declared shapes:
     `transform`, `predict`, `score` (affine gaussianize modes only), and
     — when `matmat_k` / `cov_block` are given — `covariance_matmat` /
@@ -221,7 +222,17 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
 
     `n_variables` defaults to the fitted width (`model.nv`); pass it
     explicitly to warm before any fit/load. Shapes must match the real
-    calls exactly (jit is shape-specialized)."""
+    calls exactly (jit is shape-specialized).
+
+    With `mesh` (+ optional `sharding_plan`) the warmed programs are the
+    sharded-serving ones `transform(mesh=...)` etc. dispatch: every
+    operand is declared WITH the sharding the real call commits it with
+    (state per its axis roles, inputs per x/y/v_spec — all committed in
+    the serving path), and lowering happens INSIDE jax.set_mesh(mesh),
+    matching the dispatch scope (the round-4 cache-key rule). Pinned by
+    module-text identity in tests/test_compile_cache.py.
+    `covariance_blocks` has no mesh serving path — `cov_block` with
+    `mesh` raises."""
     import jax
     import jax.numpy as jnp
 
@@ -236,6 +247,16 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
             "n_variables is required when the model is not fitted yet")
     p = int(n_variables)
     b, m, dt = int(batch_rows), model.m, model._dt
+
+    if mesh is not None:
+        if cov_block:
+            raise ValueError(
+                "covariance_blocks has no mesh serving path — warm it "
+                "without mesh (use covariance_matmat(mesh=...) for "
+                "sharded covariance application)")
+        _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
+                             sharding_plan)
+        return
 
     def s(shape):
         return jax.ShapeDtypeStruct(shape, dt)
@@ -268,3 +289,59 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
         C._cov_rows_program.lower(
             s((m, p)), s((p,)), jax.ShapeDtypeStruct((), jnp.int32),
             blk).compile()
+
+
+def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
+                         sharding_plan):
+    """The mesh branch of `warmup_serving`: lower the sharded-serving
+    programs with every operand declared per the layout
+    `Corex._serving_mesh` commits (state axis roles; x/y/v_spec inputs),
+    inside the jax.set_mesh scope the real dispatch uses."""
+    import jax
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    from linearcorex_tpu.models import corex as C
+    from linearcorex_tpu.ops.preprocessing import Theta
+    from linearcorex_tpu.parallel import sharding as S
+
+    plan = sharding_plan or S.ShardingPlan()
+    S.validate_plan_shapes(plan, "samples", mesh, b, p, m, raw_x=True)
+    var = S.VAR_AXIS if plan.shard_vars else None
+    fac = S.FACTOR_AXIS if plan.shard_factors else None
+
+    def s(shape, spec):
+        return jax.ShapeDtypeStruct(
+            shape, dt, sharding=NamedSharding(mesh, spec))
+
+    theta = Theta(mean=s((p,), PS(var)), std=s((p,), PS(var)))
+    x_arg = s((b, p), plan.x_spec())
+    y_arg = s((b, m), plan.y_spec())
+    affine = model.pre_config.gaussianize in ("none", "standard")
+    with jax.set_mesh(mesh):
+        C._transform_program.lower(x_arg, s((m, p), PS(fac, var)), theta,
+                                   model.pre_config).compile()
+        if model.config.discourage_overlap:
+            rr, si = s((m, p), PS(fac, var)), s((p,), PS(var))
+            C._predict_ns_program.lower(y_arg, rr, si, s((m,), PS(fac)),
+                                        theta).compile()
+            if affine:
+                C._score_ns_program.lower(x_arg, rr, si, theta,
+                                          model.pre_config).compile()
+            if matmat_k:
+                C._matmat_ns_program.lower(
+                    rr, si, s((p,), PS(var)),
+                    s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()
+        else:
+            cy = s((m, m), PS(None, None))
+            c_xy = s((p, m), PS(var, fac))
+            C._predict_overlap_program.lower(y_arg, cy, c_xy,
+                                             theta).compile()
+            if affine:
+                C._score_overlap_program.lower(x_arg, cy, c_xy, theta,
+                                               model.pre_config).compile()
+            if matmat_k:
+                C._matmat_overlap_program.lower(
+                    cy, c_xy, s((p,), PS(var)),
+                    s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()

@@ -206,3 +206,47 @@ def test_cache_binding_is_clear_without_fixture():
     assert jcc._cache is None, (
         "a test leaked jax's compilation-cache binding; every later "
         "slow compile would write cache entries with the config off")
+
+
+def test_warmup_serving_mesh_is_module_identical_to_real_calls(monkeypatch):
+    """warmup_serving(mesh=...) must lower EXACTLY the modules
+    transform/predict/score(mesh=...) dispatch: operands declared with
+    the shardings `Corex._serving_mesh` commits (state axis roles,
+    x/y_spec inputs), lowered inside jax.set_mesh — the same module-text
+    identity rule as the fit warmup (a drifted sharding or scope changes
+    the persistent-cache key and silently defeats AOT warmup)."""
+    import linearcorex_tpu.models.corex as C
+    from linearcorex_tpu.parallel.sharding import ShardingPlan, make_mesh
+    from linearcorex_tpu.utils.compile_cache import warmup_serving
+
+    from tests.conftest import module_text_probe
+
+    t_texts, p_texts, s_texts = [], [], []
+    monkeypatch.setattr(C, "_transform_program",
+                        module_text_probe(C._transform_program, t_texts))
+    monkeypatch.setattr(C, "_predict_ns_program",
+                        module_text_probe(C._predict_ns_program, p_texts))
+    monkeypatch.setattr(C, "_score_ns_program",
+                        module_text_probe(C._score_ns_program, s_texts))
+    mesh = make_mesh((("data", 4), ("var", 2)))
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    x = block_data(n=480, p=32, m=4, seed=0)
+    model = lc.Corex(n_hidden=4, seed=0, max_iter=50,
+                     record_history=False).fit(x)
+    warmup_serving(model, batch_rows=480, mesh=mesh, sharding_plan=plan)
+    y = model.transform(x, mesh=mesh, sharding_plan=plan)
+    model.predict(np.asarray(y), mesh=mesh, sharding_plan=plan)
+    model.score(x, mesh=mesh, sharding_plan=plan)
+    for name, texts in (("transform", t_texts), ("predict", p_texts),
+                        ("score", s_texts)):
+        assert len(texts) == 2 and texts[0] == texts[1], (
+            f"warmup_serving(mesh=...) lowered a different {name} module "
+            f"than the real sharded call")
+
+
+def test_warmup_serving_mesh_rejects_cov_block():
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    from linearcorex_tpu.utils.compile_cache import warmup_serving
+    with pytest.raises(ValueError, match="covariance_blocks"):
+        warmup_serving(lc.Corex(n_hidden=2), batch_rows=8, n_variables=16,
+                       cov_block=4, mesh=make_mesh())
