@@ -801,3 +801,41 @@ def test_serving_mesh_divisibility_error():
         # plan shards over VAR_AXIS but the mesh carries only DATA_AXIS
         cm.covariance_matvec(np.zeros(64), mesh=mesh,
                              sharding_plan=ShardingPlan(shard_vars=True))
+
+
+def test_serving_comm_surface():
+    """The serving programs' collective surface, audited from compiled
+    HLO like every fit layout: DP transform is communication-FREE (the
+    GEMM is row-local against replicated W), and var-sharded transform
+    all-reduces exactly the (n, m) factor block over 'var' — never an
+    O(n·p) payload."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    from linearcorex_tpu.models import corex as C
+    from linearcorex_tpu.parallel.audit import hlo_collectives
+
+    x, cm, _ = _fresh_pair(dtype="float32")
+    n, p, m = 512, 64, 8
+    for plan, axes, comm_free in (
+            (ShardingPlan(), ((DATA_AXIS, 8),), True),
+            (ShardingPlan(shard_samples=False, shard_vars=True),
+             ((VAR_AXIS, 8),), False)):
+        mesh = make_mesh(axes)
+        var = VAR_AXIS if plan.shard_vars else None
+
+        def s(shape, spec):
+            return jax.ShapeDtypeStruct(
+                shape, jnp.float32, sharding=NamedSharding(mesh, spec))
+
+        theta = P.Theta(mean=s((p,), PS(var)), std=s((p,), PS(var)))
+        with jax.set_mesh(mesh):
+            hlo = C._transform_program.lower(
+                s((n, p), plan.x_spec()), s((m, p), PS(None, var)),
+                theta, cm.pre_config).compile().as_text()
+        ops = hlo_collectives(hlo)
+        if comm_free:
+            assert ops == [], (plan, ops)
+        else:
+            assert ops and all(o.kind == "all-reduce" for o in ops), ops
+            assert all(o.bytes <= 4 * n * m for o in ops), ops
