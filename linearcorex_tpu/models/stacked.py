@@ -38,36 +38,45 @@ class StackedCorex:
                 Corex(n_hidden=m, **(corex_kwargs if k == 0
                                      else deep_kwargs)))
 
+    @staticmethod
+    def _layer_plan(plan, k):
+        """Plan for layer k: the plan's var/factor axes describe the
+        p-wide LAYER-1 operand only — deeper layers see narrow (n, m_k)
+        factor matrices that rarely divide those mesh extents (and don't
+        need them), so they keep just the sample-axis sharding
+        (data/slice), which divides by construction (n is unchanged down
+        the stack)."""
+        if k == 0 or plan is None or not (plan.shard_vars
+                                          or plan.shard_factors):
+            return plan
+        import dataclasses
+        return dataclasses.replace(plan, shard_vars=False,
+                                   shard_factors=False)
+
     def fit(self, x, y=None, mesh=None, sharding_plan=None):
         """Fit layer by layer; `y` is accepted-and-ignored (unsupervised —
         the sklearn slot, mirroring `Corex.fit`); `mesh`/`sharding_plan`
-        pass through to `Corex.fit(mesh=...)`. Only layer 1 sees the full
-        p-wide data, so
-        the var/factor axes of the plan apply to layer 1 ONLY — deeper
-        layers fit on narrow (n, m_k) factor matrices that rarely divide
-        those mesh extents (and don't need them); they keep just the
-        sample-axis sharding (data/slice), which divides by construction
-        (n is unchanged down the stack)."""
+        pass through to `Corex.fit(mesh=...)` AND to the inter-layer
+        transform, so a shard_vars stack never stages the p-wide X on one
+        device (the `_layer_plan` demotion rule applies below layer 1)."""
         del y
         data = x
-        plan = sharding_plan
         for k, layer in enumerate(self.layers):
-            if k == 1 and plan is not None and (plan.shard_vars
-                                                or plan.shard_factors):
-                import dataclasses
-                plan = dataclasses.replace(plan, shard_vars=False,
-                                           shard_factors=False)
-            layer.fit(data, mesh=mesh, sharding_plan=plan)
-            data = layer.transform(data)
+            lp = self._layer_plan(sharding_plan, k)
+            layer.fit(data, mesh=mesh, sharding_plan=lp)
+            data = layer.transform(data, mesh=mesh, sharding_plan=lp)
         return self
 
-    def transform(self, x, level: int = -1):
-        """Factors at `level` (default: deepest layer)."""
+    def transform(self, x, level: int = -1, mesh=None, sharding_plan=None):
+        """Factors at `level` (default: deepest layer). `mesh` serves the
+        composed projection sharded (see `Corex.transform`)."""
         levels = range(len(self.layers)) if level == -1 \
             else range(level + 1)
         data = x
         for k in levels:
-            data = self.layers[k].transform(data)
+            data = self.layers[k].transform(
+                data, mesh=mesh,
+                sharding_plan=self._layer_plan(sharding_plan, k))
         return data
 
     def fit_transform(self, x, y=None):
@@ -77,24 +86,31 @@ class StackedCorex:
         self.fit(x)
         return self.transform(x)
 
-    def transform_all(self, x):
+    def transform_all(self, x, mesh=None, sharding_plan=None):
         """List of factor matrices, one per layer (shallow → deep)."""
         out, data = [], x
-        for layer in self.layers:
-            data = layer.transform(data)
+        for k, layer in enumerate(self.layers):
+            data = layer.transform(
+                data, mesh=mesh,
+                sharding_plan=self._layer_plan(sharding_plan, k))
             out.append(data)
         return out
 
-    def predict(self, y):
-        """Reconstruct the input from the deepest factors."""
+    def predict(self, y, mesh=None, sharding_plan=None):
+        """Reconstruct the input from the deepest factors. Under `mesh`
+        the final (n, p) reconstruction comes back sharded per the plan
+        (`Corex.predict`)."""
         data = y
-        for layer in reversed(self.layers):
-            data = layer.predict(data)
+        last = len(self.layers) - 1
+        for i, layer in enumerate(reversed(self.layers)):
+            data = layer.predict(
+                data, mesh=mesh,
+                sharding_plan=self._layer_plan(sharding_plan, last - i))
         return data
 
-    def inverse_transform(self, y):
+    def inverse_transform(self, y, mesh=None, sharding_plan=None):
         """sklearn spelling of `predict`: deepest factors → input space."""
-        return self.predict(y)
+        return self.predict(y, mesh=mesh, sharding_plan=sharding_plan)
 
     @property
     def tcs(self):

@@ -839,3 +839,48 @@ def test_serving_comm_surface():
         else:
             assert ops and all(o.kind == "all-reduce" for o in ops), ops
             assert all(o.bytes <= 4 * n * m for o in ops), ops
+
+
+def test_serving_after_load_corex():
+    """The serving deployment story: fit → save_corex → load in a fresh
+    estimator (host-side state) → first sharded call device_puts the
+    state per the plan and matches the original model."""
+    from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
+
+    x, cm, _ = _fresh_pair()
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "model.npz")
+        save_corex(cm, path)
+        served = load_corex(path)
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    mesh = make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+    y = served.transform(x, mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(y) - np.asarray(cm.transform(x))).max() < 1e-9
+    assert abs(float(served.score(x, mesh=mesh, sharding_plan=plan))
+               - float(cm.score(x))) < 1e-9
+
+
+def test_stacked_mesh_end_to_end():
+    """StackedCorex under a mesh: fit routes the inter-layer transform
+    through the sharded path (never staging the p-wide X on one device
+    under shard_vars), and transform/predict/transform_all accept the
+    mesh with the layer-plan demotion rule. Equals the single-device
+    stack."""
+    from linearcorex_tpu.models.stacked import StackedCorex
+
+    x = np.asarray(block_data(n=512, p=64, m=8, seed=5))
+    kw = dict(dtype="float64", record_history=False, seed=0, max_iter=500,
+              moment_strategy="samples")
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    mesh = make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+    sm = StackedCorex([8, 2], **kw).fit(x, mesh=mesh, sharding_plan=plan)
+    ss = StackedCorex([8, 2], **kw).fit(x)
+    assert abs(sm.tc - ss.tc) < 1e-7
+    ym = sm.transform(x, mesh=mesh, sharding_plan=plan)
+    ys = ss.transform(x)
+    assert np.abs(np.asarray(ym) - np.asarray(ys)).max() < 1e-9
+    xm = sm.predict(np.asarray(ys), mesh=mesh, sharding_plan=plan)
+    assert np.abs(np.asarray(xm) - np.asarray(ss.predict(ys))).max() < 1e-9
+    alls = sm.transform_all(x, mesh=mesh, sharding_plan=plan)
+    assert len(alls) == 2 and alls[1].shape == (512, 2)
