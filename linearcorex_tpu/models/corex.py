@@ -491,6 +491,25 @@ def _cov_rows_program(z, std, start, block):
     return stdb[:, None] * std[None, :] * rows
 
 
+def serving_state_specs(plan):
+    """PartitionSpec layout the sharded serving path commits the fitted
+    state with — the SINGLE definition shared by `Corex._serving_mesh`
+    and `utils.compile_cache._warmup_serving_mesh` (the warmup rule:
+    a forked copy would lower a different module than the real dispatch
+    and silently defeat AOT warmup). The m x m `cy` stays replicated
+    (small solves/Cholesky are best unpartitioned); `theta` is the spec
+    for each of its p-vectors."""
+    from jax.sharding import PartitionSpec as PS
+
+    from linearcorex_tpu.parallel.sharding import FACTOR_AXIS, VAR_AXIS
+
+    var = VAR_AXIS if plan.shard_vars else None
+    fac = FACTOR_AXIS if plan.shard_factors else None
+    return {"ws": PS(fac, var), "rhoinvrho": PS(fac, var), "si": PS(var),
+            "z2": PS(fac), "cy": PS(None, None), "c_xy": PS(var, fac),
+            "theta": PS(var)}
+
+
 def _ctor_defaults():
     """Constructor-signature defaults of Corex.__init__, read from the
     signature itself so preset resolution (`Corex.config`) can never
@@ -571,6 +590,10 @@ class Corex:
     _n_samples: Optional[int] = None
     # the optimizer the last fit actually ran ('auto' resolved per fit)
     resolved_optimizer_: Optional[str] = None
+    # the ShardingPlan the state currently lives under (last mesh fit or
+    # mesh serving call); None = single-device placement. Serving calls
+    # with sharding_plan=None reuse it (see _serving_mesh).
+    _serving_plan = None
 
     ws = property(lambda self: self._ws,
                   lambda self, v: setattr(self, "_ws", v),
@@ -927,9 +950,11 @@ class Corex:
             self.ws, self.moments, self.diagnostics = fit_sharded(
                 data, w0, cfg, mesh, plan, strategy,
                 check_overflow=False)
+            self._serving_plan = plan  # mesh serving calls default to it
         else:
             self.ws, self.moments, self.diagnostics = _fit_program(
                 data, w0, cfg, strategy)
+            self._serving_plan = None  # state is single-device again
         if self.verbose:
             self._print_verbose()
         return self
@@ -1004,9 +1029,16 @@ class Corex:
         makes the fitted model SERVE in the same regime, with no p-sized
         buffer required to live on one device: `transform`/`score` shard
         the incoming X per the plan, `predict` shards its (n, p) output,
-        and the m x p state shards over VAR_AXIS). Only the moment fields
-        the inference programs consume are placed; the m x m `cy` stays
-        replicated (small solves/Cholesky are best unpartitioned).
+        and the m x p state shards over VAR_AXIS). State placement
+        follows `serving_state_specs` — the single definition shared
+        with `warmup_serving(mesh=...)`.
+
+        `sharding_plan=None` REUSES the model's current plan (the last
+        mesh fit's or mesh serving call's), not the DP default: a
+        var-sharded model must not be silently replicated — at the scale
+        shard_vars exists for, replicating the m x p state per device is
+        an OOM, and resharding every call would defeat the zero-cost
+        steady state. Pass an explicit plan to deliberately relay out.
 
         The sharded state is stored back on the estimator: `device_put`
         of an already-resident array is a no-op, so repeated serving
@@ -1016,33 +1048,44 @@ class Corex:
         Returns (plan, put) with put(array, spec) committing an operand
         to the mesh."""
         from jax.sharding import NamedSharding
-        from jax.sharding import PartitionSpec as PS
 
-        from linearcorex_tpu.parallel.sharding import (FACTOR_AXIS,
-                                                       VAR_AXIS,
-                                                       ShardingPlan,
+        from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                        validate_plan_shapes)
 
-        plan = sharding_plan or ShardingPlan()
+        plan = sharding_plan or self._serving_plan or ShardingPlan()
         validate_plan_shapes(plan, "samples", mesh, n_rows, self.nv,
                              self.ws.shape[0], raw_x=True)
 
         def put(a, spec):
             return jax.device_put(a, NamedSharding(mesh, spec))
 
-        var = VAR_AXIS if plan.shard_vars else None
-        fac = FACTOR_AXIS if plan.shard_factors else None
-        self.ws = put(self.ws, PS(fac, var))
+        specs = serving_state_specs(plan)
+        self.ws = put(self.ws, specs["ws"])
         mom = self.moments
         self.moments = mom._replace(
-            rhoinvrho=put(mom.rhoinvrho, PS(fac, var)),
-            si=put(mom.si, PS(var)),
-            z2=put(mom.z2, PS(fac)),
-            cy=put(mom.cy, PS(None, None)),
-            c_xy=put(mom.c_xy, PS(var, fac)))
-        self.theta = P.Theta(mean=put(self.theta.mean, PS(var)),
-                             std=put(self.theta.std, PS(var)))
+            rhoinvrho=put(mom.rhoinvrho, specs["rhoinvrho"]),
+            si=put(mom.si, specs["si"]),
+            z2=put(mom.z2, specs["z2"]),
+            cy=put(mom.cy, specs["cy"]),
+            c_xy=put(mom.c_xy, specs["c_xy"]))
+        self.theta = P.Theta(mean=put(self.theta.mean, specs["theta"]),
+                             std=put(self.theta.std, specs["theta"]))
+        self._serving_plan = plan
         return plan, put
+
+    def _serving_operand(self, a, which, mesh, sharding_plan, n_rows):
+        """Shared dispatch step of every serving method: under a mesh,
+        place the fitted state (`_serving_mesh`) and commit the input per
+        the plan's `which` spec ('x' | 'y' | 'v' | 'v2'); without one,
+        the input lands on the default device. Returns (operand, context)
+        — run the program inside the context (jax.set_mesh under a mesh,
+        matching the warmup's lowering scope)."""
+        if mesh is None:
+            return jnp.asarray(a, dtype=self._dt), contextlib.nullcontext()
+        plan, put = self._serving_mesh(mesh, sharding_plan, n_rows)
+        spec = {"x": plan.x_spec, "y": plan.y_spec, "v": plan.v_spec,
+                "v2": lambda: plan.v_spec(ndim=2)}[which]()
+        return put(self._to_dt(a), spec), jax.set_mesh(mesh)
 
     def transform(self, x, details=False, mesh=None, sharding_plan=None):
         """Project to factors: Y = X_preproc·Wᵀ (`[U] :: Corex.transform`).
@@ -1093,13 +1136,8 @@ class Corex:
             raise ValueError(
                 "input to transform contains NaN/inf; pass "
                 "missing_values=<sentinel> or clean the data first")
-        if mesh is not None:
-            plan, put = self._serving_mesh(mesh, sharding_plan, x.shape[0])
-            x = put(self._to_dt(x), plan.x_spec())
-            ctx = jax.set_mesh(mesh)
-        else:
-            x = jnp.asarray(x, dtype=self._dt)
-            ctx = contextlib.nullcontext()
+        x, ctx = self._serving_operand(x, "x", mesh, sharding_plan,
+                                       x.shape[0])
         with ctx:
             if details:
                 y, mom = _details_program(x, self.ws, self.theta,
@@ -1132,13 +1170,8 @@ class Corex:
         if isinstance(y, np.ndarray) and not np.isfinite(y).all():
             raise ValueError(
                 "factor input to predict contains NaN/inf")
-        if mesh is not None:
-            plan, put = self._serving_mesh(mesh, sharding_plan, y.shape[0])
-            y = put(self._to_dt(y), plan.y_spec())
-            ctx = jax.set_mesh(mesh)
-        else:
-            y = jnp.asarray(y, dtype=self._dt)
-            ctx = contextlib.nullcontext()
+        y, ctx = self._serving_operand(y, "y", mesh, sharding_plan,
+                                       y.shape[0])
         with ctx:
             if self.config.discourage_overlap:
                 mom = self.moments
@@ -1184,13 +1217,8 @@ class Corex:
                 "density on the original scale is not defined by Σ̂ alone")
         x = self._validate_input(x)
         x = self._check_width(x, coerced=True)
-        if mesh is not None:
-            plan, put = self._serving_mesh(mesh, sharding_plan, x.shape[0])
-            x = put(self._to_dt(x), plan.x_spec())
-            ctx = jax.set_mesh(mesh)
-        else:
-            x = jnp.asarray(x, dtype=self._dt)
-            ctx = contextlib.nullcontext()
+        x, ctx = self._serving_operand(x, "x", mesh, sharding_plan,
+                                       x.shape[0])
         mom = self.moments
         with ctx:
             if self.config.discourage_overlap:
@@ -1208,13 +1236,14 @@ class Corex:
         `mesh` (+ `sharding_plan`, typically shard_vars) applies the
         operator sharded — the export path for p beyond one chip."""
         self._check_fitted()
-        if mesh is not None:
-            plan, put = self._serving_mesh(mesh, sharding_plan, None)
-            v = put(self._to_dt(v), plan.v_spec())
-            ctx = jax.set_mesh(mesh)
-        else:
-            v = jnp.asarray(v, dtype=self._dt)
-            ctx = contextlib.nullcontext()
+        if not hasattr(v, "ndim"):
+            v = np.asarray(v)
+        if v.ndim != 1 or v.shape[0] != self.nv:
+            raise ValueError(
+                f"v must be 1-D with {self.nv} entries (the fitted "
+                f"n_variables); got shape {getattr(v, 'shape', None)} — "
+                f"use covariance_matmat for (p, k) blocks")
+        v, ctx = self._serving_operand(v, "v", mesh, sharding_plan, None)
         mom = self.moments
         with ctx:
             if self.config.discourage_overlap:
@@ -1237,13 +1266,7 @@ class Corex:
             raise ValueError(
                 f"v must be 2-D with {self.nv} rows (the fitted "
                 f"n_variables); got shape {getattr(v, 'shape', None)}")
-        if mesh is not None:
-            plan, put = self._serving_mesh(mesh, sharding_plan, None)
-            v = put(self._to_dt(v), plan.v_spec(ndim=2))
-            ctx = jax.set_mesh(mesh)
-        else:
-            v = jnp.asarray(v, dtype=self._dt)
-            ctx = contextlib.nullcontext()
+        v, ctx = self._serving_operand(v, "v2", mesh, sharding_plan, None)
         mom = self.moments
         with ctx:
             if self.config.discourage_overlap:

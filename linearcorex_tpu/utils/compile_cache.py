@@ -300,7 +300,6 @@ def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
     import jax
 
     from jax.sharding import NamedSharding
-    from jax.sharding import PartitionSpec as PS
 
     from linearcorex_tpu.models import corex as C
     from linearcorex_tpu.ops.preprocessing import Theta
@@ -308,34 +307,40 @@ def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
 
     plan = sharding_plan or S.ShardingPlan()
     S.validate_plan_shapes(plan, "samples", mesh, b, p, m, raw_x=True)
-    var = S.VAR_AXIS if plan.shard_vars else None
-    fac = S.FACTOR_AXIS if plan.shard_factors else None
+    # the state layout is the SHARED definition the real dispatch commits
+    # (Corex._serving_mesh) — a forked copy here would lower a different
+    # module and silently defeat the warmup
+    specs = C.serving_state_specs(plan)
 
     def s(shape, spec):
         return jax.ShapeDtypeStruct(
             shape, dt, sharding=NamedSharding(mesh, spec))
 
-    theta = Theta(mean=s((p,), PS(var)), std=s((p,), PS(var)))
+    theta = Theta(mean=s((p,), specs["theta"]),
+                  std=s((p,), specs["theta"]))
     x_arg = s((b, p), plan.x_spec())
     y_arg = s((b, m), plan.y_spec())
+    std = s((p,), specs["theta"])
     affine = model.pre_config.gaussianize in ("none", "standard")
     with jax.set_mesh(mesh):
-        C._transform_program.lower(x_arg, s((m, p), PS(fac, var)), theta,
+        C._transform_program.lower(x_arg, s((m, p), specs["ws"]), theta,
                                    model.pre_config).compile()
         if model.config.discourage_overlap:
-            rr, si = s((m, p), PS(fac, var)), s((p,), PS(var))
-            C._predict_ns_program.lower(y_arg, rr, si, s((m,), PS(fac)),
+            rr = s((m, p), specs["rhoinvrho"])
+            si = s((p,), specs["si"])
+            C._predict_ns_program.lower(y_arg, rr, si,
+                                        s((m,), specs["z2"]),
                                         theta).compile()
             if affine:
                 C._score_ns_program.lower(x_arg, rr, si, theta,
                                           model.pre_config).compile()
             if matmat_k:
                 C._matmat_ns_program.lower(
-                    rr, si, s((p,), PS(var)),
+                    rr, si, std,
                     s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()
         else:
-            cy = s((m, m), PS(None, None))
-            c_xy = s((p, m), PS(var, fac))
+            cy = s((m, m), specs["cy"])
+            c_xy = s((p, m), specs["c_xy"])
             C._predict_overlap_program.lower(y_arg, cy, c_xy,
                                              theta).compile()
             if affine:
@@ -343,5 +348,5 @@ def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
                                                model.pre_config).compile()
             if matmat_k:
                 C._matmat_overlap_program.lower(
-                    cy, c_xy, s((p,), PS(var)),
+                    cy, c_xy, std,
                     s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()

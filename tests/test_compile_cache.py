@@ -221,27 +221,72 @@ def test_warmup_serving_mesh_is_module_identical_to_real_calls(monkeypatch):
 
     from tests.conftest import module_text_probe
 
-    t_texts, p_texts, s_texts = [], [], []
+    t_texts, p_texts, s_texts, m_texts = [], [], [], []
     monkeypatch.setattr(C, "_transform_program",
                         module_text_probe(C._transform_program, t_texts))
     monkeypatch.setattr(C, "_predict_ns_program",
                         module_text_probe(C._predict_ns_program, p_texts))
     monkeypatch.setattr(C, "_score_ns_program",
                         module_text_probe(C._score_ns_program, s_texts))
+    monkeypatch.setattr(C, "_matmat_ns_program",
+                        module_text_probe(C._matmat_ns_program, m_texts))
     mesh = make_mesh((("data", 4), ("var", 2)))
     plan = ShardingPlan(shard_samples=True, shard_vars=True)
     x = block_data(n=480, p=32, m=4, seed=0)
     model = lc.Corex(n_hidden=4, seed=0, max_iter=50,
                      record_history=False).fit(x)
-    warmup_serving(model, batch_rows=480, mesh=mesh, sharding_plan=plan)
+    warmup_serving(model, batch_rows=480, mesh=mesh, sharding_plan=plan,
+                   matmat_k=3)
     y = model.transform(x, mesh=mesh, sharding_plan=plan)
     model.predict(np.asarray(y), mesh=mesh, sharding_plan=plan)
     model.score(x, mesh=mesh, sharding_plan=plan)
+    model.covariance_matmat(np.ones((32, 3), np.float32), mesh=mesh,
+                            sharding_plan=plan)
     for name, texts in (("transform", t_texts), ("predict", p_texts),
-                        ("score", s_texts)):
+                        ("score", s_texts), ("matmat", m_texts)):
         assert len(texts) == 2 and texts[0] == texts[1], (
             f"warmup_serving(mesh=...) lowered a different {name} module "
             f"than the real sharded call")
+
+
+def test_warmup_serving_mesh_overlap_branch_identity(monkeypatch):
+    """Same module-text identity pin for the OVERLAP serving programs —
+    a spec drift in the warmup's cy/c_xy declarations would silently
+    defeat AOT warmup for discourage_overlap=False deployments."""
+    import linearcorex_tpu.models.corex as C
+    from linearcorex_tpu.parallel.sharding import ShardingPlan, make_mesh
+    from linearcorex_tpu.utils.compile_cache import warmup_serving
+
+    from tests.conftest import module_text_probe
+
+    p_texts, s_texts, m_texts = [], [], []
+    monkeypatch.setattr(C, "_predict_overlap_program",
+                        module_text_probe(C._predict_overlap_program,
+                                          p_texts))
+    monkeypatch.setattr(C, "_score_overlap_program",
+                        module_text_probe(C._score_overlap_program,
+                                          s_texts))
+    monkeypatch.setattr(C, "_matmat_overlap_program",
+                        module_text_probe(C._matmat_overlap_program,
+                                          m_texts))
+    mesh = make_mesh((("data", 4), ("var", 2)))
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    x = block_data(n=480, p=32, m=4, seed=0)
+    model = lc.Corex(n_hidden=4, seed=0, max_iter=50,
+                     discourage_overlap=False,
+                     record_history=False).fit(x)
+    warmup_serving(model, batch_rows=480, mesh=mesh, sharding_plan=plan,
+                   matmat_k=3)
+    y = model.transform(x, mesh=mesh, sharding_plan=plan)
+    model.predict(np.asarray(y), mesh=mesh, sharding_plan=plan)
+    model.score(x, mesh=mesh, sharding_plan=plan)
+    model.covariance_matmat(np.ones((32, 3), np.float32), mesh=mesh,
+                            sharding_plan=plan)
+    for name, texts in (("predict", p_texts), ("score", s_texts),
+                        ("matmat", m_texts)):
+        assert len(texts) == 2 and texts[0] == texts[1], (
+            f"warmup_serving(mesh=...) lowered a different overlap "
+            f"{name} module than the real sharded call")
 
 
 def test_warmup_serving_mesh_rejects_cov_block():

@@ -884,3 +884,32 @@ def test_stacked_mesh_end_to_end():
     assert np.abs(np.asarray(xm) - np.asarray(ss.predict(ys))).max() < 1e-9
     alls = sm.transform_all(x, mesh=mesh, sharding_plan=plan)
     assert len(alls) == 2 and alls[1].shape == (512, 2)
+
+
+def test_serving_plan_sticky_and_matvec_validation():
+    """sharding_plan=None on a serving call reuses the state's CURRENT
+    plan (a var-sharded model must not be silently replicated — at the
+    scale shard_vars exists for, that is an OOM), while an explicit plan
+    relays out; a fresh single-device refit resets the default. Plus the
+    covariance_matvec input contract (1-D, fitted width) raising by name
+    instead of an opaque GSPMD device_put error."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as PS
+
+    x, cm, _ = _fresh_pair()
+    plan = ShardingPlan(shard_samples=False, shard_vars=True)
+    mesh = make_mesh(((VAR_AXIS, 8),))
+    cm.transform(x, mesh=mesh, sharding_plan=plan)
+    # plan omitted → state stays var-sharded, not replicated
+    cm.covariance_matvec(np.ones(64), mesh=mesh)
+    assert cm.ws.sharding.is_equivalent_to(
+        NamedSharding(mesh, PS(None, VAR_AXIS)), 2), cm.ws.sharding
+    assert not cm.ws.sharding.is_fully_replicated
+    # a fresh fit resets the serving default to single-device
+    cm.fit(x)
+    assert cm._serving_plan is None
+    with pytest.raises(ValueError, match="1-D"):
+        cm.covariance_matvec(np.ones(63))
+    with pytest.raises(ValueError, match="1-D"):
+        cm.covariance_matvec(np.ones((64, 2)), mesh=mesh,
+                             sharding_plan=plan)
