@@ -121,6 +121,14 @@ def production_demo():
         model.warmup(*x.shape, mesh=mesh, sharding_plan=plan)
         model.fit(x, mesh=mesh, sharding_plan=plan)
         print(f"multi-slice fit (AOT-warmed): TC {model.tc:.3f}")
+        # sharded SERVING: the inference surface takes the same mesh/plan
+        # pair (round 4) — here the p-sized state + incoming X never need
+        # one device's HBM (use shard_vars plans for p beyond one chip);
+        # sharding_plan=None on later calls reuses the state's plan
+        y = model.transform(x, mesh=mesh, sharding_plan=plan)
+        ll = model.score(x, mesh=mesh)
+        print(f"sharded serving: factors {y.shape}, "
+              f"log-likelihood {float(ll):.3f}")
         with tempfile.TemporaryDirectory() as ck:
             fit_with_checkpoints(model, x, ck, mesh=mesh,
                                  sharding_plan=plan)
