@@ -55,6 +55,19 @@ def main():
                                   criterion="heldout")
     print(f"held-out criterion chose:    {best_cv}")
 
+    # Throughput recipes (measured at p=100k scale — benchmarks/RESULTS.md):
+    # preset='throughput' bundles the init-study winner (int8 + spectral
+    # init + anneal=False + tol=1e-4) for strong-structure data;
+    # stage_tol_factor=10 keeps full annealing but runs the non-final
+    # stages at a looser tol (1.9-2.4x fewer iterations on weak structure
+    # at equal TC — the regime where annealing is essential).
+    fast = lc.Corex(n_hidden=8, seed=0, preset="throughput").fit(x)
+    annealed = lc.Corex(n_hidden=8, seed=0, stage_tol_factor=10.0).fit(x)
+    print(f"preset='throughput' TC:      {float(fast.tc):.3f}  "
+          "(int8 + no anneal: built for large strong-structure data — "
+          "at toy scale the annealed path above wins)")
+    print(f"stage_tol_factor=10 TC:      {float(annealed.tc):.3f}")
+
     # Persistence
     lc.save_corex(model, "/tmp/corex_model.npz")
     restored = lc.load_corex("/tmp/corex_model.npz")

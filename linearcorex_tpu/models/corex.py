@@ -981,10 +981,12 @@ class Corex:
             print(f"eps: {eps:.4f}, iterations: {k}, TC: {tcs[s]:.6f}, "
                   f"delta: {deltas[s]:.2e}")
 
-    def fit_transform(self, x, y=None):
+    def fit_transform(self, x, y=None, mesh=None, sharding_plan=None):
         del y  # sklearn Pipeline calls fit_transform(X, y); unsupervised
-        self.fit(x)
-        return self.transform(x)
+        self.fit(x, mesh=mesh, sharding_plan=sharding_plan)
+        # the fitted state already carries the plan; pass it explicitly so
+        # a replicated-data plan still routes transform through the mesh
+        return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)
 
     def warmup(self, n_samples, n_variables, mesh=None,
                sharding_plan=None):

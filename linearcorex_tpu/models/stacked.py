@@ -79,12 +79,13 @@ class StackedCorex:
                 sharding_plan=self._layer_plan(sharding_plan, k))
         return data
 
-    def fit_transform(self, x, y=None):
+    def fit_transform(self, x, y=None, mesh=None, sharding_plan=None):
         """sklearn convention: fit the stack, return the deepest factors
-        (`y` ignored)."""
+        (`y` ignored); `mesh`/`sharding_plan` thread through fit AND the
+        final transform (see `fit`)."""
         del y
-        self.fit(x)
-        return self.transform(x)
+        self.fit(x, mesh=mesh, sharding_plan=sharding_plan)
+        return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)
 
     def transform_all(self, x, mesh=None, sharding_plan=None):
         """List of factor matrices, one per layer (shallow → deep)."""

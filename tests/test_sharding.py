@@ -886,6 +886,27 @@ def test_stacked_mesh_end_to_end():
     assert len(alls) == 2 and alls[1].shape == (512, 2)
 
 
+def test_fit_transform_threads_mesh():
+    """fit_transform(mesh=..., sharding_plan=...) is the one-shot spelling
+    of fit(mesh)+transform(mesh) — both estimators thread the pair, so a
+    Pipeline-style one-call workflow never stages p-wide buffers on one
+    device under shard_vars."""
+    from linearcorex_tpu.models.stacked import StackedCorex
+
+    x, cm, cs = _fresh_pair()
+    plan = ShardingPlan(shard_samples=True, shard_vars=True)
+    mesh = make_mesh(((DATA_AXIS, 4), (VAR_AXIS, 2)))
+    y = cm.fit_transform(x, mesh=mesh, sharding_plan=plan)
+    y_ref = cs.fit_transform(x)
+    assert np.abs(np.asarray(y) - np.asarray(y_ref)).max() < 1e-7
+    kw = dict(dtype="float64", record_history=False, seed=0, max_iter=300,
+              moment_strategy="samples")
+    ys = StackedCorex([8, 2], **kw).fit_transform(x, mesh=mesh,
+                                                  sharding_plan=plan)
+    ys_ref = StackedCorex([8, 2], **kw).fit_transform(x)
+    assert np.abs(np.asarray(ys) - np.asarray(ys_ref)).max() < 1e-7
+
+
 def test_serving_plan_sticky_and_matvec_validation():
     """sharding_plan=None on a serving call reuses the state's CURRENT
     plan (a var-sharded model must not be silently replicated — at the
