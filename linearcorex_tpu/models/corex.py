@@ -811,6 +811,10 @@ class Corex:
         computes the same ranks)."""
         from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
         ensure_compile_cache()
+        self._partial_acc = None  # full fits are fresh: drop any
+        #                           partial_fit accumulation (sklearn
+        #                           convention: fit resets, partial_fit
+        #                           continues)
         x = self._validate_input(x, for_fit=True)
         host = self._host_preprocess(x) if mesh is None else None
         if mesh is None:
@@ -987,6 +991,81 @@ class Corex:
         # the fitted state already carries the plan; pass it explicitly so
         # a replicated-data plan still routes transform through the mesh
         return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)
+
+    def partial_fit(self, x, y=None):
+        """Incremental fit over row batches (the sklearn out-of-core
+        convention, e.g. IncrementalPCA): each call folds the batch into
+        an accumulated second-moment state (`utils.streaming.
+        GramAccumulator` — one GEMM per batch, X never held) and
+        re-solves from the accumulated correlation, warm-started from
+        the current weights, so the estimator is fully usable after
+        every call. `fit` resets the accumulation (fresh, per the
+        sklearn contract); `partial_fit` continues it.
+
+        Equivalent to `fit(concat(batches))` with gaussianize='standard'
+        up to the W init (identical accumulated moments; the warm start
+        only changes the solver trajectory — converged-TC agreement is
+        pinned by tests/test_streaming.py). Cost: one warm-started
+        solve per call — for accumulate-once/solve-once streaming use
+        `GramAccumulator` or `fit_csv`, which this method wraps.
+
+        Named errors: gaussianize must be an affine-'standard' mode
+        (rank-based 'empirical' needs all data at once),
+        missing_values is unsupported (mean-imputation needs the full
+        sample matrix — `utils.streaming` has the same contract), and
+        moment_strategy='samples' contradicts fitting from accumulated
+        moments. Batches may be any row count >= 1; the first solve
+        needs >= 2 accumulated samples."""
+        del y  # unsupervised (sklearn slot)
+        from linearcorex_tpu.utils.streaming import (GramAccumulator,
+                                                     _solve_from_moments)
+        pre = self.pre_config  # deferred validation fires here
+        if pre.gaussianize != "standard":
+            raise ValueError(
+                f"partial_fit accumulates second moments in one streaming "
+                f"pass, which only gaussianize='standard' semantics "
+                f"permit (got {pre.gaussianize!r}; rank-based 'empirical' "
+                f"needs all data at once)")
+        if pre.missing_values is not None:
+            raise ValueError(
+                "partial_fit fits from accumulated second moments and "
+                "cannot mean-impute missing_values (imputation needs the "
+                "full sample matrix); impute each batch before the call, "
+                "or use Corex.fit on the full data")
+        if self.config.moment_strategy == "samples":
+            raise ValueError(
+                "partial_fit solves from the accumulated correlation "
+                "matrix (gram strategy); moment_strategy='samples' "
+                "contradicts that — use 'auto' or 'gram'")
+        x = self._validate_input(x)  # >=1-row batches are legal here
+        acc = getattr(self, "_partial_acc", None)
+        if acc is None:
+            acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)))
+        elif x.shape[1] != acc.p:
+            raise ValueError(
+                f"partial_fit batch has {x.shape[1]} variables; the "
+                f"accumulated state has {acc.p} (call fit/partial_fit on "
+                f"a fresh estimator to change the width)")
+        acc.update(x)
+        self._partial_acc = acc  # commit before solving: the batch is
+        #                          folded in even if this call cannot
+        #                          solve yet (n=1 below)
+        if acc.n_samples < 2:
+            import warnings
+            warnings.warn(
+                "partial_fit has accumulated a single sample; the first "
+                "solve needs >= 2. The batch is retained — the next "
+                "partial_fit call will fit.")
+            return self
+        warm = getattr(self, "ws", None)
+        if warm is not None and warm.shape != (self.m, acc.p):
+            warm = None  # stale width (e.g. fit on other data, then reset)
+        corr, mean, std = acc._moments()
+        _solve_from_moments(self, corr, mean, std, acc.n_samples,
+                            init_ws=warm)
+        if self.verbose:
+            self._print_verbose()
+        return self
 
     def warmup(self, n_samples, n_variables, mesh=None,
                sharding_plan=None):

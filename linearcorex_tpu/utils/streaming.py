@@ -123,11 +123,25 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     std = jnp.where(std < 1e-10, 1.0, std)
     corr = sigma / jnp.outer(std, std)
     model = Corex(n_hidden=n_hidden, gaussianize="standard", **corex_kwargs)
-    model.n_samples, model.nv = int(n_samples), p
     mean = (jnp.zeros(p) if variable_means is None
             else jnp.asarray(variable_means))
-    model.theta = P.Theta(mean=mean.astype(model._dt),
-                          std=std.astype(model._dt))
+    return _solve_from_moments(model, corr, mean, std, int(n_samples))
+
+
+def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None):
+    """Shared solve for every moment-input fit (`fit_from_covariance`,
+    `GramAccumulator.fit`, `Corex.partial_fit`): record the affine theta,
+    resolve the 'auto' knobs against the TRUE sample count (the Gram
+    operand carries none — CLAUDE.md invariant), cast the correlation
+    operand per matmul_dtype, and run the gram-strategy fit program
+    in place on `model`. `init_ws` warm-starts (partial_fit); otherwise
+    the init follows the model's own policy via `_resolve_w0` —
+    pretrained weights and init='spectral' included (previously these
+    moment-input drivers silently fell back to the random init)."""
+    p = corr.shape[0]
+    model.n_samples, model.nv = int(n_samples), p
+    model.theta = P.Theta(mean=jnp.asarray(mean).astype(model._dt),
+                          std=jnp.asarray(std).astype(model._dt))
     cfg = resolve_config(model.config, p, n_samples=model.n_samples)
     model.resolved_optimizer_ = cfg.optimizer
     data = corr.astype(model._dt)
@@ -135,9 +149,10 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
         data = data.astype(jnp.bfloat16)
     elif cfg.matmul_dtype == "int8":
         data = M.quantize_gram(data)
-    w0 = jnp.asarray(model._init_ws(p), dtype=model._dt)
+    w0 = model._resolve_w0(init_ws, data=data, strategy="gram")
     model.ws, model.moments, model.diagnostics = _fit_program(
         data, w0, cfg, "gram")
+    model._serving_plan = None  # single-device state
     return model
 
 
@@ -222,12 +237,17 @@ class GramAccumulator:
     def n_samples(self) -> int:
         return self._n
 
-    def correlation(self):
-        """The standardized p x p correlation matrix accumulated so far."""
+    def _moments(self):
+        """(corr, mean, std) of everything accumulated so far."""
         if self._n < 2:
             raise ValueError("need at least 2 accumulated samples")
-        corr, _, _ = _finalize_corr(self._g, self._s, float(self._n))
-        return corr
+        corr, mean_shift, std = _finalize_corr(self._g, self._s,
+                                               float(self._n))
+        return corr, self._x0 + mean_shift, std
+
+    def correlation(self):
+        """The standardized p x p correlation matrix accumulated so far."""
+        return self._moments()[0]
 
     def fit(self, n_hidden: int, **corex_kwargs) -> Corex:
         """Fit a Corex model from the accumulated moments (gram strategy).
@@ -235,26 +255,9 @@ class GramAccumulator:
         Returns a fitted estimator whose transform/predict/get_covariance
         behave exactly as if fit on the concatenated data with
         gaussianize='standard'."""
-        if self._n < 2:
-            raise ValueError("need at least 2 accumulated samples")
+        corr, mean, std = self._moments()
         _reject_missing_values(corex_kwargs, "GramAccumulator.fit")
         corex_kwargs.setdefault("dtype", str(self.dtype))
         model = Corex(n_hidden=n_hidden, gaussianize="standard",
                       **corex_kwargs)
-        corr, mean_shift, std = _finalize_corr(self._g, self._s,
-                                               float(self._n))
-        mean = self._x0 + mean_shift
-        model.n_samples, model.nv = self._n, self.p
-        model.theta = P.Theta(mean=mean.astype(model._dt),
-                              std=std.astype(model._dt))
-        cfg = resolve_config(model.config, self.p, n_samples=self._n)
-        model.resolved_optimizer_ = cfg.optimizer
-        data = corr.astype(model._dt)
-        if cfg.matmul_dtype == "bfloat16":
-            data = data.astype(jnp.bfloat16)
-        elif cfg.matmul_dtype == "int8":
-            data = M.quantize_gram(data)
-        w0 = jnp.asarray(model._init_ws(self.p), dtype=model._dt)
-        model.ws, model.moments, model.diagnostics = _fit_program(
-            data, w0, cfg, "gram")
-        return model
+        return _solve_from_moments(model, corr, mean, std, self._n)

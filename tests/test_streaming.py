@@ -105,3 +105,104 @@ def test_streaming_rejects_missing_values():
         acc.fit(n_hidden=2, missing_values=-999.0)
     with pytest.raises(ValueError, match="missing_values"):
         fit_from_covariance(np.eye(8), 100, 2, missing_values=-999.0)
+
+
+# ---------------------------------------------------------------------------
+# Corex.partial_fit — the sklearn out-of-core spelling of GramAccumulator
+# ---------------------------------------------------------------------------
+
+def test_partial_fit_single_batch_equals_acc_fit():
+    """One partial_fit call over the whole data IS GramAccumulator.fit:
+    same accumulated moments, same seeded init policy (_resolve_w0), same
+    gram program — the results must agree to fp noise."""
+    x = block_data(n=800, p=48, m=6, seed=3)
+    m_pf = lc.Corex(n_hidden=6, seed=0, dtype="float64").partial_fit(x)
+    m_acc = GramAccumulator(p=48, dtype="float64").update(x).fit(
+        n_hidden=6, seed=0, dtype="float64")
+    assert abs(m_pf.tc - m_acc.tc) < 1e-8
+    assert np.abs(np.asarray(m_pf.ws) - np.asarray(m_acc.ws)).max() < 1e-8
+
+
+def test_partial_fit_batched_equals_full_fit():
+    """partial_fit over row batches converges to the in-memory fit's
+    optimum: the final call sees identical accumulated moments; only the
+    warm-started W trajectory differs."""
+    x = block_data(n=1200, p=64, m=8, seed=0)
+    mdl = lc.Corex(n_hidden=8, seed=0, dtype="float64")
+    for start in range(0, 1200, 256):    # uneven final batch on purpose
+        mdl.partial_fit(x[start:start + 256])
+        assert mdl.transform(x[:4]).shape == (4, 8)   # usable every call
+    assert mdl.n_samples == 1200
+    m_mem = lc.Corex(n_hidden=8, seed=0, dtype="float64",
+                     moment_strategy="gram").fit(x)
+    assert abs(mdl.tc - m_mem.tc) < 1e-3 * abs(m_mem.tc)
+    assert np.array_equal(np.asarray(mdl.clusters),
+                          np.asarray(m_mem.clusters))
+
+
+def test_partial_fit_fit_resets_accumulation():
+    """sklearn contract: fit is fresh (drops the partial state);
+    partial_fit after it starts a new accumulation."""
+    x = block_data(n=400, p=32, m=4, seed=5)
+    mdl = lc.Corex(n_hidden=4, seed=0, dtype="float64")
+    mdl.partial_fit(x[:200])
+    assert mdl.n_samples == 200
+    mdl.fit(x)                       # fresh full fit
+    assert mdl._partial_acc is None
+    assert mdl.n_samples == 400
+    mdl.partial_fit(x[:100])         # new accumulation, not 400+100
+    assert mdl.n_samples == 100
+
+
+def test_partial_fit_validation():
+    x = block_data(n=100, p=16, m=2, seed=6)
+    with pytest.raises(ValueError, match="gaussianize='standard'|standard"):
+        lc.Corex(n_hidden=2, gaussianize="empirical").partial_fit(x)
+    with pytest.raises(ValueError, match="missing_values"):
+        lc.Corex(n_hidden=2, missing_values=-999.0).partial_fit(x)
+    with pytest.raises(ValueError, match="moment_strategy"):
+        lc.Corex(n_hidden=2, moment_strategy="samples").partial_fit(x)
+    mdl = lc.Corex(n_hidden=2, seed=0).partial_fit(x)
+    with pytest.raises(ValueError, match="16"):
+        mdl.partial_fit(np.zeros((10, 9)))   # width change mid-stream
+
+
+def test_partial_fit_single_row_first_batch_defers():
+    """A 1-row first batch is retained (warn, no solve); the next call
+    solves from both rows' accumulation."""
+    x = block_data(n=64, p=8, m=2, seed=7)
+    mdl = lc.Corex(n_hidden=2, seed=0, dtype="float64")
+    with pytest.warns(UserWarning, match="single sample"):
+        mdl.partial_fit(x[:1])
+    with pytest.raises(lc.NotFittedError):
+        mdl.transform(x[:4])
+    mdl.partial_fit(x[1:])
+    assert mdl.n_samples == 64           # the first row was not dropped
+    assert mdl.transform(x[:4]).shape == (4, 2)
+
+
+def test_moment_input_fits_honor_init_policy():
+    """fit_from_covariance/_solve_from_moments route W init through
+    _resolve_w0: pretrained weights (and init='spectral') now apply to
+    moment-input fits instead of silently falling back to random."""
+    from linearcorex_tpu.utils.streaming import fit_from_covariance
+
+    x = block_data(n=600, p=32, m=4, seed=8)
+    sigma = np.cov(x.T)
+    m1 = fit_from_covariance(sigma, 600, 4, seed=0, dtype="float64")
+    m2 = fit_from_covariance(sigma, 600, 4, seed=0, dtype="float64",
+                             pretrained_weights=np.asarray(m1.ws))
+    # warm-started at m1's optimum: stays there (far fewer iterations
+    # than the cold fit, same basin)
+    assert np.abs(np.asarray(m2.ws) - np.asarray(m1.ws)).max() < 1e-4
+    assert int(np.asarray(m2.diagnostics.iters_per_stage)[-1]) <= \
+        int(np.asarray(m1.diagnostics.iters_per_stage)[-1])
+    # spectral init is deterministic given the seed and differs from the
+    # random draw — the two inits must produce different first-stage
+    # trajectories on the same moments
+    with pytest.warns(UserWarning, match="spectral.*anneal"):
+        # spectral+anneal warns (measured-harmful pairing at scale) —
+        # expected here; this toy check only needs the init to apply
+        m3 = fit_from_covariance(sigma, 600, 4, seed=0, dtype="float64",
+                                 init="spectral")
+    assert m3.tc == pytest.approx(m1.tc, rel=0.05)   # same optimum class
