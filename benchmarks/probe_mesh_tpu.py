@@ -111,7 +111,8 @@ def main():
     y_mesh = np.asarray(mm_.transform(x, mesh=mesh))
     s_plain = float(mp_.score(x))
     s_mesh = float(mm_.score(x, mesh=mesh))
-    t_tr = timed(lambda: np.asarray(mm_.transform(x, mesh=mesh))[0, 0])
+    # scalar-fetch close (the full (n, m) D2H would swamp the timing)
+    t_tr = timed(lambda: float(mm_.transform(x, mesh=mesh)[0, 0]))
     print(json.dumps({"probe": "serving", "transform_mesh_s": round(t_tr, 4),
                       "max_abs_dy": float(np.abs(y_plain - y_mesh).max()),
                       "score_plain": s_plain, "score_mesh": s_mesh}),

@@ -1039,14 +1039,24 @@ class Corex:
                 "contradicts that — use 'auto' or 'gram'")
         x = self._validate_input(x)  # >=1-row batches are legal here
         acc = getattr(self, "_partial_acc", None)
-        if acc is None:
-            acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)))
-        elif x.shape[1] != acc.p:
+        expect = acc.p if acc is not None else getattr(self, "nv", None)
+        if expect is not None and x.shape[1] != expect:
+            # covers both the mid-stream width change AND a new stream on
+            # an estimator fit on different-width data — sklearn expects
+            # n_features consistency with the fitted state, and silently
+            # refitting from scratch would absorb a wrong-dataset bug
             raise ValueError(
                 f"partial_fit batch has {x.shape[1]} variables; the "
-                f"accumulated state has {acc.p} (call fit/partial_fit on "
-                f"a fresh estimator to change the width)")
-        acc.update(x)
+                f"{'accumulated' if acc is not None else 'fitted'} state "
+                f"has {expect} (use a fresh estimator — sklearn.clone — "
+                f"to change the width)")
+        if acc is None:
+            acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)))
+        # _validate_input already NaN-screened host arrays; hand the
+        # accumulator a device array so update() does not repeat the
+        # identical O(n·p) host scan (it transfers H2D either way)
+        acc.update(jnp.asarray(x, acc.dtype)
+                   if isinstance(x, np.ndarray) else x)
         self._partial_acc = acc  # commit before solving: the batch is
         #                          folded in even if this call cannot
         #                          solve yet (n=1 below)
@@ -1058,8 +1068,14 @@ class Corex:
                 "partial_fit call will fit.")
             return self
         warm = getattr(self, "ws", None)
-        if warm is not None and warm.shape != (self.m, acc.p):
-            warm = None  # stale width (e.g. fit on other data, then reset)
+        if warm is not None and (warm.shape != (self.m, acc.p)):
+            warm = None  # stale shape (e.g. n_hidden changed via set_params)
+        elif warm is not None:
+            # a mesh fit / mesh serving leaves ws committed to mesh
+            # devices; the single-device solve program would reject
+            # mixed-device arguments — uncommit via host round-trip
+            # (m x p, small)
+            warm = np.asarray(warm)
         corr, mean, std = acc._moments()
         _solve_from_moments(self, corr, mean, std, acc.n_samples,
                             init_ws=warm)

@@ -138,6 +138,11 @@ def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None):
     the init follows the model's own policy via `_resolve_w0` —
     pretrained weights and init='spectral' included (previously these
     moment-input drivers silently fell back to the random init)."""
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()  # every fit-shaped entry point wires the
+    #                         persistent cache (compile_cache.py policy);
+    #                         partial_fit/fit_csv/fit_from_covariance may
+    #                         be a process's FIRST library call
     p = corr.shape[0]
     model.n_samples, model.nv = int(n_samples), p
     model.theta = P.Theta(mean=jnp.asarray(mean).astype(model._dt),
@@ -220,6 +225,11 @@ class GramAccumulator:
         if x.ndim != 2 or x.shape[1] != self.p:
             raise ValueError(
                 f"expected batch of shape (b, {self.p}), got {x.shape}")
+        if x.shape[0] == 0:
+            # an empty FIRST batch would set the shift point _x0 to
+            # mean-of-nothing = NaN and silently poison every later
+            # batch; reject empties uniformly
+            raise ValueError("batch has 0 rows")
         if self._x0 is None:
             # Accumulate around the first batch's mean (shifted-data trick):
             # cov = G'/n − μ'μ'ᵀ with μ' = μ − x0 small, so the subtraction

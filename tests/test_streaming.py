@@ -206,3 +206,37 @@ def test_moment_input_fits_honor_init_policy():
         m3 = fit_from_covariance(sigma, 600, 4, seed=0, dtype="float64",
                                  init="spectral")
     assert m3.tc == pytest.approx(m1.tc, rel=0.05)   # same optimum class
+
+
+def test_partial_fit_after_mesh_fit_warm_start():
+    """A mesh fit leaves ws committed to mesh devices; partial_fit's
+    warm start must uncommit it or the single-device solve rejects
+    mixed-device arguments (review finding, session 4)."""
+    from linearcorex_tpu.parallel.sharding import make_mesh
+
+    x = block_data(n=512, p=32, m=4, seed=9)
+    mdl = lc.Corex(n_hidden=4, seed=0, dtype="float64")
+    mdl.fit(x, mesh=make_mesh((("data", 8),)))
+    mdl.partial_fit(x[:256])      # fresh accumulation, warm from mesh ws
+    assert mdl.n_samples == 256
+    assert mdl.transform(x[:4]).shape == (4, 4)
+
+
+def test_partial_fit_width_change_after_fit_raises():
+    """sklearn n_features consistency: a new partial_fit stream on an
+    estimator fit on different-width data raises instead of silently
+    refitting from scratch (review finding, session 4)."""
+    x = block_data(n=200, p=64, m=4, seed=10)
+    mdl = lc.Corex(n_hidden=4, seed=0, dtype="float64").fit(x)
+    with pytest.raises(ValueError, match="64"):
+        mdl.partial_fit(np.asarray(x)[:, :32])
+
+
+def test_streaming_rejects_empty_batch():
+    """An empty FIRST batch would set the shift point to NaN and silently
+    poison the accumulation (review finding, session 4)."""
+    acc = GramAccumulator(8)
+    with pytest.raises(ValueError, match="0 rows"):
+        acc.update(np.zeros((0, 8)))
+    with pytest.raises(ValueError, match="0 rows"):
+        lc.Corex(n_hidden=2).partial_fit(np.zeros((0, 8)))
