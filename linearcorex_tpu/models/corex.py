@@ -992,7 +992,7 @@ class Corex:
         # a replicated-data plan still routes transform through the mesh
         return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)
 
-    def partial_fit(self, x, y=None):
+    def partial_fit(self, x, y=None, mesh=None, sharding_plan=None):
         """Incremental fit over row batches (the sklearn out-of-core
         convention, e.g. IncrementalPCA): each call folds the batch into
         an accumulated second-moment state (`utils.streaming.
@@ -1001,6 +1001,14 @@ class Corex:
         the current weights, so the estimator is fully usable after
         every call. `fit` resets the accumulation (fresh, per the
         sklearn contract); `partial_fit` continues it.
+
+        `mesh=` (with an optional shard_vars `sharding_plan=`) keeps the
+        accumulated p x p state row-sharded over the mesh and solves via
+        `parallel.fit_sharded` — streaming + p-beyond-one-chip compose
+        (see GramAccumulator). The layout binds on the FIRST call of a
+        stream; later calls may omit it (the stream's layout continues),
+        and passing a DIFFERENT mesh mid-stream raises — resharding a
+        live accumulation silently would hide a wrong-mesh bug.
 
         Equivalent to `fit(concat(batches))` with gaussianize='standard'
         up to the W init (identical accumulated moments; the warm start
@@ -1050,8 +1058,16 @@ class Corex:
                 f"{'accumulated' if acc is not None else 'fitted'} state "
                 f"has {expect} (use a fresh estimator — sklearn.clone — "
                 f"to change the width)")
+        if acc is not None and mesh is not None and mesh is not acc.mesh:
+            raise ValueError(
+                "partial_fit received a different mesh mid-stream; the "
+                "accumulation layout binds on the first call (resharding "
+                "a live p x p accumulation silently would hide a "
+                "wrong-mesh bug) — finish the stream, or start a fresh "
+                "one (fit resets, or use a new estimator)")
         if acc is None:
-            acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)))
+            acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)),
+                                  mesh=mesh, sharding_plan=sharding_plan)
         # _validate_input already NaN-screened host arrays; hand the
         # accumulator a device array so update() does not repeat the
         # identical O(n·p) host scan (it transfers H2D either way)
@@ -1078,7 +1094,7 @@ class Corex:
             warm = np.asarray(warm)
         corr, mean, std = acc._moments()
         _solve_from_moments(self, corr, mean, std, acc.n_samples,
-                            init_ws=warm)
+                            init_ws=warm, mesh=acc.mesh, plan=acc.plan)
         if self.verbose:
             self._print_verbose()
         return self

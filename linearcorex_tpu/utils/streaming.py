@@ -16,6 +16,13 @@ accumulated moments without ever holding X.
 Exactly equivalent (to fp precision) to `Corex(...).fit(concat(batches))`
 with gaussianize='standard' — the accumulated mean/variance standardize the
 Gram analytically: corr = D⁻¹ (G_raw/n − μμᵀ) D⁻¹.
+
+With `mesh=` (and a `shard_vars` ShardingPlan) the accumulated p x p Gram
+lives ROW-SHARDED over the mesh's variable axis from the first batch, and
+the solve runs through `parallel.fit_sharded` (gram strategy) — so the
+out-of-core story and the p-beyond-one-chip story COMPOSE: no p x p (or
+n x p) buffer ever materializes on one device. Mirrors the round-4
+mesh-aware prepare (`Corex.fit(mesh=...)`) for the streaming drivers.
 """
 
 from __future__ import annotations
@@ -24,7 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from linearcorex_tpu.models.corex import Corex, _fit_program, resolve_config
+from linearcorex_tpu.models.corex import (Corex, _fit_program,
+                                          resolve_config, resolve_optimizer)
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 
@@ -82,10 +90,13 @@ def iter_text_blocks(path: str, block_rows: int = 8192,
 
 def fit_csv(path: str, n_hidden: int, block_rows: int = 8192,
             delimiter: str = ",", skip_header: int = 0,
-            **corex_kwargs) -> "Corex":
+            mesh=None, sharding_plan=None, **corex_kwargs) -> "Corex":
     """Out-of-core fit straight from a delimited numeric text file: stream
     blocks through a GramAccumulator (native reader when available), then
     fit from the accumulated moments — the file is never held in memory.
+    `mesh=`/`sharding_plan=` accumulate AND solve var-sharded over the
+    mesh (see GramAccumulator), so neither the file NOR the p x p Gram
+    ever lives on one device.
 
     Equivalent (to fp precision) to Corex(...).fit(np.loadtxt(path, ...))
     with gaussianize='standard'."""
@@ -93,7 +104,8 @@ def fit_csv(path: str, n_hidden: int, block_rows: int = 8192,
     acc = None
     for block in iter_text_blocks(path, block_rows, delimiter, skip_header):
         if acc is None:
-            acc = GramAccumulator(block.shape[1], dtype=dtype)
+            acc = GramAccumulator(block.shape[1], dtype=dtype, mesh=mesh,
+                                  sharding_plan=sharding_plan)
         acc.update(block)
     if acc is None:
         raise ValueError(f"{path}: no data rows")
@@ -101,7 +113,8 @@ def fit_csv(path: str, n_hidden: int, block_rows: int = 8192,
 
 
 def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
-                        variable_means=None, **corex_kwargs) -> Corex:
+                        variable_means=None, mesh=None, sharding_plan=None,
+                        **corex_kwargs) -> Corex:
     """Fit Linear CorEx directly from a p x p covariance (or correlation)
     matrix — no sample matrix needed.
 
@@ -112,23 +125,78 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     (fixed_point iff n_samples >= p) — pass the real count.
     `variable_means` (default zeros) populates the model's theta so
     `transform`/`predict` standardize new data with sigma's scale.
+
+    `mesh=`/`sharding_plan=` (shard_vars plans) device_put sigma
+    ROW-SHARDED over the mesh's variable axis — H2D goes per shard, the
+    normalization runs under the mesh, and the solve goes through
+    `parallel.fit_sharded` — so the full p x p never lands on one device
+    (the var-sharded analog of `Corex.fit(mesh=...)`'s prepare).
     """
     _reject_missing_values(corex_kwargs, "fit_from_covariance")
-    sigma = jnp.asarray(sigma)
     p = sigma.shape[0]
     if sigma.shape != (p, p):
         raise ValueError(f"sigma must be square, got {sigma.shape}")
-    var = jnp.diagonal(sigma)
-    std = jnp.sqrt(jnp.maximum(var, 1e-20))
-    std = jnp.where(std < 1e-10, 1.0, std)
-    corr = sigma / jnp.outer(std, std)
+    plan = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+
+        plan = _resolve_stream_plan(mesh, sharding_plan, p, where="fit_from_covariance")
+        sigma = jax.device_put(sigma, NamedSharding(mesh, plan.v_spec(2)))
+    else:
+        sigma = jnp.asarray(sigma)
+    corr, std = _normalize_sigma(sigma)
     model = Corex(n_hidden=n_hidden, gaussianize="standard", **corex_kwargs)
     mean = (jnp.zeros(p) if variable_means is None
             else jnp.asarray(variable_means))
-    return _solve_from_moments(model, corr, mean, std, int(n_samples))
+    return _solve_from_moments(model, corr, mean, std, int(n_samples),
+                               mesh=mesh, plan=plan)
 
 
-def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None):
+@jax.jit
+def _normalize_sigma(sigma):
+    """(correlation, std) from a covariance matrix. Sharding-transparent:
+    a row-sharded sigma yields a row-sharded correlation (the outer-
+    product column term gathers only the small (p,) std vector)."""
+    var = jnp.diagonal(sigma)
+    std = jnp.sqrt(jnp.maximum(var, 1e-20))
+    std = jnp.where(std < 1e-10, 1.0, std)
+    return sigma / jnp.outer(std, std), std
+
+
+def _resolve_stream_plan(mesh, sharding_plan, p, where: str):
+    """The ShardingPlan a streaming/moment-input driver runs under: the
+    operand is the p x p correlation (gram strategy), so the plan MUST
+    shard the variable axis — a sample-only plan would map it to
+    P(None, None) and silently run fully replicated (the same hazard
+    `models.corex.pick_fit_strategy` warns about on the estimator path;
+    here the operand is gram BY CONSTRUCTION, so it is an error, not a
+    warning). Also fails fast on GSPMD's divisibility rule for p."""
+    import dataclasses
+
+    from linearcorex_tpu.parallel.sharding import (ShardingPlan,
+                                                   validate_plan_shapes)
+
+    plan = sharding_plan if sharding_plan is not None else ShardingPlan(
+        shard_samples=False, shard_vars=True)
+    if not plan.shard_vars:
+        raise ValueError(
+            f"{where}(mesh=...) operates on the accumulated p x p "
+            f"correlation (gram strategy), which carries no sample axis — "
+            f"the ShardingPlan must set shard_vars=True to shard its rows "
+            f"(got {plan}); shard_samples/shard_slices do not apply here")
+    if plan.shard_slices:
+        raise ValueError(
+            f"{where}(mesh=...): shard_slices splits the SAMPLE axis; a "
+            f"Gram operand carries none — use a shard_vars plan")
+    # the factor-axis check needs n_hidden, which the accumulator does not
+    # know yet — fit_sharded re-validates the full plan at solve time
+    validate_plan_shapes(dataclasses.replace(plan, shard_factors=False),
+                         "gram", mesh, None, p, 1)
+    return plan
+
+
+def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None,
+                        mesh=None, plan=None):
     """Shared solve for every moment-input fit (`fit_from_covariance`,
     `GramAccumulator.fit`, `Corex.partial_fit`): record the affine theta,
     resolve the 'auto' knobs against the TRUE sample count (the Gram
@@ -137,7 +205,14 @@ def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None):
     in place on `model`. `init_ws` warm-starts (partial_fit); otherwise
     the init follows the model's own policy via `_resolve_w0` —
     pretrained weights and init='spectral' included (previously these
-    moment-input drivers silently fell back to the random init)."""
+    moment-input drivers silently fell back to the random init).
+
+    With `mesh`/`plan` (a validated shard_vars plan; `corr`/`mean`/`std`
+    already laid out per the plan, or host arrays to be placed), the
+    solve runs through `parallel.fit_sharded` (gram strategy) and the
+    model's serving plan is set, mirroring `Corex.fit(mesh=...)` —
+    use_pallas resolves against the MESH's platform inside fit_sharded
+    (resolve_sharded_config), exactly as the estimator mesh path does."""
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
     ensure_compile_cache()  # every fit-shaped entry point wires the
     #                         persistent cache (compile_cache.py policy);
@@ -147,17 +222,34 @@ def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None):
     model.n_samples, model.nv = int(n_samples), p
     model.theta = P.Theta(mean=jnp.asarray(mean).astype(model._dt),
                           std=jnp.asarray(std).astype(model._dt))
-    cfg = resolve_config(model.config, p, n_samples=model.n_samples)
+    if mesh is None:
+        cfg = resolve_config(model.config, p, n_samples=model.n_samples)
+    else:
+        # optimizer resolves against the true shapes HERE (shared policy,
+        # models.corex.resolve_optimizer); use_pallas/'auto' resolve
+        # against the mesh platform inside fit_sharded — the same split
+        # Corex._prepare_fit(resolve=False) uses for mesh fits
+        cfg = resolve_optimizer(model.config, p, model.n_samples)
     model.resolved_optimizer_ = cfg.optimizer
     data = corr.astype(model._dt)
     if cfg.matmul_dtype == "bfloat16":
         data = data.astype(jnp.bfloat16)
     elif cfg.matmul_dtype == "int8":
+        # check_overflow at the DRIVER boundary: eager guard on the (maybe
+        # sharded) operand, same as every other int8 entry point
         data = M.quantize_gram(data)
     w0 = model._resolve_w0(init_ws, data=data, strategy="gram")
-    model.ws, model.moments, model.diagnostics = _fit_program(
-        data, w0, cfg, "gram")
-    model._serving_plan = None  # single-device state
+    if mesh is not None:
+        from linearcorex_tpu.parallel.sharding import fit_sharded
+
+        model.ws, model.moments, model.diagnostics = fit_sharded(
+            data, w0, cfg, mesh, plan, strategy="gram",
+            n_samples=model.n_samples, check_overflow=False)
+        model._serving_plan = plan  # serving calls default to this layout
+    else:
+        model.ws, model.moments, model.diagnostics = _fit_program(
+            data, w0, cfg, "gram")
+        model._serving_plan = None  # single-device state
     return model
 
 
@@ -173,18 +265,24 @@ def _reject_missing_values(corex_kwargs, where):
             f"the full sample matrix")
 
 
-@jax.jit
-def _batch_stats(x):
-    """One pass over a batch: (XᵀX, column sums). Highest matmul precision —
-    the accumulated moments feed every solver iteration (see
-    ops.moments.compute_gram)."""
+def _update_moments(g, s, x, x0):
+    """One pass over a batch, folded into the running moments: shift by
+    the accumulation pivot x0, one GEMM (XᵀX) + column sums, accumulate.
+    ONE program per batch shape (vs the former eager-sub / jit-stats /
+    eager-add chain: fewer dispatches — each first-seen eager op at scale
+    costs a remote compile here — and `donate_argnums` below updates the
+    p x p accumulator IN PLACE instead of allocating a second one).
+    Highest matmul precision — the accumulated moments feed every solver
+    iteration (see ops.moments.compute_gram)."""
+    xs = x - x0[jnp.newaxis, :]
     with jax.default_matmul_precision("highest"):
-        g = M._mm(x.T, x)
-    s = jnp.sum(x, axis=0)
-    return g, s
+        gb = M._mm(xs.T, xs)
+    return g + gb, s + jnp.sum(xs, axis=0)
 
 
-@jax.jit
+_update_single = jax.jit(_update_moments, donate_argnums=(0, 1))
+
+
 def _finalize_corr(g_raw, col_sum, n):
     """Standardized correlation matrix from raw accumulated moments."""
     mean = col_sum / n
@@ -196,19 +294,62 @@ def _finalize_corr(g_raw, col_sum, n):
     return corr, mean, std
 
 
+_finalize_single = jax.jit(_finalize_corr)
+
+
 class GramAccumulator:
     """Accumulate second moments over data batches; fit without holding X.
 
     Only gaussianize='standard' semantics are possible in one streaming
     pass (rank-based 'empirical' needs all data); that is also the solver's
     default mode.
+
+    `mesh=` (optionally with a `shard_vars` ShardingPlan — the default
+    plan if omitted) keeps the p x p accumulator ROW-SHARDED over the
+    mesh's variable axis for its whole life: batches are device_put with
+    their COLUMNS sharded (H2D goes per shard), the update GEMM computes
+    each device's Gram row-block locally (GSPMD all-gathers only the
+    transient (b, p) batch — bound it with block_rows), and `fit` solves
+    through `parallel.fit_sharded`. This is how streaming fits reach the
+    p-beyond-one-chip regime (docs/SCALING.md): without a mesh the p x p
+    Gram caps p at one chip's HBM no matter how the batches stream.
     """
 
-    def __init__(self, p: int, dtype: str = "float32"):
+    def __init__(self, p: int, dtype: str = "float32", mesh=None,
+                 sharding_plan=None):
         self.p = p
         self.dtype = jnp.dtype(dtype)
-        self._g = jnp.zeros((p, p), self.dtype)
-        self._s = jnp.zeros((p,), self.dtype)
+        self.mesh = mesh
+        self.plan = None
+        if mesh is None:
+            self._g = jnp.zeros((p, p), self.dtype)
+            self._s = jnp.zeros((p,), self.dtype)
+            self._update_fn = _update_single
+            self._finalize_fn = _finalize_single
+            self._xsh = None
+        else:
+            from jax.sharding import NamedSharding
+
+            self.plan = _resolve_stream_plan(mesh, sharding_plan, p,
+                                             where="GramAccumulator")
+            gsh = NamedSharding(mesh, self.plan.v_spec(2))   # (p, p) rows
+            vsh = NamedSharding(mesh, self.plan.v_spec(1))   # (p,)
+            # batch columns follow the Gram rows; rows stay unsharded (a
+            # streaming batch is transient — sharding its columns is what
+            # keeps the H2D transfer and the update GEMM per-shard)
+            self._xsh = NamedSharding(mesh, jax.sharding.PartitionSpec(
+                None, self.plan.v_spec(1)[0]))
+            # allocate the accumulators ALREADY sharded (a jnp.zeros +
+            # device_put would materialize the full p x p on one device
+            # first — the exact thing this path exists to avoid)
+            self._g = jax.jit(lambda: jnp.zeros((p, p), self.dtype),
+                              out_shardings=gsh)()
+            self._s = jax.jit(lambda: jnp.zeros((p,), self.dtype),
+                              out_shardings=vsh)()
+            self._update_fn = jax.jit(_update_moments, donate_argnums=(0, 1),
+                                      out_shardings=(gsh, vsh))
+            self._finalize_fn = jax.jit(_finalize_corr,
+                                        out_shardings=(gsh, vsh, vsh))
         self._x0 = None   # shift point (first batch's column means)
         self._n = 0
 
@@ -230,16 +371,20 @@ class GramAccumulator:
             # mean-of-nothing = NaN and silently poison every later
             # batch; reject empties uniformly
             raise ValueError("batch has 0 rows")
+        if self._xsh is not None:
+            # shard the batch columns per the plan BEFORE any device op:
+            # H2D goes per shard and the full batch never lands on one
+            # device (device_put reshards an already-committed array too)
+            x = jax.device_put(x, self._xsh)
         if self._x0 is None:
             # Accumulate around the first batch's mean (shifted-data trick):
             # cov = G'/n − μ'μ'ᵀ with μ' = μ − x0 small, so the subtraction
             # does not cancel catastrophically in float32 (observed ~1% TC
             # drift without the shift when means dominate variances).
+            # Under a mesh the row-reduction of the column-sharded batch
+            # yields the var-sharded (p,) pivot directly.
             self._x0 = jnp.mean(x, axis=0)
-        xs = x - self._x0[jnp.newaxis, :]
-        g, s = _batch_stats(xs)
-        self._g = self._g + g
-        self._s = self._s + s
+        self._g, self._s = self._update_fn(self._g, self._s, x, self._x0)
         self._n += x.shape[0]
         return self
 
@@ -251,8 +396,8 @@ class GramAccumulator:
         """(corr, mean, std) of everything accumulated so far."""
         if self._n < 2:
             raise ValueError("need at least 2 accumulated samples")
-        corr, mean_shift, std = _finalize_corr(self._g, self._s,
-                                               float(self._n))
+        corr, mean_shift, std = self._finalize_fn(self._g, self._s,
+                                                  float(self._n))
         return corr, self._x0 + mean_shift, std
 
     def correlation(self):
@@ -261,6 +406,9 @@ class GramAccumulator:
 
     def fit(self, n_hidden: int, **corex_kwargs) -> Corex:
         """Fit a Corex model from the accumulated moments (gram strategy).
+        Accumulators built with `mesh=` solve through
+        `parallel.fit_sharded` under the same layout, and the fitted
+        estimator serves under it too (`_serving_plan`).
 
         Returns a fitted estimator whose transform/predict/get_covariance
         behave exactly as if fit on the concatenated data with
@@ -270,4 +418,5 @@ class GramAccumulator:
         corex_kwargs.setdefault("dtype", str(self.dtype))
         model = Corex(n_hidden=n_hidden, gaussianize="standard",
                       **corex_kwargs)
-        return _solve_from_moments(model, corr, mean, std, self._n)
+        return _solve_from_moments(model, corr, mean, std, self._n,
+                                   mesh=self.mesh, plan=self.plan)

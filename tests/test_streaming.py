@@ -232,6 +232,142 @@ def test_partial_fit_width_change_after_fit_raises():
         mdl.partial_fit(np.asarray(x)[:, :32])
 
 
+# ---------------------------------------------------------------------------
+# Mesh-aware streaming: the accumulated p x p Gram row-sharded over 'var'
+# (streaming + p-beyond-one-chip COMPOSE — round-4 session 5)
+# ---------------------------------------------------------------------------
+
+def _var_mesh(d=8):
+    from linearcorex_tpu.parallel.sharding import VAR_AXIS, make_mesh
+    return make_mesh(((VAR_AXIS, d),))
+
+
+def test_streaming_sharded_equals_single_device():
+    """Accumulate + fit under a var-sharded mesh == the single-device
+    accumulator fit (f64): same moments, same program math — GSPMD only
+    changes the layout."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from linearcorex_tpu.parallel.sharding import VAR_AXIS
+
+    x = block_data(n=1200, p=64, m=8, seed=0)
+    mesh = _var_mesh()
+    acc = GramAccumulator(p=64, dtype="float64", mesh=mesh)
+    acc_ref = GramAccumulator(p=64, dtype="float64")
+    for start in range(0, 1200, 256):       # uneven final batch on purpose
+        acc.update(x[start:start + 256])
+        acc_ref.update(x[start:start + 256])
+    # the accumulator state is ROW-SHARDED from the first batch: each
+    # device holds a (p/8, p) block, never the full p x p
+    assert acc._g.sharding.is_equivalent_to(
+        NamedSharding(mesh, PS(VAR_AXIS, None)), 2)
+    assert acc._g.addressable_shards[0].data.shape == (8, 64)
+    corr_s = np.asarray(acc.correlation())
+    corr_r = np.asarray(acc_ref.correlation())
+    assert np.abs(corr_s - corr_r).max() < 1e-12
+    m_mesh = acc.fit(n_hidden=8, seed=0)
+    m_ref = acc_ref.fit(n_hidden=8, seed=0)
+    assert abs(m_mesh.tc - m_ref.tc) < 1e-7
+    assert np.abs(np.asarray(m_mesh.ws) - np.asarray(m_ref.ws)).max() < 1e-7
+    assert np.array_equal(np.asarray(m_mesh.clusters),
+                          np.asarray(m_ref.clusters))
+    # the fitted estimator carries the layout and serves under it
+    assert m_mesh._serving_plan is acc.plan
+    y = np.asarray(m_mesh.transform(x[:16], mesh=mesh))
+    y_ref = np.asarray(m_ref.transform(x[:16]))
+    assert np.abs(y - y_ref).max() < 1e-7
+
+
+def test_partial_fit_mesh_equals_plain():
+    """partial_fit(mesh=...) == partial_fit, batch for batch; the mesh
+    binds on the first call and later calls may omit it."""
+    x = block_data(n=1024, p=32, m=4, seed=11)
+    mesh = _var_mesh()
+    a = lc.Corex(n_hidden=4, seed=0, dtype="float64")
+    b = lc.Corex(n_hidden=4, seed=0, dtype="float64")
+    first = True
+    for start in range(0, 1024, 256):
+        a.partial_fit(x[start:start + 256],
+                      mesh=mesh if first else None)   # layout continues
+        b.partial_fit(x[start:start + 256])
+        first = False
+    assert a.n_samples == b.n_samples == 1024
+    assert abs(a.tc - b.tc) < 1e-7
+    assert np.abs(np.asarray(a.ws) - np.asarray(b.ws)).max() < 1e-7
+
+
+def test_fit_from_covariance_mesh_equals_plain():
+    from linearcorex_tpu.utils.streaming import fit_from_covariance
+
+    x = block_data(n=900, p=48, m=6, seed=12)
+    sigma = np.cov(x.T, bias=True)
+    mesh = _var_mesh()
+    m1 = fit_from_covariance(sigma, 900, 6, seed=0, dtype="float64",
+                             mesh=mesh)
+    m2 = fit_from_covariance(sigma, 900, 6, seed=0, dtype="float64")
+    assert abs(m1.tc - m2.tc) < 1e-7
+    assert np.abs(np.asarray(m1.ws) - np.asarray(m2.ws)).max() < 1e-7
+
+
+def test_fit_csv_mesh(tmp_path):
+    from linearcorex_tpu.utils.streaming import fit_csv
+
+    x = block_data(n=300, p=16, m=2, seed=13)
+    f = tmp_path / "data.csv"
+    np.savetxt(f, np.asarray(x), delimiter=",")
+    m1 = fit_csv(str(f), n_hidden=2, block_rows=128, seed=0,
+                 dtype="float64", mesh=_var_mesh())
+    m2 = fit_csv(str(f), n_hidden=2, block_rows=128, seed=0,
+                 dtype="float64")
+    assert abs(m1.tc - m2.tc) < 1e-7
+
+
+def test_streaming_sharded_int8_runs_guarded():
+    """int8 under the mesh streaming path: quantize_gram runs the eager
+    wrap guard on the SHARDED operand (the int8 invariant: no new int8
+    path routes around it), and the solve agrees with the single-device
+    int8 gram fit (int8 is outside the f64 parity surface — loose tol)."""
+    x = block_data(n=800, p=32, m=4, seed=14).astype(np.float32)
+    mesh = _var_mesh()
+    acc = GramAccumulator(p=32, dtype="float32", mesh=mesh)
+    acc_ref = GramAccumulator(p=32, dtype="float32")
+    for start in range(0, 800, 256):
+        acc.update(x[start:start + 256])
+        acc_ref.update(x[start:start + 256])
+    m1 = acc.fit(n_hidden=4, seed=0, matmul_dtype="int8", tol=1e-4)
+    m2 = acc_ref.fit(n_hidden=4, seed=0, matmul_dtype="int8", tol=1e-4)
+    assert m1.tc == pytest.approx(m2.tc, rel=0.05)
+    assert np.array_equal(np.asarray(m1.clusters), np.asarray(m2.clusters))
+
+
+def test_streaming_mesh_validation():
+    """Named errors: sample-only plans (a Gram operand has no sample
+    axis), GSPMD divisibility, mid-stream mesh change."""
+    from linearcorex_tpu.parallel.sharding import ShardingPlan
+
+    mesh = _var_mesh()
+    with pytest.raises(ValueError, match="shard_vars"):
+        GramAccumulator(64, mesh=mesh, sharding_plan=ShardingPlan())
+    with pytest.raises(ValueError, match="divisible"):
+        GramAccumulator(63, mesh=mesh)
+    with pytest.raises(ValueError, match="shard_vars"):
+        from linearcorex_tpu.utils.streaming import fit_from_covariance
+        fit_from_covariance(np.eye(64), 100, 4, mesh=mesh,
+                            sharding_plan=ShardingPlan(shard_samples=True))
+    x = block_data(n=128, p=32, m=4, seed=15)
+    mdl = lc.Corex(n_hidden=4, seed=0, dtype="float64")
+    mdl.partial_fit(x[:64], mesh=mesh)
+    from linearcorex_tpu.parallel.sharding import VAR_AXIS, make_mesh
+    import jax
+    other = make_mesh(((VAR_AXIS, 4),), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="mid-stream"):
+        mdl.partial_fit(x[64:], mesh=other)
+    # same mesh object mid-stream is fine
+    mdl.partial_fit(x[64:], mesh=mesh)
+    assert mdl.n_samples == 128
+
+
 def test_streaming_rejects_empty_batch():
     """An empty FIRST batch would set the shift point to NaN and silently
     poison the accumulation (review finding, session 4)."""
