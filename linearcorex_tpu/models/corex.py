@@ -1007,8 +1007,9 @@ class Corex:
         `parallel.fit_sharded` — streaming + p-beyond-one-chip compose
         (see GramAccumulator). The layout binds on the FIRST call of a
         stream; later calls may omit it (the stream's layout continues),
-        and passing a DIFFERENT mesh mid-stream raises — resharding a
-        live accumulation silently would hide a wrong-mesh bug.
+        and passing a DIFFERENT mesh or plan mid-stream raises (by VALUE —
+        rebuilding an identical mesh per call keeps working) — resharding
+        a live accumulation silently would hide a wrong-mesh bug.
 
         Equivalent to `fit(concat(batches))` with gaussianize='standard'
         up to the W init (identical accumulated moments; the warm start
@@ -1058,21 +1059,33 @@ class Corex:
                 f"{'accumulated' if acc is not None else 'fitted'} state "
                 f"has {expect} (use a fresh estimator — sklearn.clone — "
                 f"to change the width)")
-        if acc is not None and mesh is not None and mesh is not acc.mesh:
+        if acc is not None and (
+                (mesh is not None and mesh != acc.mesh)
+                or (sharding_plan is not None
+                    and sharding_plan != acc.plan)):
+            # mesh equality, not identity: rebuilding an identical mesh
+            # per call (a natural streaming pattern) must keep working —
+            # jax.sharding.Mesh defines value equality; ShardingPlan is a
+            # frozen dataclass
             raise ValueError(
-                "partial_fit received a different mesh mid-stream; the "
-                "accumulation layout binds on the first call (resharding "
-                "a live p x p accumulation silently would hide a "
-                "wrong-mesh bug) — finish the stream, or start a fresh "
-                "one (fit resets, or use a new estimator)")
+                "partial_fit received a different mesh/sharding_plan "
+                "mid-stream; the accumulation layout binds on the first "
+                "call (resharding a live p x p accumulation silently "
+                "would hide a wrong-mesh bug) — finish the stream, or "
+                "start a fresh one (fit resets, or use a new estimator)")
         if acc is None:
             acc = GramAccumulator(x.shape[1], dtype=str(jnp.dtype(self._dt)),
                                   mesh=mesh, sharding_plan=sharding_plan)
-        # _validate_input already NaN-screened host arrays; hand the
-        # accumulator a device array so update() does not repeat the
-        # identical O(n·p) host scan (it transfers H2D either way)
+        # _validate_input already NaN-screened host arrays; on the
+        # single-device path hand the accumulator a device array so
+        # update() does not repeat the identical O(n·p) host scan (it
+        # transfers H2D either way). On the MESH path keep the batch
+        # host-side: update() device_puts it per-shard, and a jnp.asarray
+        # here would land the whole batch on one device first (the repeat
+        # host cast there is the price of the sharded H2D)
         acc.update(jnp.asarray(x, acc.dtype)
-                   if isinstance(x, np.ndarray) else x)
+                   if isinstance(x, np.ndarray) and acc.mesh is None
+                   else x)
         self._partial_acc = acc  # commit before solving: the batch is
         #                          folded in even if this call cannot
         #                          solve yet (n=1 below)
@@ -1086,11 +1099,14 @@ class Corex:
         warm = getattr(self, "ws", None)
         if warm is not None and (warm.shape != (self.m, acc.p)):
             warm = None  # stale shape (e.g. n_hidden changed via set_params)
-        elif warm is not None:
+        elif warm is not None and acc.mesh is None:
             # a mesh fit / mesh serving leaves ws committed to mesh
             # devices; the single-device solve program would reject
             # mixed-device arguments — uncommit via host round-trip
-            # (m x p, small)
+            # (m x p, small). The MESH solve skips the round-trip (a
+            # needless full-W D2H gather per call at ~4 MB/s here):
+            # fit_sharded device_puts w0 per its w_spec, which moves a
+            # committed array across meshes too
             warm = np.asarray(warm)
         corr, mean, std = acc._moments()
         _solve_from_moments(self, corr, mean, std, acc.n_samples,

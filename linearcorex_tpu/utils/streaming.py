@@ -27,6 +27,8 @@ mesh-aware prepare (`Corex.fit(mesh=...)`) for the streaming drivers.
 
 from __future__ import annotations
 
+import functools as _functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,9 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     (the var-sharded analog of `Corex.fit(mesh=...)`'s prepare).
     """
     _reject_missing_values(corex_kwargs, "fit_from_covariance")
+    if not isinstance(sigma, (np.ndarray, jax.Array)):
+        sigma = np.asarray(sigma)   # lists etc. — keep host-side: the
+        #                             mesh path below device_puts per shard
     p = sigma.shape[0]
     if sigma.shape != (p, p):
         raise ValueError(f"sigma must be square, got {sigma.shape}")
@@ -140,9 +145,14 @@ def fit_from_covariance(sigma, n_samples: int, n_hidden: int,
     if mesh is not None:
         from jax.sharding import NamedSharding
 
-        plan = _resolve_stream_plan(mesh, sharding_plan, p, where="fit_from_covariance")
+        plan = _resolve_stream_plan(mesh, sharding_plan, p,
+                                    where="fit_from_covariance")
         sigma = jax.device_put(sigma, NamedSharding(mesh, plan.v_spec(2)))
     else:
+        if sharding_plan is not None:
+            raise ValueError(
+                "fit_from_covariance received sharding_plan= without "
+                "mesh=; pass both, or neither")
         sigma = jnp.asarray(sigma)
     corr, std = _normalize_sigma(sigma)
     model = Corex(n_hidden=n_hidden, gaussianize="standard", **corex_kwargs)
@@ -297,6 +307,26 @@ def _finalize_corr(g_raw, col_sum, n):
 _finalize_single = jax.jit(_finalize_corr)
 
 
+@_functools.lru_cache(maxsize=None)
+def _sharded_programs(gsh, vsh):
+    """(alloc_g, alloc_s, update, finalize) jit wrappers for one sharded
+    accumulator LAYOUT — cached module-level so a second accumulator on
+    the same mesh/plan/shape reuses the traced programs instead of
+    re-creating fresh jit objects per instance (each first-seen program
+    at scale costs a remote compile here). NamedShardings are hashable;
+    the cache holds mesh references for the process lifetime, which is
+    the lifetime meshes have in practice."""
+    return (
+        jax.jit(lambda p, dt: jnp.zeros((p, p), dt), out_shardings=gsh,
+                static_argnums=(0, 1)),
+        jax.jit(lambda p, dt: jnp.zeros((p,), dt), out_shardings=vsh,
+                static_argnums=(0, 1)),
+        jax.jit(_update_moments, donate_argnums=(0, 1),
+                out_shardings=(gsh, vsh)),
+        jax.jit(_finalize_corr, out_shardings=(gsh, vsh, vsh)),
+    )
+
+
 class GramAccumulator:
     """Accumulate second moments over data batches; fit without holding X.
 
@@ -322,6 +352,11 @@ class GramAccumulator:
         self.mesh = mesh
         self.plan = None
         if mesh is None:
+            if sharding_plan is not None:
+                raise ValueError(
+                    "GramAccumulator received sharding_plan= without "
+                    "mesh=; a plan without a mesh cannot take effect — "
+                    "pass both, or neither")
             self._g = jnp.zeros((p, p), self.dtype)
             self._s = jnp.zeros((p,), self.dtype)
             self._update_fn = _update_single
@@ -339,17 +374,13 @@ class GramAccumulator:
             # keeps the H2D transfer and the update GEMM per-shard)
             self._xsh = NamedSharding(mesh, jax.sharding.PartitionSpec(
                 None, self.plan.v_spec(1)[0]))
+            alloc_g, alloc_s, self._update_fn, self._finalize_fn = \
+                _sharded_programs(gsh, vsh)
             # allocate the accumulators ALREADY sharded (a jnp.zeros +
             # device_put would materialize the full p x p on one device
             # first — the exact thing this path exists to avoid)
-            self._g = jax.jit(lambda: jnp.zeros((p, p), self.dtype),
-                              out_shardings=gsh)()
-            self._s = jax.jit(lambda: jnp.zeros((p,), self.dtype),
-                              out_shardings=vsh)()
-            self._update_fn = jax.jit(_update_moments, donate_argnums=(0, 1),
-                                      out_shardings=(gsh, vsh))
-            self._finalize_fn = jax.jit(_finalize_corr,
-                                        out_shardings=(gsh, vsh, vsh))
+            self._g = alloc_g(p, self.dtype)
+            self._s = alloc_s(p, self.dtype)
         self._x0 = None   # shift point (first batch's column means)
         self._n = 0
 
@@ -362,7 +393,8 @@ class GramAccumulator:
             raise ValueError(
                 "batch contains NaN/inf; clean it before accumulation "
                 "(the accumulated Gram cannot be repaired afterwards)")
-        x = jnp.asarray(x, self.dtype)
+        if not isinstance(x, (np.ndarray, jax.Array)):
+            x = np.asarray(x)
         if x.ndim != 2 or x.shape[1] != self.p:
             raise ValueError(
                 f"expected batch of shape (b, {self.p}), got {x.shape}")
@@ -372,10 +404,19 @@ class GramAccumulator:
             # batch; reject empties uniformly
             raise ValueError("batch has 0 rows")
         if self._xsh is not None:
-            # shard the batch columns per the plan BEFORE any device op:
-            # H2D goes per shard and the full batch never lands on one
-            # device (device_put reshards an already-committed array too)
+            # shard the batch columns per the plan with the HOST buffer
+            # kept host-side: a jnp.asarray first would commit the whole
+            # batch to one device before the reshard (defeating the
+            # per-shard H2D this path exists for) — cast on host, then
+            # device_put goes per shard (and reshards an
+            # already-committed device array too)
+            if isinstance(x, np.ndarray):
+                x = np.asarray(x, self.dtype)
             x = jax.device_put(x, self._xsh)
+            if x.dtype != self.dtype:
+                x = x.astype(self.dtype)   # sharded cast, no gather
+        else:
+            x = jnp.asarray(x, self.dtype)
         if self._x0 is None:
             # Accumulate around the first batch's mean (shifted-data trick):
             # cov = G'/n − μ'μ'ᵀ with μ' = μ − x0 small, so the subtraction
