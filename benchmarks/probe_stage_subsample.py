@@ -19,7 +19,8 @@ import sys
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import dataclasses
 import functools
@@ -31,6 +32,13 @@ sys.path.insert(0, "/root/repo")
 from linearcorex_tpu.config import CorexConfig
 from linearcorex_tpu.core.solver import fit_core
 from linearcorex_tpu.models.corex import _make_obj_grad, resolve_config
+
+if "--tpu" in sys.argv:
+    # iteration counts + TC are hardware-independent; the TPU runs the
+    # study orders faster than this box's single CPU core (the remote
+    # persistent cache amortizes the ~30 per-stage-program compiles)
+    from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
+    ensure_compile_cache()
 
 n, p, m = 4096, 2048, 64
 

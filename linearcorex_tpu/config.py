@@ -182,6 +182,21 @@ class CorexConfig:
     # (default) = reference-parity per-stage convergence. Inert when
     # annealing is off (schedule length 1 = final stage).
     stage_tol_factor: float = 1.0
+    # Row-subsample fraction for the NON-FINAL anneal stages on the
+    # SAMPLES moment strategy (the final eps=0 stage always runs on the
+    # FULL data at `tol`, so the returned optimum's guarantee is
+    # unchanged — the same contract shape as stage_tol_factor). The
+    # high-eps stages exist to smooth the landscape and only need a
+    # coarse W, and samples-path iteration cost is linear in n — early
+    # stages on n x stage_subsample rows cost proportionally less.
+    # Rows are taken by STRIDE (x[::k], k = round(1/fraction)): order-
+    # robust (sorted inputs keep their spread) and deterministic (no
+    # RNG state; seed-matched runs stay reproducible). Measured:
+    # benchmarks/RESULTS.md "stage-subsample study". Inert (1.0) by
+    # default = reference parity; inert on the gram strategy (the p x p
+    # operand carries no sample axis — models.corex.resolve_config
+    # warns and ignores) and when annealing is off.
+    stage_subsample: float = 1.0
     lr_init: float = 0.05
     lr_growth: float = 1.1
     lr_cap: float = 2.0
@@ -198,10 +213,16 @@ class CorexConfig:
     # (n_stages x max_iter) carry; disable for large batched sweeps.
     record_history: bool = True
 
-    # When set, the fit runs a single stage at exactly this eps instead of
-    # the full schedule — the stage-boundary checkpointing driver
-    # (utils/checkpoint.py :: fit_with_checkpoints) uses this to run the
-    # schedule one compiled stage at a time with a resume point between.
+    # When set, the fit runs exactly this eps schedule instead of the
+    # config-derived one. A scalar = a single stage (the stage-boundary
+    # checkpointing driver, utils/checkpoint.py :: fit_with_checkpoints,
+    # runs the schedule one compiled stage at a time with a resume point
+    # between); a tuple = a multi-stage prefix program (the
+    # stage-subsample driver runs anneal_schedule()[:-1] as ONE program
+    # on the subsampled rows, then the final stage on the full data).
+    # Drivers pre-bake the stage tols into `tol` (tol_schedule()'s
+    # non-final/final rule applies WITHIN the override like any other
+    # schedule, so bake stage_tol_factor=1.0 alongside).
     eps_override: Optional[float] = None
 
     def __post_init__(self):
@@ -214,7 +235,7 @@ class CorexConfig:
         for name in ("tol", "y_scale", "momentum_beta", "lr_init",
                      "lr_growth", "lr_cap", "lr_halve", "lr_min",
                      "fp_gamma_init", "fp_gamma_cap", "rho_clip",
-                     "stage_tol_factor"):
+                     "stage_tol_factor", "stage_subsample"):
             v = getattr(self, name)
             if not isinstance(v, numbers.Real):
                 raise TypeError(
@@ -227,11 +248,18 @@ class CorexConfig:
                 raise TypeError(
                     f"{name} must be an integer, got {type(v).__name__} "
                     f"({v!r})")
-        if self.eps_override is not None and not isinstance(
-                self.eps_override, numbers.Real):
-            raise TypeError(
-                f"eps_override must be a real scalar or None, got "
-                f"{type(self.eps_override).__name__}")
+        if self.eps_override is not None:
+            ok_scalar = isinstance(self.eps_override, numbers.Real)
+            ok_tuple = (isinstance(self.eps_override, tuple)
+                        and len(self.eps_override) >= 1
+                        and all(isinstance(e, numbers.Real)
+                                for e in self.eps_override))
+            if not (ok_scalar or ok_tuple):
+                raise TypeError(
+                    f"eps_override must be a real scalar, a non-empty "
+                    f"tuple of real scalars, or None (lists/arrays are "
+                    f"unhashable — the config is jit-static), got "
+                    f"{type(self.eps_override).__name__}")
         if self.max_iter < 1:
             raise ValueError(f"max_iter must be >= 1, got {self.max_iter}")
         if self.stage_tol_factor < 1.0:
@@ -239,6 +267,12 @@ class CorexConfig:
                 f"stage_tol_factor must be >= 1.0 (it LOOSENS the "
                 f"non-final anneal stages; 1.0 = reference-parity "
                 f"per-stage convergence), got {self.stage_tol_factor}")
+        if not (0.0 < self.stage_subsample <= 1.0):
+            raise ValueError(
+                f"stage_subsample must be in (0, 1] (the fraction of "
+                f"sample rows the non-final anneal stages run on; 1.0 = "
+                f"reference-parity full-data stages), got "
+                f"{self.stage_subsample}")
         if self.n_hidden < 1:
             raise ValueError(f"n_hidden must be >= 1, got {self.n_hidden}")
         if self.moment_strategy not in ("auto", "samples", "gram"):
@@ -290,6 +324,8 @@ class CorexConfig:
         """Annealing eps schedule (SURVEY.md §2.4): geometric 0.6**k ending
         in exact 0; only for the multi-factor non-overlap solver."""
         if self.eps_override is not None:
+            if isinstance(self.eps_override, tuple):
+                return tuple(float(e) for e in self.eps_override)
             return (self.eps_override,)
         if self.anneal and self.n_hidden > 1 and self.discourage_overlap:
             return tuple(0.6 ** k for k in range(1, 7)) + (0.0,)

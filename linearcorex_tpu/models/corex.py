@@ -231,6 +231,23 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
             "matmul_dtype='int8' requires the quantized samples operand — "
             "pass M.quantize_samples(x) (Corex.fit and the restart/"
             "selection drivers do this)")
+    if (cfg.stage_subsample < 1.0 and strategy == "samples"
+            and len(cfg.anneal_schedule()) > 1):
+        # single funnel for EVERY one-program solver driver (restarts,
+        # GSPMD sharded, selection sweeps, audits): they run the whole
+        # schedule on ONE operand, so the two-program subsampled staging
+        # cannot apply — failing loudly here beats silently fitting the
+        # full data on every stage. Corex.fit/fit_with_checkpoints
+        # implement the staging and hand the pieces stage_subsample=1
+        # configs (_staged_subsample_cfgs); the gram strategy ignores
+        # the knob by design (no sample axis — stage_subsample_active
+        # warns).
+        raise ValueError(
+            "stage_subsample < 1 reached a one-program solver driver, "
+            "which runs the whole anneal schedule on one operand. Only "
+            "Corex.fit and fit_with_checkpoints implement the "
+            "two-program subsampled staging — set stage_subsample=1 for "
+            "restart/sharded/selection drivers.")
     bf16 = cfg.matmul_dtype == "bfloat16"
     chain = chain_mode(cfg)
     gram = strategy == "gram"
@@ -339,6 +356,93 @@ def _fit_program(data, w0, cfg: CorexConfig, strategy: str):
         mom = M.moments_from_cxy(ws, c_xy, cfg.y_scale, cfg.rho_clip)
         ws_sorted, order = sort_by_tcs(ws, mom.tcs)
         return ws_sorted, M.permute_moments(mom, order), diag
+
+
+def stage_subsample_active(cfg: CorexConfig, strategy: str) -> bool:
+    """Whether the two-program stage-subsample driver applies — the single
+    definition shared by `Corex.fit` and `utils.compile_cache.warmup_fit`
+    (a forked copy would make warmup compile different cache keys than
+    the fit, silently defeating AOT — the same rule as
+    `pick_fit_strategy`). Active iff the config asks for it
+    (stage_subsample < 1), the resolved strategy is 'samples' (a Gram
+    operand carries no sample axis — warned and ignored), and the
+    schedule has a non-final stage to subsample."""
+    if cfg.stage_subsample >= 1.0:
+        return False
+    if strategy != "samples":
+        import warnings
+        warnings.warn(
+            f"stage_subsample={cfg.stage_subsample:g} is inert on the "
+            f"gram moment strategy: the p x p operand carries no sample "
+            f"axis (iteration cost is n-independent there). Use "
+            f"moment_strategy='samples' — or drop the knob; the fit "
+            f"proceeds on the full schedule unchanged.")
+        return False
+    return len(cfg.anneal_schedule()) > 1
+
+
+def subsample_stride(fraction: float) -> int:
+    """Row stride k for stage_subsample: rows x[::k], k = round(1/f)."""
+    return max(1, int(round(1.0 / float(fraction))))
+
+
+def subsample_len(n: int, fraction: float) -> int:
+    """len(x[::k]) for n rows — the prefix program's row count (shared
+    with warmup_fit, which declares the shape without data)."""
+    return -(-int(n) // subsample_stride(fraction))
+
+
+def _subsample_rows(data, fraction: float):
+    """The non-final-stage operand: every k-th row (order-robust against
+    sorted inputs, deterministic — no RNG). QuantizedData keeps its
+    per-tensor scale: rows are a subset of the same standardized X."""
+    k = subsample_stride(fraction)
+    if k == 1:
+        return data
+    if isinstance(data, M.QuantizedData):
+        return M.QuantizedData(q=data.q[::k], scale=data.scale)
+    return data[::k]
+
+
+def _staged_subsample_cfgs(cfg: CorexConfig):
+    """(prefix_cfg, final_cfg) for the two-program stage-subsample fit.
+    The prefix runs anneal_schedule()[:-1] as ONE program (tuple
+    eps_override) on the subsampled rows with the non-final stage tol
+    pre-baked; the final stage runs on the FULL data at `tol` exactly —
+    so the returned optimum's convergence guarantee is unchanged (the
+    stage_tol_factor contract). Shared with warmup_fit (AOT compiles
+    the fit's exact cache keys)."""
+    import dataclasses
+    sched = cfg.anneal_schedule()
+    tols = cfg.tol_schedule()
+    # stage_subsample=1.0 in the derived configs: the staging is realized
+    # HERE (operand choice), so the one-program guard in _make_obj_grad
+    # must not trip on the pieces
+    prefix = dataclasses.replace(cfg, eps_override=tuple(sched[:-1]),
+                                 tol=tols[0], stage_tol_factor=1.0,
+                                 stage_subsample=1.0)
+    final = dataclasses.replace(cfg, eps_override=float(sched[-1]),
+                                stage_tol_factor=1.0, stage_subsample=1.0)
+    return prefix, final
+
+
+def _fit_staged_subsample(data, w0, cfg: CorexConfig, strategy: str):
+    """Stage-subsample fit driver: non-final anneal stages on every k-th
+    row (samples-path iteration cost is linear in n), final stage on the
+    full data. Two compiled programs instead of one — the extra host sync
+    costs ~35 ms (BASELINE.md §2) against the measured stage savings
+    (benchmarks/RESULTS.md "stage-subsample study"). Each program ends
+    with a tcs factor sort like any `_fit_program` (the float64 oracle
+    mirrors the mid-sort, so seeded f64 runs stay step-matched).
+    Returns (ws, Moments, FitDiagnostics) with the per-stage diagnostics
+    of both programs concatenated and the FULL schedule snapshotted."""
+    prefix_cfg, final_cfg = _staged_subsample_cfgs(cfg)
+    data_sub = _subsample_rows(data, cfg.stage_subsample)
+    ws1, _, d1 = _fit_program(data_sub, w0, prefix_cfg, strategy)
+    ws, mom, d2 = _fit_program(data, ws1, final_cfg, strategy)
+    diag = FitDiagnostics(*[jnp.concatenate([a, b])
+                            for a, b in zip(d1, d2)])
+    return ws, mom, diag
 
 
 @partial(jax.jit, static_argnums=(3, 4))
@@ -536,7 +640,8 @@ class Corex:
                  record_history=True, matmul_dtype="float32",
                  use_pallas="auto", matmul_precision="default",
                  optimizer="momentum", momentum_beta=0.9, init="random",
-                 preset="reference", stage_tol_factor=1.0):
+                 preset="reference", stage_tol_factor=1.0,
+                 stage_subsample=1.0):
         # sklearn init contract: store the constructor arguments VERBATIM
         # and nothing else (no validation, no derived objects) — the
         # frozen jit-static CorexConfig/PreprocessConfig are derived
@@ -568,6 +673,7 @@ class Corex:
         self.init = init
         self.preset = preset
         self.stage_tol_factor = stage_tol_factor
+        self.stage_subsample = stage_subsample
         # warm-start weights live APART from fitted state so that a
         # repeated fit() is fresh/idempotent (sklearn contract; matches
         # the reference, which re-initializes per fit from
@@ -641,7 +747,7 @@ class Corex:
                self.moment_strategy, self.record_history,
                self.matmul_dtype, self.use_pallas, self.matmul_precision,
                self.optimizer, self.momentum_beta, self.init, self.preset,
-               self.stage_tol_factor)
+               self.stage_tol_factor, self.stage_subsample)
         cached = getattr(self, "_cfg_cache", None)
         # an array-valued parameter (e.g. set_params(tol=np.array([1e-5])))
         # makes tuple equality raise ambiguous-truth; such a key can never
@@ -662,7 +768,8 @@ class Corex:
             matmul_dtype=self.matmul_dtype, use_pallas=self.use_pallas,
             matmul_precision=self.matmul_precision,
             optimizer=self.optimizer, momentum_beta=self.momentum_beta,
-            init=self.init, stage_tol_factor=self.stage_tol_factor)
+            init=self.init, stage_tol_factor=self.stage_tol_factor,
+            stage_subsample=self.stage_subsample)
         defaults = _ctor_defaults()
         user_set = {}
         for name, val in raw.items():
@@ -949,12 +1056,23 @@ class Corex:
             mesh=mesh)
         w0 = self._resolve_w0(init_ws, data=data, strategy=strategy)
         if mesh is not None:
+            if stage_subsample_active(cfg, strategy):
+                raise ValueError(
+                    "stage_subsample < 1 is not supported under "
+                    "fit(mesh=...) yet: a stride slice of the sharded "
+                    "sample axis would reshard mid-fit and break the "
+                    "GSPMD divisibility contract. Run the mesh fit with "
+                    "stage_subsample=1, or fit single-device.")
             # check_overflow=False: _prepare_fit already ran the eager
             # int8 wrap guard on this exact operand
             self.ws, self.moments, self.diagnostics = fit_sharded(
                 data, w0, cfg, mesh, plan, strategy,
                 check_overflow=False)
             self._serving_plan = plan  # mesh serving calls default to it
+        elif stage_subsample_active(cfg, strategy):
+            self.ws, self.moments, self.diagnostics = \
+                _fit_staged_subsample(data, w0, cfg, strategy)
+            self._serving_plan = None
         else:
             self.ws, self.moments, self.diagnostics = _fit_program(
                 data, w0, cfg, strategy)
@@ -1445,7 +1563,7 @@ class Corex:
         "update_iter", "pretrained_weights", "verbose", "seed", "dtype",
         "moment_strategy", "record_history", "matmul_dtype", "use_pallas",
         "matmul_precision", "optimizer", "momentum_beta", "init", "preset",
-        "stage_tol_factor")
+        "stage_tol_factor", "stage_subsample")
 
     def get_params(self, deep=True):
         """Every constructor argument, verbatim (sklearn protocol; the

@@ -337,7 +337,8 @@ class OracleCorex:
                  gaussianize="standard", gpu=False, y_scale=1.0,
                  update_iter=10, pretrained_weights=None, verbose=False,
                  seed=None, optimizer="momentum", momentum_beta=0.9,
-                 init="random", stage_tol_factor=1.0):
+                 init="random", stage_tol_factor=1.0,
+                 stage_subsample=1.0):
         del gpu  # accepted for API parity; the oracle is CPU NumPy by design
         self.m = n_hidden
         self.max_iter = max_iter
@@ -362,6 +363,14 @@ class OracleCorex:
             raise ValueError(
                 f"stage_tol_factor must be >= 1.0, got {stage_tol_factor}")
         self.stage_tol_factor = stage_tol_factor
+        if not (0.0 < stage_subsample <= 1.0):
+            raise ValueError(
+                f"stage_subsample must be in (0, 1], got "
+                f"{stage_subsample}")
+        # mirrors Corex(stage_subsample=...)'s SAMPLES-strategy staging
+        # (the JAX gram strategy ignores the knob; parity runs must pin
+        # moment_strategy='samples')
+        self.stage_subsample = stage_subsample
         # per-fit resolution of 'auto' (fit() overwrites); pre-fit direct
         # calls into _obj_grad/_fit_stage see the constructor value
         self.resolved_optimizer_ = optimizer
@@ -420,6 +429,20 @@ class OracleCorex:
         # tol x stage_tol_factor, the final stage at tol exactly
         tols = ([self.tol * self.stage_tol_factor] * (len(schedule) - 1)
                 + [self.tol])
+        if self.stage_subsample < 1.0 and len(schedule) > 1:
+            # mirror models.corex._fit_staged_subsample step-for-step:
+            # non-final stages on every k-th row, then the prefix
+            # program's tcs factor sort (each compiled JAX program ends
+            # with one), then the final stage on the full data at `tol`
+            k = max(1, int(round(1.0 / self.stage_subsample)))
+            x_sub = x[::k]
+            for eps, stage_tol in zip(schedule[:-1], tols[:-1]):
+                self.eps = eps
+                self._fit_stage(x_sub, eps, stage_tol)
+            mom = calculate_moments(x_sub, self.ws, eps=0.0,
+                                    y_scale=self.y_scale, quick=False)
+            self.ws = self.ws[np.argsort(-mom["TCs"])]
+            schedule, tols = schedule[-1:], tols[-1:]
         for eps, stage_tol in zip(schedule, tols):
             self.eps = eps
             self._fit_stage(x, eps, stage_tol)

@@ -405,6 +405,14 @@ def fit_shard_map(x, w0, cfg: CorexConfig, mesh: Mesh,
             "single-device int8 fit")
     cfg = resolve_config(cfg, x.shape[1], platform=_mesh_platform(mesh),
                          n_samples=x.shape[0])  # 'auto' knobs
+    if cfg.stage_subsample < 1.0 and len(cfg.anneal_schedule()) > 1:
+        # this path builds its own explicit-psum obj_grad, so the
+        # one-program guard in models.corex._make_obj_grad cannot catch
+        # it — mirror it (fit_shard_map is always samples-strategy)
+        raise ValueError(
+            "stage_subsample < 1 is not supported by fit_shard_map (one "
+            "program over the whole schedule); set stage_subsample=1, or "
+            "fit single-device via Corex.fit")
     d = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
     if d is None or x.shape[0] % d:
         raise ValueError(

@@ -205,19 +205,42 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
 
     fp_arr = np.frombuffer(fingerprint.encode(), dtype=np.uint8)
     tols = cfg.tol_schedule()
+    # stage_subsample: non-final stages run on every k-th row (the same
+    # contract as Corex.fit's two-program driver — the final stage always
+    # sees the FULL data at `tol`). The subsampled operand is a
+    # deterministic stride slice, so a resumed run rebuilds the identical
+    # stage inputs. Not supported under a mesh (same GSPMD-divisibility
+    # reasoning as Corex.fit(mesh=...)).
+    from linearcorex_tpu.models.corex import (_subsample_rows,
+                                              stage_subsample_active)
+    sub_active = stage_subsample_active(cfg, strategy)
+    if sub_active and mesh is not None:
+        raise ValueError(
+            "stage_subsample < 1 is not supported under "
+            "fit_with_checkpoints(mesh=...): a stride slice of the "
+            "sharded sample axis would reshard mid-fit and break the "
+            "GSPMD divisibility contract. Set stage_subsample=1, or "
+            "checkpoint single-device.")
+    data_sub = (_subsample_rows(data, cfg.stage_subsample) if sub_active
+                else data)
     for s in range(start_stage, n_stages):
         # pre-bake this stage's tol (stage_tol_factor loosens non-final
         # stages): an eps_override program's length-1 schedule makes its
-        # only stage "final", so tol passes through unchanged
+        # only stage "final", so tol passes through unchanged.
+        # stage_subsample=1 in the stage config: the staging is realized
+        # here by the operand choice (same rule as _staged_subsample_cfgs)
         stage_cfg = _dc.replace(cfg, eps_override=schedule[s],
-                                tol=tols[s])
+                                tol=tols[s], stage_subsample=1.0)
+        stage_data = data if (not sub_active or s == n_stages - 1) \
+            else data_sub
         if mesh is not None:
             # check_overflow=False: _prepare_fit already guarded this
             # operand; re-probing at every anneal stage would be waste
             ws, mom, diag = fit_sharded(data, ws, stage_cfg, mesh, plan,
                                         strategy, check_overflow=False)
         else:
-            ws, mom, diag = _fit_program(data, ws, stage_cfg, strategy)
+            ws, mom, diag = _fit_program(stage_data, ws, stage_cfg,
+                                         strategy)
         stats["iters"][s] = int(diag.iters_per_stage[0])
         stats["tc"][s] = float(diag.tc_per_stage[0])
         stats["delta"][s] = float(diag.delta_per_stage[0])
@@ -283,6 +306,7 @@ def load_corex(path: str) -> Corex:
             optimizer=cfg.optimizer, momentum_beta=cfg.momentum_beta,
             init=getattr(cfg, "init", "random"),
             stage_tol_factor=cfg.stage_tol_factor,
+            stage_subsample=cfg.stage_subsample,
             update_iter=meta.get("update_iter", 10),
             verbose=meta.get("verbose", False))
         dt = jnp.dtype(cfg.dtype)

@@ -160,6 +160,13 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         from linearcorex_tpu.parallel import sharding as S
 
         cfg = S.resolve_sharded_config(model.config, mesh, plan, p, n)
+        from linearcorex_tpu.models.corex import stage_subsample_active
+        if stage_subsample_active(cfg, strategy):
+            raise ValueError(
+                "stage_subsample < 1 is not supported under "
+                "fit(mesh=...) (see Corex.fit) — there is no sharded "
+                "staged program to warm; set stage_subsample=1 for mesh "
+                "fits")
         # raw_x=True: the prepare lowered below declares the RAW (n, p)
         # X sharded per x_spec even for gram strategy — same rule as
         # Corex._prepare_fit(mesh=...)
@@ -200,13 +207,32 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         return
 
     cfg = resolve_config(model.config, p, n_samples=n)
-    if cfg.matmul_dtype == "int8":
-        data_arg = QuantizedData(q=sds(data_shape, jnp.int8),
+
+    def fit_data_arg(shape):
+        if cfg.matmul_dtype == "int8":
+            return QuantizedData(q=sds(shape, jnp.int8),
                                  scale=sds((), jnp.float32))
+        return sds(shape, data_dt)
+
+    from linearcorex_tpu.models.corex import (_staged_subsample_cfgs,
+                                              stage_subsample_active,
+                                              subsample_len)
+    if stage_subsample_active(cfg, strategy):
+        # the real fit runs the TWO-program stage-subsample driver
+        # (Corex.fit -> _fit_staged_subsample): warm both its cache keys
+        # — the prefix program on the stride-sliced row count and the
+        # final-stage program on the full shape — via the SHARED config
+        # derivation (a forked copy would warm keys the fit never uses)
+        prefix_cfg, final_cfg = _staged_subsample_cfgs(cfg)
+        n_sub = subsample_len(n, cfg.stage_subsample)
+        _fit_program.lower(fit_data_arg((n_sub, p)),
+                           sds((model.m, p), dt), prefix_cfg,
+                           strategy).compile()
+        _fit_program.lower(fit_data_arg((n, p)), sds((model.m, p), dt),
+                           final_cfg, strategy).compile()
     else:
-        data_arg = sds(data_shape, data_dt)
-    _fit_program.lower(data_arg, sds((model.m, p), dt), cfg,
-                       strategy).compile()
+        _fit_program.lower(fit_data_arg(data_shape), sds((model.m, p), dt),
+                           cfg, strategy).compile()
 
 
 def warmup_serving(model, batch_rows: int, n_variables=None,
