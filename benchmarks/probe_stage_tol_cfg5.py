@@ -41,13 +41,19 @@ ap.add_argument("--dtype", default="int8", choices=("int8", "float32"))
 ap.add_argument("--tol", type=float, default=None,
                 help="default: 1e-4 for int8, 1e-5 for float32")
 ap.add_argument("--factors", default="1,10")
+# round-5 threshold bracketing (VERDICT r4 Weak #3): --p sweeps the
+# composed-hazard metric tol*factor*sqrt(p) through the unexplored
+# 0.05-0.09 band (e.g. p=10k factor=5 -> 0.05, factor=9 -> 0.09;
+# p=50k factor=3 -> 0.067)
+ap.add_argument("--p", type=int, default=100_000)
+ap.add_argument("--n", type=int, default=10_000)
 args = ap.parse_args()
 tol = args.tol if args.tol is not None else (
     1e-4 if args.dtype == "int8" else 1e-5)
 factors = tuple(float(f) for f in args.factors.split(","))
 
 ensure_compile_cache()
-n, p, m = 10_000, 100_000, 512
+n, p, m = args.n, args.p, 512
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
@@ -94,7 +100,9 @@ for loading, name in ((0.9, "strong"), (0.3, "weak")):
                 tc = float(diag.tc_per_stage[-1])
                 dt = min(dt, time.perf_counter() - t0)
             total = int(np.asarray(diag.iters_per_stage).sum())
-            print(f"{name} {args.dtype} tol={tol:g} factor={factor:>4.0f} "
+            hazard = tol * factor * float(np.sqrt(p))
+            print(f"{name} p={p} {args.dtype} tol={tol:g} "
+                  f"factor={factor:>4.0f} (hazard={hazard:.3f}) "
                   f"seed={seed}: {total:4d} iters, {dt:6.2f} s, "
                   f"TC={tc:.1f}", flush=True)
     if args.dtype == "float32":

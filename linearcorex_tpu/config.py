@@ -191,11 +191,18 @@ class CorexConfig:
     # stages on n x stage_subsample rows cost proportionally less.
     # Rows are taken by STRIDE (x[::k], k = round(1/fraction)): order-
     # robust (sorted inputs keep their spread) and deterministic (no
-    # RNG state; seed-matched runs stay reproducible). Measured:
-    # benchmarks/RESULTS.md "stage-subsample study". Inert (1.0) by
+    # RNG state; seed-matched runs stay reproducible). Measured
+    # (benchmarks/RESULTS.md "stage-subsample study"): a WEAK-STRUCTURE
+    # knob — 1.6-2.7x fewer weighted iterations (n/4-n/16) at TC within
+    # ±0.1% on weak structure; on STRONG structure the subsampled
+    # prefix commits to worse basins (drift to −4%) — keep 1.0 there
+    # (anneal=False dominates that regime anyway). Inert (1.0) by
     # default = reference parity; inert on the gram strategy (the p x p
-    # operand carries no sample axis — models.corex.resolve_config
-    # warns and ignores) and when annealing is off.
+    # operand carries no sample axis — models.corex.stage_subsample_active
+    # warns and ignores), when annealing is off, and when the fraction
+    # rounds to stride 1 (> 2/3 — no rows would actually be dropped, so
+    # the two-program split would cost a sync/compile for nothing;
+    # stage_subsample_active warns and runs the one-program fit).
     stage_subsample: float = 1.0
     lr_init: float = 0.05
     lr_growth: float = 1.1

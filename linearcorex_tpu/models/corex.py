@@ -145,9 +145,14 @@ def resolve_optimizer(cfg: CorexConfig, nv: int,
         # (p=100k, tol=1e-4): -24% TC on BOTH structure regimes at
         # factor=10, and strong structure collapses already at factor=3
         # (composed 3e-4), while float32 at the SAME composed tols holds
-        # TC. Threshold 0.05 on tol*factor*sqrt(p) is calibrated from the
-        # measured points: p=2048 composed 1e-3 -> 0.045 (mild drift, no
-        # warning) vs p=100k composed 3e-4 -> 0.095 (collapse, warns).
+        # TC. Threshold 0.05 on tol*factor*sqrt(p) is bracketed by six
+        # measured points (RESULTS.md "int8 hazard-threshold bracketing"):
+        # 0.045 @ p=2048 mild drift; 0.030/0.050/0.090 @ p=10k SAFE (the
+        # in-band TC movement there is annealing-truncation shared with
+        # f32, not the int8 mechanism); 0.067 @ p=50k -1..-3%; 0.095 @
+        # p=100k -24% collapse. Severity ramps with p at comparable
+        # hazard, so 0.05 is kept as a conservative advisory — it marks
+        # where annealed-path fidelity measurably starts to degrade.
         import warnings
         warnings.warn(
             f"stage_tol_factor={cfg.stage_tol_factor:g} with "
@@ -232,6 +237,7 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
             "pass M.quantize_samples(x) (Corex.fit and the restart/"
             "selection drivers do this)")
     if (cfg.stage_subsample < 1.0 and strategy == "samples"
+            and subsample_stride(cfg.stage_subsample) > 1
             and len(cfg.anneal_schedule()) > 1):
         # single funnel for EVERY one-program solver driver (restarts,
         # GSPMD sharded, selection sweeps, audits): they run the whole
@@ -241,7 +247,9 @@ def _make_obj_grad(data, cfg: CorexConfig, strategy: str):
         # implement the staging and hand the pieces stage_subsample=1
         # configs (_staged_subsample_cfgs); the gram strategy ignores
         # the knob by design (no sample axis — stage_subsample_active
-        # warns).
+        # warns); stride-1 fractions (> 2/3) are INERT, matching
+        # stage_subsample_active — no rows would drop, so the
+        # one-program fit IS the subsampled fit.
         raise ValueError(
             "stage_subsample < 1 reached a one-program solver driver, "
             "which runs the whole anneal schedule on one operand. Only "
@@ -378,6 +386,19 @@ def stage_subsample_active(cfg: CorexConfig, strategy: str) -> bool:
             f"moment_strategy='samples' — or drop the knob; the fit "
             f"proceeds on the full schedule unchanged.")
         return False
+    if subsample_stride(cfg.stage_subsample) == 1:
+        # fraction > 2/3 rounds to stride 1: no rows would actually be
+        # dropped, so the two-program split would pay its extra host
+        # sync + compile for ZERO subsampling (the split itself is a
+        # numerical no-op — tests/test_stage_subsample.py pins that).
+        # Run the one-program fit instead; the f64 oracle mirrors this.
+        import warnings
+        warnings.warn(
+            f"stage_subsample={cfg.stage_subsample:g} rounds to row "
+            f"stride 1 (fractions > 2/3 keep every row) — no actual "
+            f"subsampling, so the staged two-program driver is skipped. "
+            f"Use a fraction <= 2/3 (e.g. 0.5, 0.25) or drop the knob.")
+        return False
     return len(cfg.anneal_schedule()) > 1
 
 
@@ -437,6 +458,24 @@ def _fit_staged_subsample(data, w0, cfg: CorexConfig, strategy: str):
     Returns (ws, Moments, FitDiagnostics) with the per-stage diagnostics
     of both programs concatenated and the FULL schedule snapshotted."""
     prefix_cfg, final_cfg = _staged_subsample_cfgs(cfg)
+    n = (data.q if isinstance(data, M.QuantizedData) else data).shape[0]
+    p = w0.shape[1]
+    if cfg.optimizer == "fixed_point" and subsample_len(
+            n, cfg.stage_subsample) < p <= n:
+        # 'auto' resolves on the FULL n (optimizer='fixed_point' iff
+        # n >= p), but the basin-selecting anneal prefix runs on n_sub
+        # rows — if the subsample drops it into the undersampled regime
+        # (n_sub < p), fixed_point is measured to commit to worse optima
+        # there (resolve_config docstring; DESIGN.md optimizer study).
+        import warnings
+        warnings.warn(
+            f"stage_subsample={cfg.stage_subsample:g}: the anneal-prefix "
+            f"program runs on n_sub={subsample_len(n, cfg.stage_subsample)}"
+            f" < p={p} rows with optimizer='fixed_point' — the prefix "
+            f"selects the basin in the undersampled regime where "
+            f"fixed_point is measured to commit to worse optima. Use "
+            f"optimizer='momentum' (the undersampled-regime choice) or a "
+            f"larger fraction.")
     data_sub = _subsample_rows(data, cfg.stage_subsample)
     ws1, _, d1 = _fit_program(data_sub, w0, prefix_cfg, strategy)
     ws, mom, d2 = _fit_program(data, ws1, final_cfg, strategy)
@@ -641,7 +680,7 @@ class Corex:
                  use_pallas="auto", matmul_precision="default",
                  optimizer="momentum", momentum_beta=0.9, init="random",
                  preset="reference", stage_tol_factor=1.0,
-                 stage_subsample=1.0):
+                 stage_subsample=1.0, n_restarts=1):
         # sklearn init contract: store the constructor arguments VERBATIM
         # and nothing else (no validation, no derived objects) — the
         # frozen jit-static CorexConfig/PreprocessConfig are derived
@@ -674,6 +713,7 @@ class Corex:
         self.preset = preset
         self.stage_tol_factor = stage_tol_factor
         self.stage_subsample = stage_subsample
+        self.n_restarts = n_restarts
         # warm-start weights live APART from fitted state so that a
         # repeated fit() is fresh/idempotent (sklearn contract; matches
         # the reference, which re-initializes per fit from
@@ -696,6 +736,9 @@ class Corex:
     _n_samples: Optional[int] = None
     # the optimizer the last fit actually ran ('auto' resolved per fit)
     resolved_optimizer_: Optional[str] = None
+    # which restart lane the last fit kept (0 for single fits; argmax-TC
+    # lane of an n_restarts>1 sweep — its init seed is seed + lane)
+    best_restart_: Optional[int] = None
     # the ShardingPlan the state currently lives under (last mesh fit or
     # mesh serving call); None = single-device placement. Serving calls
     # with sharding_plan=None reuse it (see _serving_mesh).
@@ -1021,6 +1064,74 @@ class Corex:
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 
+    def _validated_restarts(self, init_ws, mesh) -> int:
+        """Validate `n_restarts` at first use (the sklearn deferred-
+        validation contract — __init__/set_params store it verbatim) and
+        reject the combinations a restart sweep cannot honor, by name."""
+        import numbers
+        r = self.n_restarts
+        if not isinstance(r, numbers.Integral) or isinstance(r, bool) \
+                or r < 1:
+            raise ValueError(
+                f"n_restarts must be an integer >= 1, got {r!r}")
+        r = int(r)
+        if r == 1:
+            return 1
+        if init_ws is not None or self._pretrained_ws is not None \
+                or self.pretrained_weights is not None:
+            raise ValueError(
+                "n_restarts > 1 with an explicit warm start (init_ws / "
+                "pretrained_weights / load_corex) would run identical "
+                "lanes — every restart starts from the same W0. Drop the "
+                "warm start, or set n_restarts=1.")
+        if self.config.init == "spectral":
+            raise ValueError(
+                "n_restarts > 1 with init='spectral': the spectral init "
+                "is deterministic given the data (and seed), so every "
+                "restart lane would be identical. Restarts draw "
+                "RandomState(seed + r) inits — use init='random' (the "
+                "restart seed policy), or n_restarts=1 with spectral.")
+        if mesh is not None:
+            raise ValueError(
+                "n_restarts > 1 under fit(mesh=...) is not wired on the "
+                "estimator: the restart axis needs its own mesh axis. "
+                "Use parallel.restarts.fit_restarts_sharded (optionally "
+                "with data_axis= for the combined restarts x data "
+                "layout) and best_restart, or fit single-device.")
+        return r
+
+    def _fit_restart_sweep(self, data, cfg, strategy, restarts):
+        """n_restarts > 1: one vmapped program fits every lane, keep the
+        best final TC (the reference's pick_n_hidden(repeat=k) selection
+        rule, applied at fixed n_hidden — SURVEY.md §2.7/§2.8 EP row).
+        Seed policy: lane r starts from RandomState(seed + r), so lane 0
+        ≡ a plain Corex(seed=seed) fit and the sweep is reproducible;
+        seed=None draws a fresh base per call (parallel.restarts.
+        init_restarts). Measured basis (benchmarks/RESULTS.md multi-
+        restart note): unseeded single fits at cfg5 hit a visibly worse
+        basin ~1-in-6 (TC −12%); int8 makes a best-of-4 sweep memory-
+        feasible on ONE chip (bf16 OOMs there), 14 s steady-state,
+        lockstep stragglers ~1.4x vs sequential."""
+        from linearcorex_tpu.parallel.restarts import (
+            _fit_restarts_program, best_restart, init_restarts)
+        if stage_subsample_active(cfg, strategy):
+            raise ValueError(
+                "stage_subsample < 1 is not supported with n_restarts > "
+                "1: the restart sweep is one vmapped program over the "
+                "whole anneal schedule. Set stage_subsample=1, or run "
+                "the staged fits sequentially.")
+        w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
+                                 self._dt)
+        ws_b, mom_b, diag_b = _fit_restarts_program(data, w0_batch, cfg,
+                                                    strategy)
+        self.ws, self.moments, self.diagnostics, best = best_restart(
+            ws_b, mom_b, diag_b)
+        self.best_restart_ = int(best)
+        self._serving_plan = None
+        if self.verbose:
+            self._print_verbose()
+        return self
+
     def fit(self, x, y=None, init_ws=None, mesh=None, sharding_plan=None):
         """Fit the model. `y` is ignored (unsupervised; accepted so the
         estimator composes with sklearn Pipelines/cross-validation, which
@@ -1030,7 +1141,14 @@ class Corex:
         `sharding_plan` (a `ShardingPlan`, default sample-sharding) maps
         the n/p/m axes onto the mesh's named axes. Learned state comes
         back replicated, so transform/predict/get_covariance work
-        unchanged."""
+        unchanged.
+
+        With `n_restarts=k > 1` the fit runs k seeded lanes as ONE
+        vmapped program and keeps the best final TC
+        (`_fit_restart_sweep`: lane r inits from RandomState(seed + r),
+        lane 0 ≡ the plain fit; `best_restart_` records the winner).
+        The guarded combinations (warm starts, init='spectral', mesh=)
+        raise by name."""
         # Loud failure for the pre-0.3 positional form fit(X, W0): a
         # legitimate sklearn y has one row per sample, so a 2-D y shaped
         # exactly (n_hidden, n_variables) with the wrong row count is a
@@ -1047,6 +1165,7 @@ class Corex:
                 f"init_ws). y is the (ignored) sklearn target slot; pass "
                 f"weights as fit(x, init_ws=...).")
         del y
+        restarts = self._validated_restarts(init_ws, mesh)
         if mesh is not None:
             from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                            fit_sharded)
@@ -1054,6 +1173,8 @@ class Corex:
         data, cfg, strategy = self._prepare_fit(
             x, resolve=mesh is None, plan=None if mesh is None else plan,
             mesh=mesh)
+        if restarts > 1:
+            return self._fit_restart_sweep(data, cfg, strategy, restarts)
         w0 = self._resolve_w0(init_ws, data=data, strategy=strategy)
         if mesh is not None:
             if stage_subsample_active(cfg, strategy):
@@ -1077,6 +1198,7 @@ class Corex:
             self.ws, self.moments, self.diagnostics = _fit_program(
                 data, w0, cfg, strategy)
             self._serving_plan = None  # state is single-device again
+        self.best_restart_ = 0
         if self.verbose:
             self._print_verbose()
         return self
@@ -1435,8 +1557,27 @@ class Corex:
     def get_covariance(self):
         """Dense p x p factor-model covariance estimate
         (`[U] :: Corex.get_covariance`, SURVEY.md §3.4). For very large p
-        prefer `covariance_matvec`, which never materializes p x p."""
+        prefer `covariance_matvec`, which never materializes p x p.
+
+        Raises by name on var-sharded state (a mesh fit or serving call
+        with ShardingPlan(shard_vars=True)): that plan exists exactly
+        because p-sized-squared buffers cannot live on one device, so a
+        dense p x p export is the OOM the plan was chosen to avoid — use
+        `covariance_blocks(mesh=...)` (sharded row blocks) or
+        `covariance_matvec`/`covariance_matmat(mesh=...)` (apply without
+        materializing). Other plans (sample/factor sharding) keep the
+        dense export: the result is p x p on one device, which those
+        plans' scales admit (pinned in tests/test_sharding.py)."""
         self._check_fitted()
+        if self._serving_plan is not None and self._serving_plan.shard_vars:
+            raise ValueError(
+                "get_covariance() on var-sharded state (the model was fit "
+                "or served under ShardingPlan(shard_vars=True)): the dense "
+                "p x p export would materialize exactly the buffer the "
+                "plan shards away. Use covariance_blocks(mesh=...) for "
+                "dense row blocks per the plan, or covariance_matvec/"
+                "covariance_matmat(mesh=...) to apply Σ̂ without "
+                "materializing it.")
         mom = self.moments
         if self.config.discourage_overlap:
             return _cov_ns_program(mom.rhoinvrho, mom.si, self.theta.std)
@@ -1530,7 +1671,8 @@ class Corex:
             return _factor_z_ns(mom.rhoinvrho, mom.si)
         return _factor_z_overlap(mom.cy, mom.c_xy)
 
-    def covariance_blocks(self, block_size: int = 4096):
+    def covariance_blocks(self, block_size: int = 4096, mesh=None,
+                          sharding_plan=None):
         """Yield `(start, rows)` dense row blocks of `get_covariance()`
         without ever materializing the p x p matrix — the export path for
         very large p (at p=100k dense Σ̂ is 40 GB; a 4096-row block is
@@ -1539,21 +1681,46 @@ class Corex:
         program serves every block (the final partial block is computed as
         the tail slice of a full-size block), so the export costs one
         compile + ceil(p/block_size) dispatches. Rows agree with
-        `get_covariance` to fp rounding on both solver paths."""
+        `get_covariance` to fp rounding on both solver paths.
+
+        `mesh` (+ optional `sharding_plan`, typically shard_vars) runs
+        the block program sharded — SURVEY.md §3.4's Σ̂-row export in the
+        p-beyond-one-chip regime `fit(mesh=..., shard_vars)` opened
+        (VERDICT r4 Missing #3): the fitted state commits per
+        `serving_state_specs` and each yielded block is a global (b, p)
+        array whose columns stay sharded over VAR_AXIS — reduce or
+        consume it on-device per shard; pulling a block to host gathers
+        it. Bit-comparable to the single-device export on the CPU mesh
+        (tests/test_sharding.py)."""
         self._check_fitted()
         if block_size < 1:
             raise ValueError(f"block_size must be >= 1, got {block_size}")
         p = self.nv
         b = min(block_size, p)
-        z = self._factor_z()
+        if mesh is not None:
+            self._serving_mesh(mesh, sharding_plan, None)
+        # the mesh context is entered PER DISPATCH, never held across a
+        # yield — a generator holding jax.set_mesh open would leak the
+        # global mesh scope into whatever the consumer runs between blocks
+        def ctx():
+            return (jax.set_mesh(mesh) if mesh is not None
+                    else contextlib.nullcontext())
+        with ctx():
+            z = self._factor_z()
         start = 0
         while start < p:
             s = min(start, p - b)
             # strongly-typed int32 start so the call's jit key matches the
-            # warmup_serving lowering (a bare Python int traces weakly)
-            rows = _cov_rows_program(z, self.theta.std,
-                                     jnp.asarray(s, jnp.int32), b)
-            yield start, rows[start - s:]
+            # warmup_serving lowering (a bare Python int traces weakly);
+            # created OUTSIDE the mesh scope so it stays UNCOMMITTED —
+            # an eager scalar under set_mesh commits a replicated
+            # sharding, annotating the module and missing the warmup's
+            # sharding-less declaration (the round-4 cache-key rule)
+            s_arg = jnp.asarray(s, jnp.int32)
+            with ctx():
+                rows = _cov_rows_program(z, self.theta.std, s_arg, b)
+                tail = rows[start - s:]
+            yield start, tail
             start = s + b
 
     # -- sklearn estimator protocol (works inside sklearn Pipelines) -----
@@ -1563,7 +1730,7 @@ class Corex:
         "update_iter", "pretrained_weights", "verbose", "seed", "dtype",
         "moment_strategy", "record_history", "matmul_dtype", "use_pallas",
         "matmul_precision", "optimizer", "momentum_beta", "init", "preset",
-        "stage_tol_factor", "stage_subsample")
+        "stage_tol_factor", "stage_subsample", "n_restarts")
 
     def get_params(self, deep=True):
         """Every constructor argument, verbatim (sklearn protocol; the

@@ -429,12 +429,15 @@ class OracleCorex:
         # tol x stage_tol_factor, the final stage at tol exactly
         tols = ([self.tol * self.stage_tol_factor] * (len(schedule) - 1)
                 + [self.tol])
-        if self.stage_subsample < 1.0 and len(schedule) > 1:
+        k = max(1, int(round(1.0 / self.stage_subsample)))
+        if self.stage_subsample < 1.0 and k > 1 and len(schedule) > 1:
             # mirror models.corex._fit_staged_subsample step-for-step:
             # non-final stages on every k-th row, then the prefix
             # program's tcs factor sort (each compiled JAX program ends
-            # with one), then the final stage on the full data at `tol`
-            k = max(1, int(round(1.0 / self.stage_subsample)))
+            # with one), then the final stage on the full data at `tol`.
+            # k == 1 (fraction > 2/3) is inert, mirroring
+            # models.corex.stage_subsample_active — no rows would drop,
+            # so the staged split is skipped on both sides.
             x_sub = x[::k]
             for eps, stage_tol in zip(schedule[:-1], tols[:-1]):
                 self.eps = eps

@@ -26,7 +26,7 @@ program for declared shapes (no data needed), so the artifact is in the
 persistent cache before the first real fit — move the compile wait to
 deploy time instead of first-request time. Measured numbers for the
 cold / persistent-cache / AOT first-call wall times live in
-benchmarks/RESULTS.md ("compile-time" table).
+benchmarks/RESULTS.md "First-call wall time" table.
 """
 
 from __future__ import annotations
@@ -159,6 +159,9 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
 
         from linearcorex_tpu.parallel import sharding as S
 
+        # mirrors fit(mesh=...): n_restarts > 1 raises there, so warming
+        # a sharded single-fit key for such a model would be a dead key
+        model._validated_restarts(None, mesh)
         cfg = S.resolve_sharded_config(model.config, mesh, plan, p, n)
         from linearcorex_tpu.models.corex import stage_subsample_active
         if stage_subsample_active(cfg, strategy):
@@ -214,6 +217,18 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                                  scale=sds((), jnp.float32))
         return sds(shape, data_dt)
 
+    # n_restarts > 1: the real fit dispatches the vmapped restart-sweep
+    # program (Corex._fit_restart_sweep), not _fit_program — warm THAT
+    # cache key, via the same validation fit runs (so a combination fit
+    # would reject raises here too instead of warming a dead key)
+    restarts = model._validated_restarts(None, mesh)
+    if restarts > 1:
+        from linearcorex_tpu.parallel.restarts import _fit_restarts_program
+        _fit_restarts_program.lower(
+            fit_data_arg(data_shape),
+            sds((restarts, model.m, p), dt), cfg, strategy).compile()
+        return
+
     from linearcorex_tpu.models.corex import (_staged_subsample_cfgs,
                                               stage_subsample_active,
                                               subsample_len)
@@ -256,9 +271,9 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
     (state per its axis roles, inputs per x/y/v_spec — all committed in
     the serving path), and lowering happens INSIDE jax.set_mesh(mesh),
     matching the dispatch scope (the round-4 cache-key rule). Pinned by
-    module-text identity in tests/test_compile_cache.py.
-    `covariance_blocks` has no mesh serving path — `cov_block` with
-    `mesh` raises."""
+    module-text identity in tests/test_compile_cache.py. `cov_block`
+    with `mesh` warms the sharded `covariance_blocks(mesh=...)` row
+    program (z and std declared per the serving state specs)."""
     import jax
     import jax.numpy as jnp
 
@@ -275,13 +290,8 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
     b, m, dt = int(batch_rows), model.m, model._dt
 
     if mesh is not None:
-        if cov_block:
-            raise ValueError(
-                "covariance_blocks has no mesh serving path — warm it "
-                "without mesh (use covariance_matmat(mesh=...) for "
-                "sharded covariance application)")
         _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
-                             sharding_plan)
+                             sharding_plan, cov_block)
         return
 
     def s(shape):
@@ -318,7 +328,7 @@ def warmup_serving(model, batch_rows: int, n_variables=None,
 
 
 def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
-                         sharding_plan):
+                         sharding_plan, cov_block=None):
     """The mesh branch of `warmup_serving`: lower the sharded-serving
     programs with every operand declared per the layout
     `Corex._serving_mesh` commits (state axis roles; x/y/v_spec inputs),
@@ -376,3 +386,13 @@ def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
                 C._matmat_overlap_program.lower(
                     cy, c_xy, std,
                     s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()
+        if cov_block:
+            # covariance_blocks(mesh=...): z carries rhoinvrho's layout on
+            # both solver paths (the eager z = f(state) computation
+            # propagates it — pinned by the no-new-compile assertion in
+            # tests/test_sharding.py)
+            import jax.numpy as jnp
+            blk = min(int(cov_block), p)
+            C._cov_rows_program.lower(
+                s((m, p), specs["rhoinvrho"]), std,
+                jax.ShapeDtypeStruct((), jnp.int32), blk).compile()

@@ -4,9 +4,10 @@ The knob's contract mirrors stage_tol_factor (the final eps=0 stage always
 runs on the FULL data at `tol`): the driver is two compiled programs —
 the schedule prefix on every k-th row, the final stage on everything
 (models/corex.py :: _fit_staged_subsample). Measured basis:
-benchmarks/RESULTS.md "stage-subsample study" (weak structure: 1.7-2.7x
-fewer weighted iterations at TC within 0.1%; composes with
-stage_tol_factor). Parity anchor: the float64 oracle mirrors the staging
+benchmarks/RESULTS.md "stage-subsample study" (weak structure: 1.6-2.7x
+fewer weighted iterations at TC within ±0.1% on every seed; strong
+structure shows basin drift to −4% — it is a weak-structure knob;
+composes with stage_tol_factor). Parity anchor: the float64 oracle mirrors the staging
 step-for-step, including the prefix program's tcs factor sort
 (oracle/oracle.py :: OracleCorex.fit).
 """
@@ -70,18 +71,23 @@ def test_f64_parity_fixed_point_optimum(med_block_data):
 
 
 def test_stride_one_fraction_matches_plain_fit(small_block_data):
-    """A fraction that rounds to stride 1 (no actual subsampling) must
-    land on the one-program fit's optimum — the program SPLIT (prefix +
-    final, with the prefix's tcs sort between) is a no-op numerically,
-    exactly like the stage-by-stage checkpoint driver."""
+    """A fraction that rounds to stride 1 (> 2/3: no rows would actually
+    drop) is INERT: stage_subsample_active warns and the fit runs the
+    plain one-program path — no split, no extra sync/compile for zero
+    subsampling (ADVICE r4). Must land bitwise on the plain fit's
+    optimum."""
     x = small_block_data
     w0 = _w0(4, 32, seed=5)
     ref = lc.Corex(n_hidden=4, dtype="float64",
                    moment_strategy="samples").fit(x, init_ws=w0)
-    c = lc.Corex(n_hidden=4, dtype="float64", stage_subsample=0.9,
-                 moment_strategy="samples").fit(x, init_ws=w0)
+    with pytest.warns(UserWarning, match="stride 1"):
+        c = lc.Corex(n_hidden=4, dtype="float64", stage_subsample=0.9,
+                     moment_strategy="samples").fit(x, init_ws=w0)
     assert abs(c.tc - ref.tc) < 1e-9
     assert np.abs(np.asarray(c.ws) - np.asarray(ref.ws)).max() < 1e-9
+    # the f64 oracle mirrors the inertness (same staging rule both sides)
+    o = OracleCorex(n_hidden=4, stage_subsample=0.9).fit(x, init_ws=w0)
+    assert abs(c.tc - o.tc) < 1e-6 * max(1.0, abs(o.tc))
 
 
 def test_diagnostics_cover_full_schedule(small_block_data):
