@@ -284,7 +284,12 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     Extra kwargs flow into `CorexConfig` (max_iter, tol, anneal, ...).
     padded_sweep=True (default) runs the whole (candidate, restart) grid as
     ONE compiled batched program; False runs the sequential per-candidate
-    loop (with the saturation early-stop under criterion='tc')."""
+    loop (with the saturation early-stop under criterion='tc'). Scale
+    guidance (benchmarks/RESULTS.md selection rows): padded wins 2x where
+    sweeps are dispatch-dominated (p=1024: 0.24 s vs 0.49 s) but pays
+    lockstep stragglers where they are compute-bound — at p=10k the
+    sequential loop is ~17% faster steady-state (21.2 s vs 24.9 s), both
+    choosing the planted rank."""
     import jax.numpy as jnp
 
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
