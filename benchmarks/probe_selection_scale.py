@@ -33,10 +33,13 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--sequential", action="store_true")
 ap.add_argument("--max-n", type=int, default=16)
 ap.add_argument("--repeat", type=int, default=2)
+ap.add_argument("--p", type=int, default=10_000,
+                help="number of variables (cfg5-scale run: 100000)")
+ap.add_argument("--n", type=int, default=10_000)
 args = ap.parse_args()
 
 ensure_compile_cache()
-n, p, m_true = 10_000, 10_000, 12
+n, p, m_true = args.n, args.p, 12
 
 
 @jax.jit

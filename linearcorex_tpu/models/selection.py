@@ -33,8 +33,9 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from linearcorex_tpu.config import CorexConfig
-from linearcorex_tpu.models.corex import Corex, pick_fit_strategy
+from linearcorex_tpu.config import CorexConfig, PreprocessConfig
+from linearcorex_tpu.models.corex import (Corex, _prepare_program,
+                                          pick_fit_strategy)
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
 from linearcorex_tpu.parallel.restarts import (fit_restarts,
@@ -206,8 +207,9 @@ def _restart_batch_runner(mesh, restart_axis: str,
         if pad:
             w0 = jnp.concatenate(
                 [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
-        # check_overflow=False: the sweep quantized via quantize_samples,
-        # which already ran the eager int8 wrap guard on this operand
+        # check_overflow=False: the sweep's fused prepare program
+        # quantized this operand and pick_n_hidden already ran the eager
+        # int8 wrap guard on it
         out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
                                    axis_name=restart_axis, n_samples=n,
                                    check_overflow=False,
@@ -290,6 +292,7 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
     lockstep stragglers where they are compute-bound — at p=10k the
     sequential loop is ~17% faster steady-state (21.2 s vs 24.9 s), both
     choosing the planted rank."""
+    import jax
     import jax.numpy as jnp
 
     from linearcorex_tpu.utils.compile_cache import ensure_compile_cache
@@ -307,36 +310,60 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         # strategy choice still honored it — a different, slower program
         # than the user asked for, with no sharding at all)
         raise ValueError(_DATA_AXIS_NEEDS_MESH)
-    x = np.asarray(data)
-    n, p = x.shape
+    n, p = np.shape(data)
+    dt = jnp.dtype(dtype)
     xv = None
     if criterion == "heldout":
         _, n_val = _heldout_split_sizes(
             n, val_fraction, corex_kwargs.get("gaussianize", "standard"))
         perm = np.random.RandomState(seed_base(seed)).permutation(n)
-        xv, x = x[perm[:n_val]], x[perm[n_val:]]
+        if isinstance(data, jax.Array):
+            # split with a device row gather: np.asarray on a device-
+            # resident X is a bulk D2H (~4 MB/s on this attachment —
+            # ~17 min for the 4 GB p=100k f32 operand, measured when the
+            # first selection-at-scale cfg5 run was attempted) plus a
+            # second full H2D, for the same values a gather produces in
+            # place
+            xq = jnp.asarray(data, dtype=dt)
+            xv = jnp.take(xq, jnp.asarray(perm[:n_val]), axis=0)
+            x = jnp.take(xq, jnp.asarray(perm[n_val:]), axis=0)
+            xq = None
+        else:
+            arr = np.asarray(data)
+            xv = jnp.asarray(arr[perm[:n_val]], dtype=dt)
+            x = jnp.asarray(arr[perm[n_val:]], dtype=dt)
         n = x.shape[0]
-    x = jnp.asarray(x, dtype=jnp.dtype(dtype))
+    else:
+        x = jnp.asarray(data, dtype=dt)
     if max_n_hidden is None:
         max_n_hidden = min(p, 16)
-    # Preprocess once (training rows only under 'heldout'); every
-    # candidate fit shares the standardized data (and the Gram matrix, if
-    # the fast path applies). Validation rows use the training theta.
     gaussianize = corex_kwargs.pop("gaussianize", "standard")
     missing_values = corex_kwargs.pop("missing_values", None)
     # sweeps always disable the TC history (it would cost
     # batch x stages x max_iter memory); accept-and-drop a user-passed
     # record_history instead of colliding with the forced kwarg
     corex_kwargs.pop("record_history", None)
-    xp, theta = P.fit_preprocess(x, gaussianize, missing_values)
-    if xv is not None:
-        xv = P.preprocess(jnp.asarray(xv, x.dtype), gaussianize, theta,
-                          missing_values)
     cfg, strategy = _sweep_cfg_and_strategy(n, p, max_n_hidden, dtype,
                                             data_axis, corex_kwargs)
-    shared = M.compute_gram(xp) if strategy == "gram" else xp
+    # Preprocess once (training rows only under 'heldout') → operand
+    # (Gram / int8 quantize) as the fit's ONE fused prepare program
+    # (models.corex._prepare_program) — the previous eager unfused chain
+    # held extra X-sized f32 HBM copies and OOM'd the p=100k padded
+    # sweep on one chip — p=100k rows under
+    # benchmarks/RESULTS.md "Selection at flagship scale".
+    # Every candidate fit shares the operand; validation rows
+    # use the training theta. The operand dtype stays `dtype` for
+    # non-int8 sweeps (matmul_dtype='bfloat16' casts inside the sweep
+    # program), so the compiled sweep's cache key matches the operand
+    # warmup_sweep declares.
+    shared, theta = _prepare_program(
+        x, PreprocessConfig(gaussianize, missing_values), strategy,
+        "int8" if cfg.matmul_dtype == "int8" else "float32")
+    x = None   # release the raw training rows before the lanes allocate
     if cfg.matmul_dtype == "int8":
-        shared = M.quantize_samples(shared)   # X or Σ, per-tensor scale
+        M._check_int8_wrap(shared)   # eager guard (host control flow)
+    if xv is not None:
+        xv = P.preprocess(xv, gaussianize, theta, missing_values)
     overlap = not cfg.discourage_overlap
     label = "TC" if criterion == "tc" else "held-out loglik"
     run_batch = _restart_batch_runner(mesh, restart_axis, data_axis)

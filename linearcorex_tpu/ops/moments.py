@@ -175,6 +175,19 @@ def _check_int8_wrap(qd: "QuantizedData") -> None:
         f"standardized-Gaussian-like")
 
 
+@jax.jit
+def _quantize_program(x):
+    """abs-max scale + clip/round/cast as ONE fused program: the eager
+    op-by-op chain materializes ~3 operand-sized f32 temporaries between
+    dispatches (at p=100k that is ~12 GB of transient HBM — the
+    difference between fitting and OOM on one chip; the fit path's
+    `models.corex._prepare_program` fuses for the same reason). Inlined
+    as a no-op when `quantize_samples` is itself called under a trace."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)).astype(_F32) / 127.0, 1e-30)
+    q = jnp.clip(jnp.round(x.astype(_F32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def quantize_samples(x, check_overflow: bool = True) -> QuantizedData:
     """Quantize a standardized samples matrix (or a correlation-scaled
     Gram matrix — see `quantize_gram`) to int8 with one global scale.
@@ -183,8 +196,7 @@ def quantize_samples(x, check_overflow: bool = True) -> QuantizedData:
     (`_check_int8_wrap`) when called eagerly; inside a jit trace the guard
     is skipped (it needs host control flow) — quantize eagerly, as every
     library driver does, to keep the guard."""
-    s = jnp.maximum(jnp.max(jnp.abs(x)).astype(_F32) / 127.0, 1e-30)
-    q = jnp.clip(jnp.round(x.astype(_F32) / s), -127, 127).astype(jnp.int8)
+    q, s = _quantize_program(x)
     qd = QuantizedData(q=q, scale=s)
     if check_overflow and not isinstance(q, jax.core.Tracer):
         _check_int8_wrap(qd)
