@@ -402,6 +402,21 @@ def stage_subsample_active(cfg: CorexConfig, strategy: str) -> bool:
     return len(cfg.anneal_schedule()) > 1
 
 
+def check_restart_sweep_supported(cfg: CorexConfig, strategy: str) -> None:
+    """Reject configs the vmapped restart sweep cannot honor — the single
+    definition shared by `Corex._fit_restart_sweep` and
+    `utils.compile_cache.warmup_fit`: the warmup must raise exactly where
+    the fit raises instead of warming a dead cache key (and instead of
+    funneling into `_make_obj_grad`'s staging error, whose guidance points
+    the wrong way for this combination — round-5 review finding)."""
+    if stage_subsample_active(cfg, strategy):
+        raise ValueError(
+            "stage_subsample < 1 is not supported with n_restarts > "
+            "1: the restart sweep is one vmapped program over the "
+            "whole anneal schedule. Set stage_subsample=1, or run "
+            "the staged fits sequentially.")
+
+
 def subsample_stride(fraction: float) -> int:
     """Row stride k for stage_subsample: rows x[::k], k = round(1/f)."""
     return max(1, int(round(1.0 / float(fraction))))
@@ -1114,12 +1129,7 @@ class Corex:
         lockstep stragglers ~1.4x vs sequential."""
         from linearcorex_tpu.parallel.restarts import (
             _fit_restarts_program, best_restart, init_restarts)
-        if stage_subsample_active(cfg, strategy):
-            raise ValueError(
-                "stage_subsample < 1 is not supported with n_restarts > "
-                "1: the restart sweep is one vmapped program over the "
-                "whole anneal schedule. Set stage_subsample=1, or run "
-                "the staged fits sequentially.")
+        check_restart_sweep_supported(cfg, strategy)
         w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
                                  self._dt)
         ws_b, mom_b, diag_b = _fit_restarts_program(data, w0_batch, cfg,
@@ -1286,6 +1296,17 @@ class Corex:
                 "partial_fit solves from the accumulated correlation "
                 "matrix (gram strategy); moment_strategy='samples' "
                 "contradicts that — use 'auto' or 'gram'")
+        if self._validated_restarts(None, None) != 1:
+            # raise by name like every other driver — each partial_fit
+            # call is ONE warm-started re-solve from the accumulated
+            # moments; silently ignoring the sweep would hand back a
+            # single lane (round-5 review finding)
+            raise ValueError(
+                "n_restarts > 1 is not supported by partial_fit: each "
+                "call warm-starts from the current weights, so restart "
+                "lanes have no fresh seeded inits to draw. Set "
+                "n_restarts=1, or run Corex(n_restarts=k).fit on the "
+                "full data.")
         x = self._validate_input(x)  # >=1-row batches are legal here
         acc = getattr(self, "_partial_acc", None)
         expect = acc.p if acc is not None else getattr(self, "nv", None)
@@ -1697,8 +1718,9 @@ class Corex:
             raise ValueError(f"block_size must be >= 1, got {block_size}")
         p = self.nv
         b = min(block_size, p)
+        plan = put = None
         if mesh is not None:
-            self._serving_mesh(mesh, sharding_plan, None)
+            plan, put = self._serving_mesh(mesh, sharding_plan, None)
         # the mesh context is entered PER DISPATCH, never held across a
         # yield — a generator holding jax.set_mesh open would leak the
         # global mesh scope into whatever the consumer runs between blocks
@@ -1707,6 +1729,16 @@ class Corex:
                     else contextlib.nullcontext())
         with ctx():
             z = self._factor_z()
+        if put is not None:
+            # commit z to the layout `warmup_serving` declares (the
+            # rhoinvrho spec). The NS path's eager z = rhoinvrho/(1+si)
+            # already lands there (this device_put is a no-op), but the
+            # OVERLAP path's solve_triangular output commits REPLICATED —
+            # without the re-commit the real dispatch lowers a different
+            # module than the warmup and the AOT compile is wasted (the
+            # round-4 cache-key rule; pinned per solver path by the
+            # module-text identity test in tests/test_sharding.py)
+            z = put(z, serving_state_specs(plan)["rhoinvrho"])
         start = 0
         while start < p:
             s = min(start, p - b)

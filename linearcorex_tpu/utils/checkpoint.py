@@ -160,6 +160,18 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     from linearcorex_tpu.models.corex import _fit_program
     from linearcorex_tpu.ops import moments as M
 
+    if model._validated_restarts(init_ws, None) != 1:
+        # every other driver raises by name on unsupported restart
+        # combinations — silently running ONE lane here would hand the
+        # user a single fit while they believe they got the best-of-k
+        # basin mitigation (round-5 review finding)
+        raise ValueError(
+            "n_restarts > 1 is not supported by fit_with_checkpoints: "
+            "the stage-boundary driver re-enters the solver one stage "
+            "at a time on a single lane. Run Corex(n_restarts=k).fit "
+            "without checkpoints, or checkpoint k seeded single-restart "
+            "fits (seed=s+r) and keep the best TC.")
+
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, "stage_state.npz")
 

@@ -223,7 +223,10 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     # would reject raises here too instead of warming a dead key)
     restarts = model._validated_restarts(None, mesh)
     if restarts > 1:
+        from linearcorex_tpu.models.corex import (
+            check_restart_sweep_supported)
         from linearcorex_tpu.parallel.restarts import _fit_restarts_program
+        check_restart_sweep_supported(cfg, strategy)
         _fit_restarts_program.lower(
             fit_data_arg(data_shape),
             sds((restarts, model.m, p), dt), cfg, strategy).compile()
@@ -388,9 +391,11 @@ def _warmup_serving_mesh(model, b, p, m, dt, matmat_k, mesh,
                     s((p, int(matmat_k)), plan.v_spec(ndim=2))).compile()
         if cov_block:
             # covariance_blocks(mesh=...): z carries rhoinvrho's layout on
-            # both solver paths (the eager z = f(state) computation
-            # propagates it — pinned by the no-new-compile assertion in
-            # tests/test_sharding.py)
+            # both solver paths — natively on the NS path (eager
+            # z = rhoinvrho/(1+si) propagates it), by the dispatch's
+            # explicit re-commit on the overlap path (its solve_triangular
+            # output lands replicated) — pinned per solver path by the
+            # module-text identity tests in tests/test_sharding.py
             import jax.numpy as jnp
             blk = min(int(cov_block), p)
             C._cov_rows_program.lower(

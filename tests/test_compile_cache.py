@@ -226,6 +226,13 @@ def test_cache_roundtrip_in_subprocess(tmp_path):
         "from tests.conftest import block_data\n"
         f"d = ensure_compile_cache({cache_dir!r})\n"
         "assert d is not None\n"
+        # zero the 0.5 s min-compile-time write threshold for the test:
+        # a program whose compile time straddles it on a loaded box could
+        # be written by one process and not the other, failing the
+        # listing-equality below with no real regression (round-5 review)
+        "import jax\n"
+        "jax.config.update("
+        "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
         "lc.Corex(n_hidden=2, max_iter=3, record_history=False,"
         " seed=0).fit(block_data(n=60, p=8, m=2, seed=0))\n"
         "from jax._src import compilation_cache as jcc\n"

@@ -39,8 +39,10 @@ def test_sweep_equals_best_of_single_fits():
     assert np.abs(np.asarray(sweep.ws)
                   - np.asarray(singles[best].ws)).max() < 1e-8
     # the sweep found a real spread (the lottery regime) — if every lane
-    # landed identically this test would be vacuous
-    assert max(tcs) - min(tcs) > 0 or len(set(tcs)) == 1
+    # landed identically the best-of-k comparison above would be vacuous
+    assert len(set(tcs)) > 1, (
+        "all restart lanes converged to identical TC — pick a seed/data "
+        "regime with a real basin lottery, or the test proves nothing")
 
 
 def test_single_restart_is_plain_fit():
@@ -77,6 +79,25 @@ def test_validation_and_guards():
         lc.Corex(n_restarts=2, init="spectral", **KW).fit(x)
     with pytest.raises(ValueError, match="stage_subsample"):
         lc.Corex(n_restarts=2, stage_subsample=0.25, **KW).fit(x)
+    # warmup must reject EXACTLY where fit rejects (shared guard), not
+    # funnel into the staging error or warm a dead key (round-5 review)
+    with pytest.raises(ValueError, match="stage_subsample"):
+        lc.Corex(n_restarts=2, stage_subsample=0.25, **KW).warmup(256, 32)
+
+
+def test_unsupported_drivers_raise_by_name(tmp_path):
+    """fit_with_checkpoints and partial_fit cannot run a restart sweep —
+    they must raise by name, never silently fit one lane (round-5
+    review: the silent path would hand back a single fit while the user
+    believes they got the best-of-k basin mitigation)."""
+    from linearcorex_tpu.utils.checkpoint import fit_with_checkpoints
+    x = _data()
+    with pytest.raises(ValueError, match="fit_with_checkpoints"):
+        fit_with_checkpoints(lc.Corex(n_restarts=2, **KW), x,
+                             str(tmp_path / "ck"))
+    kw = dict(KW, moment_strategy="auto")
+    with pytest.raises(ValueError, match="partial_fit"):
+        lc.Corex(n_restarts=2, **kw).partial_fit(x)
 
 
 def test_mesh_guard_points_at_sharded_driver():

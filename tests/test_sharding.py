@@ -1019,11 +1019,15 @@ def test_get_covariance_raises_on_var_sharded_state():
                           np.asarray(cd_ref.get_covariance()))
 
 
-def test_warmup_serving_covers_sharded_cov_blocks(monkeypatch):
+@pytest.mark.parametrize("overlap", (False, True))
+def test_warmup_serving_covers_sharded_cov_blocks(monkeypatch, overlap):
     """warmup_serving(cov_block=..., mesh=...) lowers EXACTLY the module
     covariance_blocks(mesh=...) dispatches (the module-text identity
-    rule): z's committed layout after the eager z = f(state) compute is
-    rhoinvrho's spec, as the warmup declares."""
+    rule), on BOTH solver paths: the NS path's eager z = f(state) lands
+    on rhoinvrho's spec natively; the overlap path's solve_triangular
+    output commits REPLICATED and relies on the dispatch's explicit
+    re-commit — without it this test fails with two different modules
+    (caught by round-5 review)."""
     import linearcorex_tpu.models.corex as C
     from linearcorex_tpu.utils.compile_cache import warmup_serving
     from tests.conftest import module_text_probe
@@ -1031,7 +1035,10 @@ def test_warmup_serving_covers_sharded_cov_blocks(monkeypatch):
     texts = []
     monkeypatch.setattr(C, "_cov_rows_program",
                         module_text_probe(C._cov_rows_program, texts))
-    x, cm, _ = _fresh_pair()
+    kw = dict(discourage_overlap=not overlap)
+    if overlap:
+        kw["max_iter"] = 300
+    x, cm, _ = _fresh_pair(**kw)
     mesh = make_mesh(((VAR_AXIS, 8),))
     plan = ShardingPlan(shard_samples=False, shard_vars=True)
     warmup_serving(cm, batch_rows=512, mesh=mesh, sharding_plan=plan,
