@@ -36,6 +36,10 @@ def _draw(rng):
         discourage_overlap=bool(rng.randint(0, 4)),  # mostly True
         moment_strategy=("auto", "samples", "gram")[rng.randint(0, 3)],
         stage_tol_factor=(1.0, 10.0)[rng.randint(0, 2)],
+        # round-4/5 knobs: the staged-subsample driver and the vmapped
+        # restart sweep ride the same invariant battery
+        stage_subsample=(1.0, 0.5, 0.25)[rng.randint(0, 3)],
+        n_restarts=int(rng.randint(1, 4)),
     )
     # respect documented constraints instead of skipping
     if not cfg["discourage_overlap"]:
@@ -44,6 +48,13 @@ def _draw(rng):
         cfg["matmul_dtype"] = "float32"
     if cfg["matmul_dtype"] == "int8":
         cfg["tol"] = max(cfg["tol"], 1e-3)
+    if cfg["n_restarts"] > 1:
+        # n_restarts x active stage_subsample raises by name (the sweep
+        # is one vmapped program over the whole schedule; whether the
+        # subsample is ACTIVE depends on the resolved strategy, which
+        # 'auto' decides by shape) — pinned in
+        # tests/test_restarts_estimator.py; the fuzz draws legal configs
+        cfg["stage_subsample"] = 1.0
     x = block_data(n=n, p=p, m=m_true, seed=int(rng.randint(0, 1000)))
     return x, cfg
 
