@@ -286,6 +286,9 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
         objective_per_stage=jnp.asarray(stats["obj"], dt),
         tc_history=jnp.asarray(stats["hist"], dt),
         eps_schedule=jnp.asarray(schedule, dt))
+    # mirror the plain fit's fitted attributes (n_restarts > 1 is
+    # rejected above): lane 0 ≡ the plain fit
+    model.best_restart_ = 0
     return model
 
 

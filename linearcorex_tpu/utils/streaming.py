@@ -260,6 +260,9 @@ def _solve_from_moments(model, corr, mean, std, n_samples, init_ws=None,
         model.ws, model.moments, model.diagnostics = _fit_program(
             data, w0, cfg, "gram")
         model._serving_plan = None  # single-device state
+    # single-lane drivers mirror the plain fit's fitted attributes
+    # (n_restarts > 1 is rejected upstream): lane 0 ≡ the plain fit
+    model.best_restart_ = 0
     return model
 
 

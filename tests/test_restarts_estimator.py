@@ -98,6 +98,11 @@ def test_unsupported_drivers_raise_by_name(tmp_path):
     kw = dict(KW, moment_strategy="auto")
     with pytest.raises(ValueError, match="partial_fit"):
         lc.Corex(n_restarts=2, **kw).partial_fit(x)
+    # the single-lane drivers mirror the plain fit's fitted attributes
+    c = lc.Corex(**kw).partial_fit(x)
+    assert c.best_restart_ == 0
+    c2 = fit_with_checkpoints(lc.Corex(**KW), x, str(tmp_path / "ck1"))
+    assert c2.best_restart_ == 0
 
 
 def test_mesh_guard_points_at_sharded_driver():
