@@ -417,6 +417,54 @@ def check_restart_sweep_supported(cfg: CorexConfig, strategy: str) -> None:
             "the staged fits sequentially.")
 
 
+RESTART_AXIS = "restarts"  # mesh axis the restart lanes shard over
+
+
+def resolve_restart_mesh_layout(mesh, plan):
+    """Layout for `Corex(n_restarts>1).fit(mesh=...)`: the single
+    definition shared by `Corex.fit` and `utils.compile_cache.
+    warmup_fit` (the warmup must compile the sweep's exact cache key, so
+    the layout decision cannot fork). Returns (strategy_plan,
+    data_axis):
+
+    - strategy_plan is what `pick_fit_strategy`/`_prepare_fit` see — the
+      caller's plan when the mesh carries DATA_AXIS and the plan shards
+      samples (the combined restarts x data layout, BASELINE config 5's
+      literal layout — SURVEY.md §2.8 DP+EP rows; the operand is then
+      prepared SHARDED, so the raw X never lands whole on one device),
+      else None (restart-only sharding, operand replicated per lane).
+    - data_axis is the sample-sharding mesh axis for
+      `parallel.restarts.fit_restarts_sharded`, or None. Callers must
+      drop it to None when the resolved strategy is not 'samples' (an
+      explicit moment_strategy='gram' under a sample plan runs
+      replicated — `pick_fit_strategy` warns).
+
+    The restart lanes always shard over the RESTART_AXIS ('restarts')
+    mesh axis; var/factor/slice sharding has no restart-sweep program —
+    both raise by name."""
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS
+    if RESTART_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"n_restarts > 1 under fit(mesh=...): the restart lanes "
+            f"shard over a mesh axis named {RESTART_AXIS!r}, but the "
+            f"mesh has axes {mesh.axis_names}. Build it with that axis "
+            f"— make_mesh((({RESTART_AXIS!r}, n_devices),)), or the "
+            f"combined restarts x data layout make_mesh"
+            f"((({RESTART_AXIS!r}, a), ({DATA_AXIS!r}, b))) — or call "
+            f"parallel.restarts.fit_restarts_sharded directly for a "
+            f"custom axis name.")
+    if plan.shard_vars or plan.shard_factors or plan.shard_slices:
+        raise ValueError(
+            "n_restarts > 1 under fit(mesh=...) supports sample "
+            "sharding only (the combined restarts x data layout); "
+            "var/factor/slice sharding has no restart-sweep program. "
+            "Use n_restarts=1 for those layouts, or drop them from the "
+            "ShardingPlan.")
+    if plan.shard_samples and DATA_AXIS in mesh.axis_names:
+        return plan, DATA_AXIS
+    return None, None
+
+
 def subsample_stride(fraction: float) -> int:
     """Row stride k for stage_subsample: rows x[::k], k = round(1/f)."""
     return max(1, int(round(1.0 / float(fraction))))
@@ -1079,10 +1127,12 @@ class Corex:
         # fresh init (also when refitting on data of a different width)
         return jnp.asarray(self._init_ws(self.nv), dtype=self._dt)
 
-    def _validated_restarts(self, init_ws, mesh) -> int:
+    def _validated_restarts(self, init_ws) -> int:
         """Validate `n_restarts` at first use (the sklearn deferred-
         validation contract — __init__/set_params store it verbatim) and
-        reject the combinations a restart sweep cannot honor, by name."""
+        reject the combinations a restart sweep cannot honor, by name.
+        (Mesh-layout validation lives in `resolve_restart_mesh_layout`,
+        the definition shared with AOT warmup.)"""
         import numbers
         r = self.n_restarts
         if not isinstance(r, numbers.Integral) or isinstance(r, bool) \
@@ -1106,16 +1156,10 @@ class Corex:
                 "restart lane would be identical. Restarts draw "
                 "RandomState(seed + r) inits — use init='random' (the "
                 "restart seed policy), or n_restarts=1 with spectral.")
-        if mesh is not None:
-            raise ValueError(
-                "n_restarts > 1 under fit(mesh=...) is not wired on the "
-                "estimator: the restart axis needs its own mesh axis. "
-                "Use parallel.restarts.fit_restarts_sharded (optionally "
-                "with data_axis= for the combined restarts x data "
-                "layout) and best_restart, or fit single-device.")
         return r
 
-    def _fit_restart_sweep(self, data, cfg, strategy, restarts):
+    def _fit_restart_sweep(self, data, cfg, strategy, restarts,
+                           mesh=None, data_axis=None):
         """n_restarts > 1: one vmapped program fits every lane, keep the
         best final TC (the reference's pick_n_hidden(repeat=k) selection
         rule, applied at fixed n_hidden — SURVEY.md §2.7/§2.8 EP row).
@@ -1126,17 +1170,36 @@ class Corex:
         restart note): unseeded single fits at cfg5 hit a visibly worse
         basin ~1-in-6 (TC −12%); int8 makes a best-of-4 sweep memory-
         feasible on ONE chip (bf16 OOMs there), 14 s steady-state,
-        lockstep stragglers ~1.4x vs sequential."""
+        lockstep stragglers ~1.4x vs sequential.
+
+        With `mesh` the lanes shard over its RESTART_AXIS (and the
+        sample rows over `data_axis` when given — the combined layout;
+        `resolve_restart_mesh_layout` decided both): `parallel.restarts.
+        restart_batch_runner` pads the batch to the axis size with
+        duplicate last-lane inits and drops the pads, so the selected
+        winner is identical to the single-device sweep's. cfg arrives
+        UNRESOLVED here (use_pallas='auto'); fit_restarts_sharded
+        resolves it against the mesh's platform — the same final config
+        a single-device sweep resolves on that platform."""
         from linearcorex_tpu.parallel.restarts import (
-            _fit_restarts_program, best_restart, init_restarts)
+            _fit_restarts_program, best_restart, init_restarts,
+            restart_batch_runner)
         check_restart_sweep_supported(cfg, strategy)
         w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
                                  self._dt)
-        ws_b, mom_b, diag_b = _fit_restarts_program(data, w0_batch, cfg,
-                                                    strategy)
+        if mesh is None:
+            ws_b, mom_b, diag_b = _fit_restarts_program(
+                data, w0_batch, cfg, strategy)
+        else:
+            run = restart_batch_runner(mesh, RESTART_AXIS, data_axis)
+            ws_b, mom_b, diag_b = run(data, w0_batch, cfg, strategy,
+                                      self.n_samples)
         self.ws, self.moments, self.diagnostics, best = best_restart(
             ws_b, mom_b, diag_b)
         self.best_restart_ = int(best)
+        # the sweep's layout is fit-only (the winning lane's state comes
+        # back whole, like fit_restarts_sharded's callers); serving calls
+        # that want a mesh pass one explicitly
         self._serving_plan = None
         if self.verbose:
             self._print_verbose()
@@ -1157,8 +1220,12 @@ class Corex:
         vmapped program and keeps the best final TC
         (`_fit_restart_sweep`: lane r inits from RandomState(seed + r),
         lane 0 ≡ the plain fit; `best_restart_` records the winner).
-        The guarded combinations (warm starts, init='spectral', mesh=)
-        raise by name."""
+        Under `mesh=` the lanes shard over the mesh's 'restarts' axis —
+        and the sample rows over its 'data' axis too when the plan
+        shards samples (the combined restarts x data layout;
+        `resolve_restart_mesh_layout`). The guarded combinations (warm
+        starts, init='spectral', var/factor/slice-sharding plans, a mesh
+        without a 'restarts' axis) raise by name."""
         # Loud failure for the pre-0.3 positional form fit(X, W0): a
         # legitimate sklearn y has one row per sample, so a 2-D y shaped
         # exactly (n_hidden, n_variables) with the wrong row count is a
@@ -1175,11 +1242,25 @@ class Corex:
                 f"init_ws). y is the (ignored) sklearn target slot; pass "
                 f"weights as fit(x, init_ws=...).")
         del y
-        restarts = self._validated_restarts(init_ws, mesh)
+        restarts = self._validated_restarts(init_ws)
         if mesh is not None:
             from linearcorex_tpu.parallel.sharding import (ShardingPlan,
                                                            fit_sharded)
             plan = sharding_plan or ShardingPlan()
+            if restarts > 1:
+                strategy_plan, data_axis = resolve_restart_mesh_layout(
+                    mesh, plan)
+                data, cfg, strategy = self._prepare_fit(
+                    x, resolve=False, plan=strategy_plan,
+                    mesh=mesh if strategy_plan is not None else None)
+                if strategy != "samples":
+                    # explicit moment_strategy='gram' under a sample
+                    # plan: the Gram operand has no sample axis — it
+                    # runs replicated (pick_fit_strategy warned)
+                    data_axis = None
+                return self._fit_restart_sweep(data, cfg, strategy,
+                                               restarts, mesh=mesh,
+                                               data_axis=data_axis)
         data, cfg, strategy = self._prepare_fit(
             x, resolve=mesh is None, plan=None if mesh is None else plan,
             mesh=mesh)
@@ -1296,7 +1377,7 @@ class Corex:
                 "partial_fit solves from the accumulated correlation "
                 "matrix (gram strategy); moment_strategy='samples' "
                 "contradicts that — use 'auto' or 'gram'")
-        if self._validated_restarts(None, None) != 1:
+        if self._validated_restarts(None) != 1:
             # raise by name like every other driver — each partial_fit
             # call is ONE warm-started re-solve from the accumulated
             # moments; silently ignoring the sweep would hand back a

@@ -38,9 +38,9 @@ from linearcorex_tpu.models.corex import (Corex, _prepare_program,
                                           pick_fit_strategy)
 from linearcorex_tpu.ops import moments as M
 from linearcorex_tpu.ops import preprocessing as P
-from linearcorex_tpu.parallel.restarts import (fit_restarts,
-                                               fit_restarts_sharded,
-                                               init_restarts, seed_base)
+from linearcorex_tpu.parallel.restarts import (init_restarts,
+                                               restart_batch_runner,
+                                               seed_base)
 
 __all__ = ["pick_n_hidden", "warmup_sweep"]
 
@@ -178,47 +178,11 @@ def _score_batch(xv, mom_b, overlap: bool):
 
 def _restart_batch_runner(mesh, restart_axis: str,
                           data_axis: Optional[str] = None):
-    """Batch-fit dispatcher for the selection sweep: single-device
-    `fit_restarts`, or — with a mesh — `fit_restarts_sharded` with the
-    (candidate, restart) batch axis sharded over `restart_axis` (the
-    zero-communication EP layout, SURVEY.md §2.8; VERDICT r2 Missing #4a)
-    and, when `data_axis` is given, the sample rows over that axis too
-    (the combined restarts x data layout — for sweeps whose data is too
-    large to replicate per device). A batch that does not divide the axis
-    is padded by repeating the last init (GSPMD sharding needs
-    divisibility) and the padded lanes are dropped from every result
-    before scoring."""
-    if mesh is None:
-        return lambda data, w0, cfg, strategy, n: fit_restarts(
-            data, w0, cfg, strategy, n_samples=n)
-    if restart_axis not in mesh.axis_names:
-        raise ValueError(
-            f"mesh has axes {mesh.axis_names}; pick_n_hidden shards the "
-            f"restart batch over {restart_axis!r} — build the mesh with "
-            f"that axis (make_mesh((({restart_axis!r}, n_devices),))) or "
-            f"pass restart_axis=")
-    import jax
-    import jax.numpy as jnp
-
-    d = dict(zip(mesh.axis_names, mesh.devices.shape))[restart_axis]
-
-    def run(data, w0, cfg, strategy, n):
-        pad = (-w0.shape[0]) % d
-        if pad:
-            w0 = jnp.concatenate(
-                [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
-        # check_overflow=False: the sweep's fused prepare program
-        # quantized this operand and pick_n_hidden already ran the eager
-        # int8 wrap guard on it
-        out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
-                                   axis_name=restart_axis, n_samples=n,
-                                   check_overflow=False,
-                                   data_axis=data_axis)
-        if pad:
-            out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
-        return out
-
-    return run
+    """Batch-fit dispatcher for the selection sweep's (candidate,
+    restart) lanes — `parallel.restarts.restart_batch_runner` (moved
+    there when `Corex(n_restarts=k).fit(mesh=...)` started sharing it);
+    this alias keeps the historical selection-module spelling."""
+    return restart_batch_runner(mesh, restart_axis, data_axis)
 
 
 def _heldout_split_sizes(n: int, val_fraction: float,

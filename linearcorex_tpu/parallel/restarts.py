@@ -23,7 +23,8 @@ from linearcorex_tpu.core.solver import fit_core, sort_by_tcs
 from linearcorex_tpu.models.corex import _make_obj_grad
 from linearcorex_tpu.ops import moments as M
 
-__all__ = ["init_restarts", "fit_restarts", "best_restart"]
+__all__ = ["init_restarts", "fit_restarts", "best_restart",
+           "restart_batch_runner"]
 
 
 def seed_base(seed: Optional[int]) -> int:
@@ -166,6 +167,50 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
         data = jax.device_put(data, NamedSharding(mesh, data_spec))
     with jax.set_mesh(mesh):
         return _fit_restarts_program(data, w0_batch, cfg, strategy)
+
+
+def restart_batch_runner(mesh, restart_axis: str = "restarts",
+                         data_axis: Optional[str] = None):
+    """Batch-fit dispatcher for restart sweeps: single-device
+    `fit_restarts`, or — with a mesh — `fit_restarts_sharded` with the
+    restart batch axis sharded over `restart_axis` (the
+    zero-communication EP layout, SURVEY.md §2.8; VERDICT r2 Missing #4a)
+    and, when `data_axis` is given, the sample rows over that axis too
+    (the combined restarts x data layout — for sweeps whose data is too
+    large to replicate per device). A batch that does not divide the axis
+    is padded by repeating the last init (GSPMD sharding needs
+    divisibility) and the padded lanes are dropped from every result
+    before selection/scoring. Shared by `pick_n_hidden` (candidate x
+    restart lanes) and `Corex(n_restarts=k).fit(mesh=...)` (seeded
+    restart lanes)."""
+    if mesh is None:
+        return lambda data, w0, cfg, strategy, n: fit_restarts(
+            data, w0, cfg, strategy, n_samples=n)
+    if restart_axis not in mesh.axis_names:
+        raise ValueError(
+            f"mesh has axes {mesh.axis_names}; the restart batch shards "
+            f"over {restart_axis!r} — build the mesh with that axis "
+            f"(make_mesh((({restart_axis!r}, n_devices),))) or pass "
+            f"restart_axis=")
+    d = dict(zip(mesh.axis_names, mesh.devices.shape))[restart_axis]
+
+    def run(data, w0, cfg, strategy, n):
+        pad = (-w0.shape[0]) % d
+        if pad:
+            w0 = jnp.concatenate(
+                [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
+        # check_overflow=False: every caller's prepare path already ran
+        # the eager int8 wrap guard on this exact operand
+        # (Corex._prepare_fit / pick_n_hidden's fused sweep prepare)
+        out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
+                                   axis_name=restart_axis, n_samples=n,
+                                   check_overflow=False,
+                                   data_axis=data_axis)
+        if pad:
+            out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
+        return out
+
+    return run
 
 
 def best_restart(ws_batch, mom_batch, diag_batch):

@@ -160,7 +160,7 @@ def fit_with_checkpoints(model: Corex, x, ckpt_dir: str, init_ws=None,
     from linearcorex_tpu.models.corex import _fit_program
     from linearcorex_tpu.ops import moments as M
 
-    if model._validated_restarts(init_ws, None) != 1:
+    if model._validated_restarts(init_ws) != 1:
         # every other driver raises by name on unsupported restart
         # combinations — silently running ONE lane here would hand the
         # user a single fit while they believe they got the best-of-k

@@ -100,9 +100,20 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     ensure_compile_cache()
     n, p = int(n_samples), int(n_variables)
     plan = None
+    data_axis = None
+    # the restart-combination rejects must fire HERE exactly as in fit —
+    # warming a key the fit would refuse to run is a dead cache entry
+    restarts = model._validated_restarts(None)
     if mesh is not None:
         from linearcorex_tpu.parallel.sharding import ShardingPlan
         plan = sharding_plan or ShardingPlan()
+        if restarts > 1:
+            # layout decision SHARED with Corex.fit: plan becomes what
+            # pick_fit_strategy/_prepare_fit see (None ⇒ the sweep's
+            # operand is prepared single-device and replicated)
+            from linearcorex_tpu.models.corex import (
+                resolve_restart_mesh_layout)
+            plan, data_axis = resolve_restart_mesh_layout(mesh, plan)
     # strategy/config resolution SHARED with the real fit paths
     # (pick_fit_strategy / resolve_sharded_config) — a drifted copy here
     # would compile a different cache key than the fit and silently
@@ -115,10 +126,13 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
     else:
         data_dt = dt
 
-    if mesh is None:
+    if mesh is None or (restarts > 1 and plan is None):
         # single-device fit: the preprocessing+operand program runs on
         # the host device layout (the mesh variant is warmed below,
-        # under the mesh, with the plan baked in — a different program)
+        # under the mesh, with the plan baked in — a different program).
+        # A restart-only mesh sweep prepares the SAME way: Corex.fit
+        # runs the single-device prepare and fit_restarts_sharded
+        # replicates the operand over the mesh.
         _prepare_program.lower(
             jax.ShapeDtypeStruct((n, p), dt), model.pre_config, strategy,
             model.config.matmul_dtype).compile()
@@ -159,9 +173,55 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
 
         from linearcorex_tpu.parallel import sharding as S
 
-        # mirrors fit(mesh=...): n_restarts > 1 raises there, so warming
-        # a sharded single-fit key for such a model would be a dead key
-        model._validated_restarts(None, mesh)
+        if restarts > 1:
+            # warm the SHARDED restart-sweep key fit dispatches
+            # (Corex._fit_restart_sweep(mesh=...) → restart_batch_runner
+            # → fit_restarts_sharded), via the same shared derivations:
+            # resolve_restart_mesh_layout above decided (plan, data_axis),
+            # fit_restarts_sharded resolves the config against the mesh
+            # platform, and the runner pads the lane batch to the
+            # restart-axis size
+            from linearcorex_tpu.models.corex import (
+                RESTART_AXIS, check_restart_sweep_supported)
+            from linearcorex_tpu.parallel.restarts import (
+                _fit_restarts_program)
+            if strategy != "samples":
+                data_axis = None  # explicit-gram: replicated operand
+            cfg = resolve_config(model.config, p,
+                                 platform=mesh.devices.flat[0].platform,
+                                 n_samples=n)
+            check_restart_sweep_supported(cfg, strategy)
+            if plan is not None:
+                # combined restarts x data layout: the fit's prepare
+                # runs UNDER the mesh with the plan and the raw X
+                # sharded per x_spec (Corex._prepare_fit(mesh=...))
+                S.validate_plan_shapes(plan, strategy, mesh, n, p,
+                                       model.m, raw_x=True)
+                with jax.set_mesh(mesh):
+                    _prepare_program.lower(
+                        sds((n, p), dt, plan.x_spec()), model.pre_config,
+                        strategy, model.config.matmul_dtype,
+                        plan).compile()
+            d = dict(zip(mesh.axis_names,
+                         mesh.devices.shape))[RESTART_AXIS]
+            lanes = restarts + ((-restarts) % d)
+            data_spec = P(data_axis, None) if data_axis else P()
+            if cfg.matmul_dtype == "int8":
+                data_arg = QuantizedData(
+                    q=sds(data_shape, jnp.int8, data_spec),
+                    scale=sds((), jnp.float32, P()))
+            else:
+                data_arg = sds(data_shape, data_dt, data_spec)
+            # fit_restarts_sharded compiles INSIDE jax.set_mesh(mesh)
+            # with every operand committed (device_put) — lower under
+            # the same context with the same committed shardings
+            with jax.set_mesh(mesh):
+                _fit_restarts_program.lower(
+                    data_arg,
+                    sds((lanes, model.m, p), dt,
+                        P(RESTART_AXIS, None, None)),
+                    cfg, strategy).compile()
+            return
         cfg = S.resolve_sharded_config(model.config, mesh, plan, p, n)
         from linearcorex_tpu.models.corex import stage_subsample_active
         if stage_subsample_active(cfg, strategy):
@@ -219,9 +279,8 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
 
     # n_restarts > 1: the real fit dispatches the vmapped restart-sweep
     # program (Corex._fit_restart_sweep), not _fit_program — warm THAT
-    # cache key, via the same validation fit runs (so a combination fit
-    # would reject raises here too instead of warming a dead key)
-    restarts = model._validated_restarts(None, mesh)
+    # cache key (the combination rejects fired at the top, so no dead
+    # key is warmed)
     if restarts > 1:
         from linearcorex_tpu.models.corex import (
             check_restart_sweep_supported)

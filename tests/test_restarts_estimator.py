@@ -105,12 +105,85 @@ def test_unsupported_drivers_raise_by_name(tmp_path):
     assert c2.best_restart_ == 0
 
 
-def test_mesh_guard_points_at_sharded_driver():
+def test_mesh_restart_sweep_matches_single_device():
+    """Corex(n_restarts=k).fit(x, mesh=...) shards the lanes over the
+    mesh's 'restarts' axis (restart_batch_runner pads the batch to the
+    axis size and drops the pads) — the selected winner must be the
+    single-device sweep's, on both the restart-only mesh and the
+    combined restarts x data layout (BASELINE config 5's literal
+    layout)."""
     from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
-    x = np.asarray(block_data(n=256, p=32, m=4, seed=3))
-    mesh = make_mesh(((DATA_AXIS, 8),))
-    with pytest.raises(ValueError, match="fit_restarts_sharded"):
-        lc.Corex(n_restarts=2, **KW).fit(x, mesh=mesh)
+    x = _data()
+    ref = lc.Corex(n_restarts=3, seed=7, **KW).fit(x)
+    # restart-only mesh; 3 lanes pad to the 8-wide axis
+    m1 = lc.Corex(n_restarts=3, seed=7, **KW).fit(
+        x, mesh=make_mesh((("restarts", 8),)))
+    assert m1.best_restart_ == ref.best_restart_
+    assert m1.tc == pytest.approx(ref.tc, rel=1e-9)
+    assert np.abs(np.asarray(m1.ws) - np.asarray(ref.ws)).max() < 1e-8
+    # combined layout: lanes over 'restarts', sample rows over 'data'
+    ref2 = lc.Corex(n_restarts=2, seed=7, **KW).fit(x)
+    m2 = lc.Corex(n_restarts=2, seed=7, **KW).fit(
+        x, mesh=make_mesh((("restarts", 2), (DATA_AXIS, 4))))
+    assert m2.best_restart_ == ref2.best_restart_
+    assert m2.tc == pytest.approx(ref2.tc, rel=1e-7)
+    # the winning lane's state serves unchanged (replicated)
+    assert m2.transform(x).shape == (x.shape[0], 4)
+
+
+def test_mesh_restart_sweep_gram_strategy():
+    """An explicit gram-strategy sweep under a restarts-only mesh runs
+    with the operand replicated per lane and still matches the
+    single-device sweep."""
+    from linearcorex_tpu.parallel.sharding import make_mesh
+    x = _data()
+    kw = dict(KW, moment_strategy="gram")
+    ref = lc.Corex(n_restarts=3, seed=7, **kw).fit(x)
+    m = lc.Corex(n_restarts=3, seed=7, **kw).fit(
+        x, mesh=make_mesh((("restarts", 8),)))
+    assert m.best_restart_ == ref.best_restart_
+    assert m.tc == pytest.approx(ref.tc, rel=1e-9)
+
+
+def test_mesh_restart_warmup_is_module_identical_to_fit(monkeypatch):
+    """warmup_fit(mesh=...) with n_restarts > 1 must lower EXACTLY the
+    sharded restart-sweep module fit dispatches (module-text identity =
+    persistent-cache-key identity; see the round-4 warmup notes in
+    DESIGN.md)."""
+    import linearcorex_tpu.parallel.restarts as R
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
+    from tests.conftest import module_text_probe
+
+    texts = []
+    monkeypatch.setattr(R, "_fit_restarts_program",
+                        module_text_probe(R._fit_restarts_program, texts))
+    mesh = make_mesh((("restarts", 2), (DATA_AXIS, 4)))
+    x = _data()
+    kw = dict(KW, max_iter=50)
+    model = lc.Corex(n_restarts=3, seed=7, **kw)
+    model.warmup(x.shape[0], x.shape[1], mesh=mesh)
+    model.fit(x, mesh=mesh)
+    assert len(texts) == 2 and texts[0] == texts[1], \
+        "warmup_fit lowered a different sharded restart-sweep module " \
+        "than fit"
+
+
+def test_mesh_restart_guards_raise_by_name():
+    """The unsupported mesh combinations raise by name: a mesh without a
+    'restarts' axis (fit AND warmup — the shared layout definition), and
+    var/factor/slice-sharding plans."""
+    from linearcorex_tpu.parallel.sharding import (DATA_AXIS, VAR_AXIS,
+                                                   ShardingPlan, make_mesh)
+    x = _data()
+    mesh_nr = make_mesh(((DATA_AXIS, 8),))
+    with pytest.raises(ValueError, match="'restarts'"):
+        lc.Corex(n_restarts=2, **KW).fit(x, mesh=mesh_nr)
+    with pytest.raises(ValueError, match="'restarts'"):
+        lc.Corex(n_restarts=2, **KW).warmup(256, 32, mesh=mesh_nr)
+    mesh_rv = make_mesh((("restarts", 4), (VAR_AXIS, 2)))
+    with pytest.raises(ValueError, match="sample sharding only"):
+        lc.Corex(n_restarts=2, **KW).fit(
+            x, mesh=mesh_rv, sharding_plan=ShardingPlan(shard_vars=True))
 
 
 def test_sklearn_protocol_roundtrip():

@@ -79,15 +79,19 @@ def test_pick_n_hidden_padded_is_one_program(monkeypatch):
     """The padded sweep must launch exactly one batched solve for the
     whole (candidate, restart) grid (VERDICT r1 missing #2)."""
     import linearcorex_tpu.models.selection as S
+    import linearcorex_tpu.parallel.restarts as R
 
     calls = {"n": 0}
-    real = S.fit_restarts
+    real = R.fit_restarts
 
     def counting(*a, **k):
         calls["n"] += 1
         return real(*a, **k)
 
-    monkeypatch.setattr(S, "fit_restarts", counting)
+    # the single-device sweep dispatches through restart_batch_runner
+    # (parallel.restarts — shared with Corex(n_restarts=k).fit), which
+    # closes over its module's fit_restarts
+    monkeypatch.setattr(R, "fit_restarts", counting)
     x = block_data(n=400, p=16, m=2, seed=4)
     best_n, scores = S.pick_n_hidden(x, repeat=2, max_n_hidden=4,
                                      dtype="float32", seed=0, max_iter=500)
