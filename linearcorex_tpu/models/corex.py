@@ -1250,6 +1250,17 @@ class Corex:
             if restarts > 1:
                 strategy_plan, data_axis = resolve_restart_mesh_layout(
                     mesh, plan)
+                xsh = getattr(x, "shape", None)
+                if self.config.stage_subsample < 1.0 and xsh is not None \
+                        and len(xsh) == 2:
+                    # raise BEFORE the sharded H2D + prepare program
+                    # (minutes at scale, cold) — warmup raises
+                    # pre-lowering too; _fit_restart_sweep re-checks on
+                    # the validated shapes as the authoritative guard
+                    check_restart_sweep_supported(
+                        self.config,
+                        pick_fit_strategy(self.config, xsh[0], xsh[1],
+                                          strategy_plan))
                 data, cfg, strategy = self._prepare_fit(
                     x, resolve=False, plan=strategy_plan,
                     mesh=mesh if strategy_plan is not None else None)

@@ -169,6 +169,15 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
         return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
+def padded_lanes(batch: int, axis_size: int) -> int:
+    """Lane count after padding `batch` up to a multiple of the restart
+    axis (GSPMD sharding needs divisibility) — the single definition
+    shared by `restart_batch_runner` and `utils.compile_cache.
+    warmup_fit` (the warmup must lower the padded lane count the runner
+    actually dispatches; a forked copy would warm a dead cache key)."""
+    return batch + ((-batch) % axis_size)
+
+
 def restart_batch_runner(mesh, restart_axis: str = "restarts",
                          data_axis: Optional[str] = None):
     """Batch-fit dispatcher for restart sweeps: single-device
@@ -195,7 +204,7 @@ def restart_batch_runner(mesh, restart_axis: str = "restarts",
     d = dict(zip(mesh.axis_names, mesh.devices.shape))[restart_axis]
 
     def run(data, w0, cfg, strategy, n):
-        pad = (-w0.shape[0]) % d
+        pad = padded_lanes(w0.shape[0], d) - w0.shape[0]
         if pad:
             w0 = jnp.concatenate(
                 [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)

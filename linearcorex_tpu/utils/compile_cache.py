@@ -168,6 +168,16 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         return jax.ShapeDtypeStruct(
             shape, dtype, sharding=NamedSharding(mesh, spec))
 
+    def fit_data_arg(shape, spec=None, scale_spec=None):
+        """The solver-operand declaration — ONE definition for every warm
+        path below (int8 carries QuantizedData with a committed scalar
+        scale on mesh paths); matmul_dtype never changes under config
+        resolution, so model.config is authoritative here."""
+        if model.config.matmul_dtype == "int8":
+            return QuantizedData(q=sds(shape, jnp.int8, spec),
+                                 scale=sds((), jnp.float32, scale_spec))
+        return sds(shape, data_dt, spec)
+
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -202,16 +212,12 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
                         sds((n, p), dt, plan.x_spec()), model.pre_config,
                         strategy, model.config.matmul_dtype,
                         plan).compile()
+            from linearcorex_tpu.parallel.restarts import padded_lanes
             d = dict(zip(mesh.axis_names,
                          mesh.devices.shape))[RESTART_AXIS]
-            lanes = restarts + ((-restarts) % d)
+            lanes = padded_lanes(restarts, d)
             data_spec = P(data_axis, None) if data_axis else P()
-            if cfg.matmul_dtype == "int8":
-                data_arg = QuantizedData(
-                    q=sds(data_shape, jnp.int8, data_spec),
-                    scale=sds((), jnp.float32, P()))
-            else:
-                data_arg = sds(data_shape, data_dt, data_spec)
+            data_arg = fit_data_arg(data_shape, data_spec, P())
             # fit_restarts_sharded compiles INSIDE jax.set_mesh(mesh)
             # with every operand committed (device_put) — lower under
             # the same context with the same committed shardings
@@ -236,12 +242,7 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         S.validate_plan_shapes(plan, strategy, mesh, n, p, model.m,
                                raw_x=True)
         data_spec, w_spec = S.operand_specs(plan, strategy)
-        if cfg.matmul_dtype == "int8":
-            data_arg = QuantizedData(
-                q=sds(data_shape, jnp.int8, data_spec),
-                scale=sds((), jnp.float32, P()))
-        else:
-            data_arg = sds(data_shape, data_dt, data_spec)
+        data_arg = fit_data_arg(data_shape, data_spec, P())
         # the mesh fit's prepare runs UNDER the mesh with the plan
         # constraining its output and the raw X sharded per x_spec
         # (Corex._prepare_fit(mesh=...)); the native host fast path is
@@ -270,12 +271,6 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
         return
 
     cfg = resolve_config(model.config, p, n_samples=n)
-
-    def fit_data_arg(shape):
-        if cfg.matmul_dtype == "int8":
-            return QuantizedData(q=sds(shape, jnp.int8),
-                                 scale=sds((), jnp.float32))
-        return sds(shape, data_dt)
 
     # n_restarts > 1: the real fit dispatches the vmapped restart-sweep
     # program (Corex._fit_restart_sweep), not _fit_program — warm THAT

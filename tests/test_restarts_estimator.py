@@ -145,11 +145,15 @@ def test_mesh_restart_sweep_gram_strategy():
     assert m.tc == pytest.approx(ref.tc, rel=1e-9)
 
 
-def test_mesh_restart_warmup_is_module_identical_to_fit(monkeypatch):
+@pytest.mark.parametrize("layout", ["combined", "restart_only", "gram"])
+def test_mesh_restart_warmup_is_module_identical_to_fit(monkeypatch,
+                                                        layout):
     """warmup_fit(mesh=...) with n_restarts > 1 must lower EXACTLY the
     sharded restart-sweep module fit dispatches (module-text identity =
     persistent-cache-key identity; see the round-4 warmup notes in
-    DESIGN.md)."""
+    DESIGN.md) — on every layout: combined restarts x data, restart-only
+    mesh (replicated samples operand), and explicit-gram (replicated
+    Gram operand)."""
     import linearcorex_tpu.parallel.restarts as R
     from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
     from tests.conftest import module_text_probe
@@ -157,9 +161,14 @@ def test_mesh_restart_warmup_is_module_identical_to_fit(monkeypatch):
     texts = []
     monkeypatch.setattr(R, "_fit_restarts_program",
                         module_text_probe(R._fit_restarts_program, texts))
-    mesh = make_mesh((("restarts", 2), (DATA_AXIS, 4)))
     x = _data()
     kw = dict(KW, max_iter=50)
+    if layout == "combined":
+        mesh = make_mesh((("restarts", 2), (DATA_AXIS, 4)))
+    else:
+        mesh = make_mesh((("restarts", 8),))
+        if layout == "gram":
+            kw["moment_strategy"] = "gram"
     model = lc.Corex(n_restarts=3, seed=7, **kw)
     model.warmup(x.shape[0], x.shape[1], mesh=mesh)
     model.fit(x, mesh=mesh)
@@ -227,6 +236,9 @@ def test_warmup_covers_restart_sweep(monkeypatch):
     assert len(texts) == 2 and texts[0] == texts[1], (
         "warmup lowered a different restart-sweep module than fit")
     # and a mesh warmup on a restarts model raises like fit(mesh=...)
+    # when the mesh lacks a 'restarts' axis (the shared layout
+    # definition; the supported mesh layouts are pinned by
+    # test_mesh_restart_warmup_is_module_identical_to_fit)
     from linearcorex_tpu.parallel.sharding import make_mesh
-    with pytest.raises(ValueError, match="fit_restarts_sharded"):
+    with pytest.raises(ValueError, match="'restarts'"):
         c.warmup(256, 32, mesh=make_mesh())
