@@ -152,6 +152,22 @@ def main():
     print(json.dumps({"probe": "restarts_x_data",
                       "best_tc": float(dbest.tc_per_stage[-1]),
                       "wall_4_restarts_s": round(t_rs, 3)}), flush=True)
+
+    # --- estimator-surface restart sweep under the mesh (round 5) -------
+    # Corex(n_restarts=k).fit(mesh=...) reaches the same combined layout
+    # without dropping to parallel.restarts; 3 lanes pad to no-op on the
+    # 1-wide axis. Winner must match the single-device estimator sweep.
+    kwr = dict(kw, n_restarts=3, max_iter=50)
+    est_plain = lc.Corex(**kwr).fit(x)
+    est_mesh = lc.Corex(**kwr).fit(x, mesh=mesh2)
+    print(json.dumps({"probe": "estimator_restarts_mesh",
+                      "best_plain": est_plain.best_restart_,
+                      "best_mesh": est_mesh.best_restart_,
+                      "tc_plain": float(est_plain.tc),
+                      "tc_mesh": float(est_mesh.tc)}), flush=True)
+    assert est_mesh.best_restart_ == est_plain.best_restart_
+    assert abs(float(est_mesh.tc) - float(est_plain.tc)) \
+        <= 2e-3 * abs(float(est_plain.tc))
     print("mesh-on-TPU probe: all equivalence checks passed")
 
 
