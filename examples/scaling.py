@@ -53,6 +53,17 @@ def main():
         ws_sh, mom_sh, _ = fit_sharded(xp, w0[0], cfg, mesh, ShardingPlan())
         print(f"sharded fit over {n_dev} device(s): TC {float(mom_sh.tc):.3f}")
 
+    # --- 2b. the same from the estimator surface: restart lanes sharded
+    # over a 'restarts' mesh axis (+ sample rows over 'data' — the
+    # combined restarts x data layout of BASELINE config 5), one call
+    if n_dev % 2 == 0 and n % (n_dev // 2 or 1) == 0:
+        mesh_rd = make_mesh((("restarts", 2), (DATA_AXIS, n_dev // 2)))
+        est = lc.Corex(n_hidden=8, n_restarts=4, seed=0,
+                       record_history=False,
+                       moment_strategy="samples").fit(x, mesh=mesh_rd)
+        print(f"estimator restart sweep on the mesh: best TC "
+              f"{float(est.tc):.3f} (lane {est.best_restart_})")
+
     # --- 3. stacked 2-layer CorEx ---------------------------------------
     stack = lc.StackedCorex([8, 2], seed=0).fit(x)
     print(f"stacked: layer TCs = "
