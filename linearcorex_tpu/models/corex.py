@@ -1159,7 +1159,7 @@ class Corex:
         return r
 
     def _fit_restart_sweep(self, data, cfg, strategy, restarts,
-                           mesh=None, data_axis=None):
+                           mesh=None, data_axis=None, serving_plan=None):
         """n_restarts > 1: one vmapped program fits every lane, keep the
         best final TC (the reference's pick_n_hidden(repeat=k) selection
         rule, applied at fixed n_hidden — SURVEY.md §2.7/§2.8 EP row).
@@ -1197,10 +1197,12 @@ class Corex:
         self.ws, self.moments, self.diagnostics, best = best_restart(
             ws_b, mom_b, diag_b)
         self.best_restart_ = int(best)
-        # the sweep's layout is fit-only (the winning lane's state comes
-        # back whole, like fit_restarts_sharded's callers); serving calls
-        # that want a mesh pass one explicitly
-        self._serving_plan = None
+        # combined layout: the caller's sample plan is a valid serving
+        # layout on this mesh — record it like fit(mesh=...) does, so
+        # fit_transform / later mesh serving calls default to it. A
+        # restart-only sweep records None (its 'restarts' axis is a
+        # fit-time concept; the winning lane's state comes back whole).
+        self._serving_plan = serving_plan
         if self.verbose:
             self._print_verbose()
         return self
@@ -1269,9 +1271,10 @@ class Corex:
                     # plan: the Gram operand has no sample axis — it
                     # runs replicated (pick_fit_strategy warned)
                     data_axis = None
-                return self._fit_restart_sweep(data, cfg, strategy,
-                                               restarts, mesh=mesh,
-                                               data_axis=data_axis)
+                return self._fit_restart_sweep(
+                    data, cfg, strategy, restarts, mesh=mesh,
+                    data_axis=data_axis,
+                    serving_plan=plan if data_axis is not None else None)
         data, cfg, strategy = self._prepare_fit(
             x, resolve=mesh is None, plan=None if mesh is None else plan,
             mesh=mesh)
@@ -1330,6 +1333,13 @@ class Corex:
     def fit_transform(self, x, y=None, mesh=None, sharding_plan=None):
         del y  # sklearn Pipeline calls fit_transform(X, y); unsupervised
         self.fit(x, mesh=mesh, sharding_plan=sharding_plan)
+        if mesh is not None and self._serving_plan is None:
+            # a restart-only sweep layout: the mesh carries no serving
+            # axes (its 'restarts' axis is a fit-time concept) and the
+            # winning lane's state is replicated — transform
+            # single-device rather than demanding a serving mesh the
+            # fit never used
+            return self.transform(x)
         # the fitted state already carries the plan; pass it explicitly so
         # a replicated-data plan still routes transform through the mesh
         return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)

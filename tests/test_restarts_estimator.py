@@ -131,6 +131,27 @@ def test_mesh_restart_sweep_matches_single_device():
     assert m2.transform(x).shape == (x.shape[0], 4)
 
 
+def test_mesh_restart_fit_transform_composes():
+    """fit_transform under a restart mesh: the combined layout serves
+    the transform under the mesh (the fit recorded its sample plan as
+    the serving plan, like fit(mesh=...)); a restart-only mesh — which
+    carries no serving axes — transforms single-device instead of
+    failing the DP-plan validation after a successful fit."""
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
+    x = _data()
+    ref = lc.Corex(n_restarts=2, seed=7, **KW).fit(x)
+    y_ref = np.asarray(ref.transform(x))
+    c1 = lc.Corex(n_restarts=2, seed=7, **KW)
+    y1 = np.asarray(c1.fit_transform(
+        x, mesh=make_mesh((("restarts", 2), (DATA_AXIS, 4)))))
+    assert c1._serving_plan is not None  # combined layout recorded
+    assert np.abs(y1 - y_ref).max() < 1e-8
+    c2 = lc.Corex(n_restarts=2, seed=7, **KW)
+    y2 = np.asarray(c2.fit_transform(x, mesh=make_mesh((("restarts", 8),))))
+    assert c2._serving_plan is None  # restart-only: no serving layout
+    assert np.abs(y2 - y_ref).max() < 1e-8
+
+
 def test_mesh_restart_sweep_gram_strategy():
     """An explicit gram-strategy sweep under a restarts-only mesh runs
     with the operand replicated per lane and still matches the
