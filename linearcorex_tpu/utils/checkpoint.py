@@ -100,6 +100,11 @@ def save_corex(model: Corex, path: str) -> None:
         "n_samples": model.n_samples,
         "update_iter": model.update_iter,
         "verbose": model.verbose,
+        # restart-sweep state: n_restarts so a post-load fit() raises by
+        # name (warm start x restarts) instead of silently fitting one
+        # lane; best_restart_ so the fitted-attribute surface round-trips
+        "n_restarts": model.n_restarts,
+        "best_restart": model.best_restart_,
     }
     arrays = {
         "ws": np.asarray(model.ws),
@@ -323,7 +328,11 @@ def load_corex(path: str) -> Corex:
             stage_tol_factor=cfg.stage_tol_factor,
             stage_subsample=cfg.stage_subsample,
             update_iter=meta.get("update_iter", 10),
-            verbose=meta.get("verbose", False))
+            verbose=meta.get("verbose", False),
+            # restored VERBATIM: a post-load fit() on an n_restarts>1
+            # model raises by name (the warm-start x restarts guard
+            # names load_corex) rather than silently fitting one lane
+            n_restarts=meta.get("n_restarts", 1))
         dt = jnp.dtype(cfg.dtype)
         model.ws = jnp.asarray(z["ws"], dt)
         # re-arm the warm start: a post-load fit() starts from the stored
@@ -337,4 +346,7 @@ def load_corex(path: str) -> Corex:
         model.moments = Moments(**mom_fields)
         model.nv = meta["nv"]
         model.n_samples = meta["n_samples"]
+        # pre-n_restarts checkpoints (no key) carry a single-lane fit
+        best = meta.get("best_restart", 0)
+        model.best_restart_ = None if best is None else int(best)
     return model

@@ -216,6 +216,28 @@ def test_mesh_restart_guards_raise_by_name():
             x, mesh=mesh_rv, sharding_plan=ShardingPlan(shard_vars=True))
 
 
+def test_save_load_roundtrips_restart_state(tmp_path):
+    """save_corex/load_corex carry the sweep state: `best_restart_`
+    round-trips (fitted-attribute completeness) and `n_restarts` is
+    restored VERBATIM — a post-load fit() on a best-of-k model raises
+    the warm-start x restarts guard by name instead of silently fitting
+    one lane."""
+    from linearcorex_tpu.utils.checkpoint import load_corex, save_corex
+    x = _data()
+    c = lc.Corex(n_restarts=3, seed=7, **KW).fit(x)
+    path = str(tmp_path / "m.npz")
+    save_corex(c, path)
+    c2 = load_corex(path)
+    assert c2.n_restarts == 3
+    assert c2.best_restart_ == c.best_restart_
+    assert np.array_equal(np.asarray(c2.ws), np.asarray(c.ws))
+    with pytest.raises(ValueError, match="load_corex"):
+        c2.fit(x)  # warm start x restarts: by name, never one lane
+    # single-lane models round-trip best_restart_=0
+    save_corex(lc.Corex(seed=7, **KW).fit(x), path)
+    assert load_corex(path).best_restart_ == 0
+
+
 def test_sklearn_protocol_roundtrip():
     """n_restarts is a verbatim constructor parameter: get_params /
     set_params / clone round-trip, validation deferred to fit."""
