@@ -105,3 +105,23 @@ def test_stacked_sklearn_conventions():
     assert np.allclose(np.asarray(z), np.asarray(s.transform(x)))
     assert np.allclose(np.asarray(s.inverse_transform(z)),
                        np.asarray(s.predict(z)))
+
+
+def test_stacked_restart_sweep_composes_with_mesh():
+    """StackedCorex threads n_restarts into every layer (each layer runs
+    its own best-of-k sweep), and under a (restarts, data) mesh each
+    layer's sweep shards its lanes — winners and weights must match the
+    single-device stack."""
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
+    from tests.conftest import block_data
+
+    x = np.asarray(block_data(n=256, p=32, m=4, seed=3, strength=0.3))
+    kw = dict(n_restarts=2, seed=7, max_iter=100, record_history=False,
+              moment_strategy="samples", dtype="float64")
+    ref = StackedCorex([4, 2], **kw).fit(x)
+    assert all(layer.best_restart_ is not None for layer in ref.layers)
+    msh = StackedCorex([4, 2], **kw).fit(
+        x, mesh=make_mesh((("restarts", 2), (DATA_AXIS, 4))))
+    for la, lb in zip(ref.layers, msh.layers):
+        assert la.best_restart_ == lb.best_restart_
+        assert np.abs(np.asarray(la.ws) - np.asarray(lb.ws)).max() < 1e-7
