@@ -32,8 +32,10 @@ from typing import Optional, Tuple
 #   ~3.2 s) and rescues the no-anneal collapse on weak structure
 #   (6961-6975 vs 4623, within the annealed seed spread at 2.4-7x less
 #   wall). CAVEAT: unseeded single fits occasionally land in a visibly
-#   worse basin (~12% of cfg5 fits measured) — pair with restarts
-#   (`fit_restarts_sharded` / `pick_n_hidden`) when the TC matters.
+#   worse basin (~12% of cfg5 fits measured) — pair with restarts when
+#   the TC matters: `Corex(preset='throughput', n_restarts=k)` runs k
+#   spectral lanes, each with its own random projection
+#   (models.corex._spectral_restart_inits).
 PRESETS = {
     "reference": {},
     "throughput": {
@@ -53,10 +55,13 @@ def apply_preset(preset: str, user_set: dict) -> dict:
     driver must too, so presets can never mean different things in
     different entry points). Returns a dict covering the preset's keys
     plus everything in `user_set`; raises the named error on an unknown
-    preset. Presets are an estimator-level knob on purpose: restart
-    sweeps (`pick_n_hidden`) draw DIVERSE random inits, which the
-    throughput preset's deterministic spectral init would collapse to
-    identical lanes — pass the individual kwargs there instead."""
+    preset. Presets are an estimator-level knob on purpose: the
+    lower-level sweep drivers (`pick_n_hidden`, `fit_restarts*`) take
+    individual kwargs. Estimator restart sweeps compose: with
+    init='spectral' each lane draws its own random projection
+    (`Corex._spectral_restart_inits`), so
+    Corex(preset='throughput', n_restarts=k) runs k genuinely distinct
+    lanes."""
     try:
         overrides = PRESETS[preset]
     except (KeyError, TypeError):

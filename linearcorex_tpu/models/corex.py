@@ -1132,7 +1132,9 @@ class Corex:
         validation contract — __init__/set_params store it verbatim) and
         reject the combinations a restart sweep cannot honor, by name.
         (Mesh-layout validation lives in `resolve_restart_mesh_layout`,
-        the definition shared with AOT warmup.)"""
+        the definition shared with AOT warmup.) init='spectral' sweeps
+        are supported: each lane draws its own random projection
+        (`_spectral_restart_inits`)."""
         import numbers
         r = self.n_restarts
         if not isinstance(r, numbers.Integral) or isinstance(r, bool) \
@@ -1149,14 +1151,37 @@ class Corex:
                 "pretrained_weights / load_corex) would run identical "
                 "lanes — every restart starts from the same W0. Drop the "
                 "warm start, or set n_restarts=1.")
-        if self.config.init == "spectral":
-            raise ValueError(
-                "n_restarts > 1 with init='spectral': the spectral init "
-                "is deterministic given the data (and seed), so every "
-                "restart lane would be identical. Restarts draw "
-                "RandomState(seed + r) inits — use init='random' (the "
-                "restart seed policy), or n_restarts=1 with spectral.")
         return r
+
+    def _spectral_restart_inits(self, data, strategy, restarts):
+        """Per-lane spectral inits for a restart sweep: lane r draws its
+        random projection Ω_r from RandomState(seed + r) — the restart
+        seed policy applied to the spectral path, so lane 0 ≡ the plain
+        spectral fit and the sweep is reproducible from one seed (the
+        lanes differ through Ω, whose top-m range capture varies by
+        draw; the cfg5 init study measured real seed-to-seed TC spread
+        for spectral fits — benchmarks/RESULTS.md). Unseeded lanes draw
+        device-side Ω (no Ω-sized H2D at scale, mirroring _resolve_w0);
+        seeded lanes pay k host draws for reproducibility, like the
+        seeded single fit. Each lane runs the SAME compiled
+        `_spectral_init_program` the single fit uses — k dispatches,
+        zero new cache keys (the AOT warmup's spectral variant covers
+        the sweep too)."""
+        from linearcorex_tpu.parallel.restarts import seed_base
+        base = seed_base(self.seed)
+        outs = []
+        for r in range(restarts):
+            if self.seed is None:
+                omega = jax.random.normal(
+                    jax.random.PRNGKey(base + r), (self.nv, self.m),
+                    self._dt)
+            else:
+                omega = jnp.asarray(
+                    np.random.RandomState(base + r).normal(
+                        size=(self.nv, self.m)), self._dt)
+            outs.append(_spectral_init_program(
+                data, omega, strategy, self.config.matmul_dtype))
+        return jnp.stack(outs)
 
     def _fit_restart_sweep(self, data, cfg, strategy, restarts,
                            mesh=None, data_axis=None, serving_plan=None):
@@ -1185,8 +1210,12 @@ class Corex:
             _fit_restarts_program, best_restart, init_restarts,
             restart_batch_runner)
         check_restart_sweep_supported(cfg, strategy)
-        w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
-                                 self._dt)
+        if cfg.init == "spectral":
+            w0_batch = self._spectral_restart_inits(data, strategy,
+                                                    restarts)
+        else:
+            w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
+                                     self._dt)
         if mesh is None:
             ws_b, mom_b, diag_b = _fit_restarts_program(
                 data, w0_batch, cfg, strategy)

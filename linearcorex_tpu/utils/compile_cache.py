@@ -218,6 +218,19 @@ def warmup_fit(model, n_samples: int, n_variables: int, mesh=None,
             lanes = padded_lanes(restarts, d)
             data_spec = P(data_axis, None) if data_axis else P()
             data_arg = fit_data_arg(data_shape, data_spec, P())
+            if plan is not None and model.config.init == "spectral":
+                # spectral sweep lanes call the SAME per-lane spectral
+                # program as the single fit, here on the PLAN-sharded
+                # operand (the replicated-operand variant is warmed by
+                # the single-device block above); omega arrives
+                # uncommitted from _spectral_restart_inits
+                from linearcorex_tpu.models.corex import (
+                    _spectral_init_program)
+                _spectral_init_program.lower(
+                    fit_data_arg(data_shape,
+                                 S.operand_specs(plan, strategy)[0], P()),
+                    jax.ShapeDtypeStruct((p, model.m), dt), strategy,
+                    model.config.matmul_dtype).compile()
             # fit_restarts_sharded compiles INSIDE jax.set_mesh(mesh)
             # with every operand committed (device_put) — lower under
             # the same context with the same committed shardings

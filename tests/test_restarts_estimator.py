@@ -75,8 +75,6 @@ def test_validation_and_guards():
     with pytest.raises(ValueError, match="warm start"):
         lc.Corex(n_restarts=2,
                  pretrained_weights=np.zeros((4, 32)), **KW).fit(x)
-    with pytest.raises(ValueError, match="spectral"):
-        lc.Corex(n_restarts=2, init="spectral", **KW).fit(x)
     with pytest.raises(ValueError, match="stage_subsample"):
         lc.Corex(n_restarts=2, stage_subsample=0.25, **KW).fit(x)
     # warmup must reject EXACTLY where fit rejects (shared guard), not
@@ -129,6 +127,53 @@ def test_mesh_restart_sweep_matches_single_device():
     assert m2.tc == pytest.approx(ref2.tc, rel=1e-7)
     # the winning lane's state serves unchanged (replicated)
     assert m2.transform(x).shape == (x.shape[0], 4)
+
+
+def test_spectral_sweep_equals_best_of_single_fits():
+    """init='spectral' restart lanes draw per-lane random projections
+    Ω_r from RandomState(seed + r) — the restart seed policy applied to
+    the spectral path — so the sweep equals the best of the k single
+    spectral fits Corex(seed=s+r), and lane 0 ≡ the plain spectral fit.
+    (Before round 5 this combination raised; spectral lanes genuinely
+    differ through Ω — asserted below.)"""
+    x = _data()
+    kw = dict(KW, init="spectral", anneal=False)  # the spectral pairing
+    sweep = lc.Corex(n_restarts=4, seed=7, **kw).fit(x)
+    singles = [lc.Corex(seed=7 + r, **kw).fit(x) for r in range(4)]
+    tcs = [c.tc for c in singles]
+    best = int(np.argmax(tcs))
+    assert sweep.best_restart_ == best
+    assert sweep.tc == pytest.approx(tcs[best], rel=1e-9)
+    assert np.abs(np.asarray(sweep.ws)
+                  - np.asarray(singles[best].ws)).max() < 1e-8
+    assert len(set(tcs)) > 1, (
+        "all spectral lanes converged identically — the per-lane Ω "
+        "randomization is not differentiating; pick a harder regime")
+
+
+def test_throughput_preset_composes_with_restarts():
+    """The preset docstring's own advice — pair 'throughput' with
+    restarts when the TC matters — must be expressible in one call:
+    Corex(preset='throughput', n_restarts=k) runs k spectral lanes."""
+    x = np.asarray(_data(), np.float32)
+    c = lc.Corex(n_hidden=4, preset="throughput", n_restarts=3, seed=0,
+                 max_iter=200, record_history=False).fit(x)
+    assert c.best_restart_ in (0, 1, 2)
+    assert np.isfinite(float(c.tc))
+    # the preset resolved as usual (spectral + int8 + anneal=False)
+    assert c.config.init == "spectral"
+    assert c.config.matmul_dtype == "int8"
+
+
+def test_spectral_sweep_on_mesh_matches_single_device():
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
+    x = _data()
+    kw = dict(KW, init="spectral", anneal=False)
+    ref = lc.Corex(n_restarts=3, seed=7, **kw).fit(x)
+    msh = lc.Corex(n_restarts=3, seed=7, **kw).fit(
+        x, mesh=make_mesh((("restarts", 2), (DATA_AXIS, 4))))
+    assert msh.best_restart_ == ref.best_restart_
+    assert msh.tc == pytest.approx(ref.tc, rel=1e-7)
 
 
 def test_mesh_restart_fit_transform_composes():
@@ -196,6 +241,40 @@ def test_mesh_restart_warmup_is_module_identical_to_fit(monkeypatch,
     assert len(texts) == 2 and texts[0] == texts[1], \
         "warmup_fit lowered a different sharded restart-sweep module " \
         "than fit"
+
+
+@pytest.mark.parametrize("layout", ["combined", "restart_only"])
+def test_spectral_sweep_warmup_identity(monkeypatch, layout):
+    """With init='spectral', warmup must lower BOTH the sweep module and
+    the per-lane spectral-init module exactly as fit does (the sweep
+    calls the single fit's spectral program once per lane — zero new
+    cache keys; on the combined layout the operand is plan-sharded, on
+    a restart-only mesh it is the single-device variant)."""
+    import linearcorex_tpu.models.corex as C
+    import linearcorex_tpu.parallel.restarts as R
+    from linearcorex_tpu.parallel.sharding import DATA_AXIS, make_mesh
+    from tests.conftest import module_text_probe
+
+    fit_texts, spec_texts = [], []
+    monkeypatch.setattr(R, "_fit_restarts_program",
+                        module_text_probe(R._fit_restarts_program,
+                                          fit_texts))
+    monkeypatch.setattr(C, "_spectral_init_program",
+                        module_text_probe(C._spectral_init_program,
+                                          spec_texts))
+    mesh = (make_mesh((("restarts", 2), (DATA_AXIS, 4)))
+            if layout == "combined" else make_mesh((("restarts", 8),)))
+    x = _data()
+    kw = dict(KW, init="spectral", anneal=False, max_iter=50)
+    model = lc.Corex(n_restarts=2, seed=7, **kw)
+    model.warmup(x.shape[0], x.shape[1], mesh=mesh)
+    model.fit(x, mesh=mesh)
+    assert len(fit_texts) == 2 and fit_texts[0] == fit_texts[1], \
+        "warmup lowered a different sharded sweep module than fit"
+    # 1 warmup lowering + 2 per-lane fit calls, all one module text
+    assert len(spec_texts) == 3 and len(set(spec_texts)) == 1, \
+        "the sweep's per-lane spectral init must reuse the warmed " \
+        "spectral program (one cache key)"
 
 
 def test_mesh_restart_guards_raise_by_name():
