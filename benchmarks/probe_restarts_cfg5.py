@@ -28,6 +28,10 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--restarts", type=int, default=4)
 ap.add_argument("--seed", type=int, default=0)
 ap.add_argument("--loading", type=float, default=0.9)
+ap.add_argument("--preset", default=None, choices=[None, "throughput"],
+                help="throughput = the one-call best-of-k the preset "
+                     "caveat prescribes: k SPECTRAL lanes (one random "
+                     "projection each), int8, anneal=False, tol=1e-4")
 args = ap.parse_args()
 
 ensure_compile_cache()
@@ -46,9 +50,13 @@ def make_data():
 x = make_data()
 x.block_until_ready()
 
-kw = dict(n_hidden=m, max_iter=2000, tol=1e-4, anneal=True,
-          record_history=False, matmul_dtype="int8",
-          moment_strategy="samples", optimizer="momentum")
+if args.preset == "throughput":
+    kw = dict(n_hidden=m, max_iter=2000, record_history=False,
+              moment_strategy="samples", preset="throughput")
+else:
+    kw = dict(n_hidden=m, max_iter=2000, tol=1e-4, anneal=True,
+              record_history=False, matmul_dtype="int8",
+              moment_strategy="samples", optimizer="momentum")
 
 best_wall = float("inf")
 first = None

@@ -31,11 +31,14 @@ from typing import Optional, Tuple
 #   (206231-206246 in ~1.5 s vs annealed-random's 204835-205296 in
 #   ~3.2 s) and rescues the no-anneal collapse on weak structure
 #   (6961-6975 vs 4623, within the annealed seed spread at 2.4-7x less
-#   wall). CAVEAT: unseeded single fits occasionally land in a visibly
-#   worse basin (~12% of cfg5 fits measured) — pair with restarts when
-#   the TC matters: `Corex(preset='throughput', n_restarts=k)` runs k
-#   spectral lanes, each with its own random projection
-#   (models.corex._spectral_restart_inits).
+#   wall). CAVEAT: single fits land in a visibly worse basin often
+#   (measured at cfg5: ~12% of unseeded fits; 3 of 4 SEEDED throughput
+#   fits sat 6-9% below the best basin on the restart-probe harness) —
+#   pair with restarts when the TC matters:
+#   `Corex(preset='throughput', n_restarts=k)` runs k spectral lanes,
+#   each with its own random projection, and the measured best-of-4 at
+#   cfg5 recovered the good basin at HALF the wall of the sequential
+#   singles (41 s vs 82 s — benchmarks/RESULTS.md multi-restart note).
 PRESETS = {
     "reference": {},
     "throughput": {

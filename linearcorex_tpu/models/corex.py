@@ -1159,8 +1159,11 @@ class Corex:
         seed policy applied to the spectral path, so lane 0 ≡ the plain
         spectral fit and the sweep is reproducible from one seed (the
         lanes differ through Ω, whose top-m range capture varies by
-        draw; the cfg5 init study measured real seed-to-seed TC spread
-        for spectral fits — benchmarks/RESULTS.md). Unseeded lanes draw
+        draw — measured at cfg5: 3 of 4 seeded throughput singles land
+        6-9% below the best basin, and the one-call best-of-4 sweep
+        recovers it at ~2x LESS wall than the sequential singles, 41 s
+        vs 82 s — benchmarks/RESULTS.md multi-restart note). Unseeded
+        lanes draw
         device-side Ω (no Ω-sized H2D at scale, mirroring _resolve_w0);
         seeded lanes pay k host draws for reproducibility, like the
         seeded single fit. Each lane runs the SAME compiled

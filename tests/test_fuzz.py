@@ -40,8 +40,15 @@ def _draw(rng):
         # restart sweep ride the same invariant battery
         stage_subsample=(1.0, 0.5, 0.25)[rng.randint(0, 3)],
         n_restarts=int(rng.randint(1, 4)),
+        # round-5: spectral sweeps are legal (per-lane random
+        # projections) — the fuzz draws them too
+        init=("random", "random", "spectral")[rng.randint(0, 3)],
     )
     # respect documented constraints instead of skipping
+    if cfg["init"] == "spectral":
+        # the documented pairing: spectral + anneal=True is measured
+        # HARMFUL (config.py warns) — fuzz draws the legal recipe
+        cfg["anneal"] = False
     if not cfg["discourage_overlap"]:
         if cfg["optimizer"] in ("fixed_point",):
             cfg["optimizer"] = "momentum"
