@@ -1257,9 +1257,12 @@ class Corex:
         Under `mesh=` the lanes shard over the mesh's 'restarts' axis —
         and the sample rows over its 'data' axis too when the plan
         shards samples (the combined restarts x data layout;
-        `resolve_restart_mesh_layout`). The guarded combinations (warm
-        starts, init='spectral', var/factor/slice-sharding plans, a mesh
-        without a 'restarts' axis) raise by name."""
+        `resolve_restart_mesh_layout`). init='spectral' sweeps run one
+        spectral init per lane, each with its own RandomState(seed+r)
+        random projection (`_spectral_restart_inits` — so
+        preset='throughput' composes). The guarded combinations (warm
+        starts, var/factor/slice-sharding plans, a mesh without a
+        'restarts' axis) raise by name."""
         # Loud failure for the pre-0.3 positional form fit(X, W0): a
         # legitimate sklearn y has one row per sample, so a 2-D y shaped
         # exactly (n_hidden, n_variables) with the wrong row count is a
@@ -1365,12 +1368,15 @@ class Corex:
     def fit_transform(self, x, y=None, mesh=None, sharding_plan=None):
         del y  # sklearn Pipeline calls fit_transform(X, y); unsupervised
         self.fit(x, mesh=mesh, sharding_plan=sharding_plan)
-        if mesh is not None and self._serving_plan is None:
+        if mesh is not None and sharding_plan is None \
+                and self._serving_plan is None:
             # a restart-only sweep layout: the mesh carries no serving
             # axes (its 'restarts' axis is a fit-time concept) and the
             # winning lane's state is replicated — transform
             # single-device rather than demanding a serving mesh the
-            # fit never used
+            # fit never used. An EXPLICIT sharding_plan is honored (and
+            # fails its validation loudly) — a user who asked for
+            # sharded serving must not be silently handed one device.
             return self.transform(x)
         # the fitted state already carries the plan; pass it explicitly so
         # a replicated-data plan still routes transform through the mesh

@@ -64,7 +64,15 @@ class StackedCorex:
         for k, layer in enumerate(self.layers):
             lp = self._layer_plan(sharding_plan, k)
             layer.fit(data, mesh=mesh, sharding_plan=lp)
-            data = layer.transform(data, mesh=mesh, sharding_plan=lp)
+            if mesh is not None and sharding_plan is None \
+                    and layer._serving_plan is None:
+                # restart-only sweep layout (the mesh carries no serving
+                # axes): the inter-layer transform runs single-device,
+                # mirroring Corex.fit_transform's fallback — an EXPLICIT
+                # sharding_plan keeps the loud validation instead
+                data = layer.transform(data)
+            else:
+                data = layer.transform(data, mesh=mesh, sharding_plan=lp)
         return self
 
     def transform(self, x, level: int = -1, mesh=None, sharding_plan=None):
@@ -85,6 +93,12 @@ class StackedCorex:
         final transform (see `fit`)."""
         del y
         self.fit(x, mesh=mesh, sharding_plan=sharding_plan)
+        if mesh is not None and sharding_plan is None and all(
+                layer._serving_plan is None for layer in self.layers):
+            # restart-only sweep layout: no serving axes on the mesh
+            # (see fit above) — the just-fitted stack transforms
+            # single-device
+            return self.transform(x)
         return self.transform(x, mesh=mesh, sharding_plan=sharding_plan)
 
     def transform_all(self, x, mesh=None, sharding_plan=None):

@@ -29,6 +29,23 @@ __all__ = ["save_corex", "load_corex", "fit_with_checkpoints"]
 _FORMAT_VERSION = 1
 
 
+def _json_scalar(o):
+    """json.dumps default= for checkpoint metadata: numpy scalars arrive
+    VERBATIM from sklearn param grids (np.int64 seeds/n_restarts from
+    np.arange, np.float64 tols) — the estimator stores parameters
+    verbatim by contract, so canonicalize only here, at the
+    serialization boundary (the loaded value is the same number)."""
+    if isinstance(o, np.integer):
+        return int(o)
+    if isinstance(o, np.floating):
+        return float(o)
+    if isinstance(o, np.bool_):
+        return bool(o)
+    raise TypeError(
+        f"checkpoint metadata value {o!r} ({type(o).__name__}) is not "
+        f"JSON-serializable")
+
+
 def _npz_path(path: str) -> str:
     """np.savez appends '.npz' when missing; normalize once so save and
     load agree on the real filename."""
@@ -102,7 +119,7 @@ def save_corex(model: Corex, path: str) -> None:
         "verbose": model.verbose,
         # restart-sweep state: n_restarts so a post-load fit() raises by
         # name (warm start x restarts) instead of silently fitting one
-        # lane; best_restart_ so the fitted-attribute surface round-trips
+        # lane; best_restart_ so the fitted-attribute surface round-trips.
         "n_restarts": model.n_restarts,
         "best_restart": model.best_restart_,
     }
@@ -111,7 +128,8 @@ def save_corex(model: Corex, path: str) -> None:
         "theta_mean": np.asarray(model.theta.mean),
         "theta_std": np.asarray(model.theta.std),
         "meta_json": np.frombuffer(
-            json.dumps(meta).encode(), dtype=np.uint8),
+            json.dumps(meta, default=_json_scalar).encode(),
+            dtype=np.uint8),
     }
     for name, val in model.moments._asdict().items():
         arrays[f"mom_{name}"] = np.asarray(val)

@@ -195,6 +195,13 @@ def test_mesh_restart_fit_transform_composes():
     y2 = np.asarray(c2.fit_transform(x, mesh=make_mesh((("restarts", 8),))))
     assert c2._serving_plan is None  # restart-only: no serving layout
     assert np.abs(y2 - y_ref).max() < 1e-8
+    # an EXPLICIT sharding_plan is honored, not silently dropped: the
+    # user asked for sharded serving, so the plan validation fails loud
+    from linearcorex_tpu.parallel.sharding import ShardingPlan
+    with pytest.raises(ValueError, match="mesh has axes"):
+        lc.Corex(n_restarts=2, seed=7, **KW).fit_transform(
+            x, mesh=make_mesh((("restarts", 8),)),
+            sharding_plan=ShardingPlan(shard_samples=True))
 
 
 def test_mesh_restart_sweep_gram_strategy():
@@ -315,6 +322,12 @@ def test_save_load_roundtrips_restart_state(tmp_path):
     # single-lane models round-trip best_restart_=0
     save_corex(lc.Corex(seed=7, **KW).fit(x), path)
     assert load_corex(path).best_restart_ == 0
+    # numpy scalars from sklearn param grids (np.arange/GridSearchCV)
+    # are stored verbatim on the estimator and must still serialize
+    c3 = lc.Corex(n_restarts=np.int64(2), seed=np.int64(7), **KW).fit(x)
+    save_corex(c3, path)
+    c4 = load_corex(path)
+    assert c4.n_restarts == 2 and c4.best_restart_ == c3.best_restart_
 
 
 def test_sklearn_protocol_roundtrip():

@@ -125,3 +125,14 @@ def test_stacked_restart_sweep_composes_with_mesh():
     for la, lb in zip(ref.layers, msh.layers):
         assert la.best_restart_ == lb.best_restart_
         assert np.abs(np.asarray(la.ws) - np.asarray(lb.ws)).max() < 1e-7
+    # restart-ONLY mesh: no serving axes — the inter-layer transform
+    # falls back to single-device (mirroring Corex.fit_transform)
+    # instead of failing the DP-plan validation after layer 1 fit
+    ronly = StackedCorex([4, 2], **kw).fit(
+        x, mesh=make_mesh((("restarts", 8),)))
+    for la, lb in zip(ref.layers, ronly.layers):
+        assert la.best_restart_ == lb.best_restart_
+    y = StackedCorex([4, 2], **kw).fit_transform(
+        x, mesh=make_mesh((("restarts", 8),)))
+    assert np.abs(np.asarray(y)
+                  - np.asarray(ref.transform(x))).max() < 1e-7
