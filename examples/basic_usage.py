@@ -58,10 +58,15 @@ def main():
     # Throughput recipes (measured at p=100k scale — benchmarks/RESULTS.md):
     # preset='throughput' bundles the init-study winner (int8 + spectral
     # init + anneal=False + tol=1e-4) for strong-structure data;
-    # stage_tol_factor=10 keeps full annealing but runs the non-final
-    # stages at a looser tol (1.9-2.4x fewer iterations on weak structure
-    # at equal TC — the regime where annealing is essential).
-    fast = lc.Corex(n_hidden=8, seed=0, preset="throughput").fit(x)
+    # n_restarts=4 runs four spectral lanes (one random projection each)
+    # as ONE program and keeps the best TC — at p=100k the best-of-4
+    # recovers basins that 3 of 4 single seeds miss by 6-9%, at HALF the
+    # wall of sequential refits. stage_tol_factor=10 keeps full
+    # annealing but runs the non-final stages at a looser tol (1.9-2.4x
+    # fewer iterations on weak structure at equal TC — the regime where
+    # annealing is essential).
+    fast = lc.Corex(n_hidden=8, seed=0, preset="throughput",
+                    n_restarts=4).fit(x)
     annealed = lc.Corex(n_hidden=8, seed=0, stage_tol_factor=10.0).fit(x)
     print(f"preset='throughput' TC:      {float(fast.tc):.3f}  "
           "(int8 + no anneal: built for large strong-structure data — "
