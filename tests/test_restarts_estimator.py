@@ -330,6 +330,33 @@ def test_save_load_roundtrips_restart_state(tmp_path):
     assert c4.n_restarts == 2 and c4.best_restart_ == c3.best_restart_
 
 
+def test_sweep_oom_raises_with_guidance(monkeypatch):
+    """A device OOM inside the sweep (measured: 6 lanes at cfg5) must
+    surface the lane-memory model and the remedies (fewer lanes,
+    sequential seeds, restart-axis sharding) instead of a raw XLA
+    RESOURCE_EXHAUSTED; other runtime errors pass through untouched."""
+    import jax
+    import linearcorex_tpu.parallel.restarts as R
+    x = _data()
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
+
+    monkeypatch.setattr(R, "_fit_restarts_program", boom)
+    with pytest.raises(jax.errors.JaxRuntimeError,
+                       match="Reduce n_restarts"):
+        lc.Corex(n_restarts=3, seed=0, **KW).fit(x)
+
+    def other(*a, **k):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something else")
+
+    monkeypatch.setattr(R, "_fit_restarts_program", other)
+    with pytest.raises(jax.errors.JaxRuntimeError,
+                       match="something else"):
+        lc.Corex(n_restarts=3, seed=0, **KW).fit(x)
+
+
 def test_sklearn_protocol_roundtrip():
     """n_restarts is a verbatim constructor parameter: get_params /
     set_params / clone round-trip, validation deferred to fit."""
