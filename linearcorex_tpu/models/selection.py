@@ -67,6 +67,18 @@ def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
     off)."""
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
+    if probe.init == "spectral":
+        # the sweep hands the solver explicit padded init stacks
+        # (_padded_inits / init_restarts), so cfg.init never resolves a
+        # W0 here — honoring the repo rule (raise by name, never
+        # silently ignore a requested knob)
+        raise ValueError(
+            "init='spectral' is not supported by pick_n_hidden: the "
+            "selection sweep draws its own seeded random init per "
+            "(candidate, restart) lane, so the spectral init would be "
+            "silently ignored. Drop init from the sweep kwargs, or run "
+            "Corex(init='spectral', n_restarts=k) at a fixed n_hidden "
+            "(spectral restart lanes are supported there).")
     plan = None
     if data_axis is not None:
         if probe.moment_strategy == "gram":

@@ -362,3 +362,19 @@ def test_warmup_sweep_accepts_full_sweep_call_signature():
     with pytest.raises(ValueError, match="heldout"):
         warmup_sweep(100, 10, criterion="heldout",
                      gaussianize="empirical")
+
+
+def test_pick_n_hidden_rejects_spectral_init():
+    """The sweep supplies its own seeded init stacks, so init='spectral'
+    would be silently ignored — it must raise by name (both the sweep
+    and its warmup share the _sweep_cfg_and_strategy guard), pointing at
+    Corex(n_restarts=k) where spectral lanes ARE supported."""
+    import pytest
+
+    from linearcorex_tpu.models.selection import warmup_sweep
+
+    x = np.random.RandomState(0).normal(size=(60, 8))
+    with pytest.raises(ValueError, match="spectral"):
+        pick_n_hidden(x, repeat=2, max_n_hidden=3, init="spectral")
+    with pytest.raises(ValueError, match="spectral"):
+        warmup_sweep(60, 8, repeat=2, max_n_hidden=3, init="spectral")
