@@ -65,6 +65,15 @@ def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
     `corex_kwargs` must already exclude the preprocessing-only kwargs
     (gaussianize/missing_values) and record_history (sweeps force it
     off)."""
+    if "n_restarts" in corex_kwargs:
+        # the confusable pair: the sweep's restart count is `repeat=`
+        # (the reference's pick_n_hidden(repeat=k) spelling); n_restarts
+        # is the fixed-n_hidden estimator knob and CorexConfig would
+        # reject it with an unhelpful TypeError
+        raise TypeError(
+            "pick_n_hidden runs its own restart lanes — pass repeat=k "
+            "(the sweep's per-candidate restart count), not "
+            "n_restarts= (the fixed-n_hidden Corex knob).")
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     if probe.init == "spectral":

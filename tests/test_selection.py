@@ -378,3 +378,14 @@ def test_pick_n_hidden_rejects_spectral_init():
         pick_n_hidden(x, repeat=2, max_n_hidden=3, init="spectral")
     with pytest.raises(ValueError, match="spectral"):
         warmup_sweep(60, 8, repeat=2, max_n_hidden=3, init="spectral")
+
+
+def test_pick_n_hidden_rejects_n_restarts_kwarg():
+    """repeat= is the sweep's restart count; n_restarts= (the
+    fixed-n_hidden Corex knob) must raise the targeted message, not
+    CorexConfig's generic unexpected-kwarg TypeError."""
+    import pytest
+
+    x = np.random.RandomState(0).normal(size=(60, 8))
+    with pytest.raises(TypeError, match="repeat=k"):
+        pick_n_hidden(x, repeat=1, max_n_hidden=2, n_restarts=2)
