@@ -1210,41 +1210,29 @@ class Corex:
         resolves it against the mesh's platform — the same final config
         a single-device sweep resolves on that platform."""
         from linearcorex_tpu.parallel.restarts import (
-            _fit_restarts_program, best_restart, init_restarts,
+            best_restart, init_restarts, lane_oom_guidance,
             restart_batch_runner)
         check_restart_sweep_supported(cfg, strategy)
-        if cfg.init == "spectral":
-            w0_batch = self._spectral_restart_inits(data, strategy,
-                                                    restarts)
-        else:
-            w0_batch = init_restarts(restarts, self.m, self.nv, self.seed,
-                                     self._dt)
-        try:
-            if mesh is None:
-                ws_b, mom_b, diag_b = _fit_restarts_program(
-                    data, w0_batch, cfg, strategy)
+        # one runner for both layouts (mesh=None → the single-device
+        # vmapped sweep); it syncs its results under lane_oom_guidance,
+        # and this outer scope additionally covers the lane-INIT
+        # allocations (k Ω draws / the (k, m, p) W0 stack) and the
+        # best-lane fetch — under async dispatch a device OOM can
+        # surface at any of these points
+        run = restart_batch_runner(mesh, RESTART_AXIS, data_axis)
+        with lane_oom_guidance(restarts):
+            if cfg.init == "spectral":
+                w0_batch = self._spectral_restart_inits(data, strategy,
+                                                        restarts)
             else:
-                run = restart_batch_runner(mesh, RESTART_AXIS, data_axis)
-                ws_b, mom_b, diag_b = run(data, w0_batch, cfg, strategy,
-                                          self.n_samples)
+                w0_batch = init_restarts(restarts, self.m, self.nv,
+                                         self.seed, self._dt)
+            ws_b, mom_b, diag_b = run(data, w0_batch, cfg, strategy,
+                                      self.n_samples)
             self.ws, self.moments, self.diagnostics, best = best_restart(
                 ws_b, mom_b, diag_b)
-        except jax.errors.JaxRuntimeError as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            # measured ceiling (benchmarks/RESULTS.md multi-restart
-            # note): 4 lanes fit one v5e chip at p=100k/m=512; 6 OOM
-            raise type(e)(
-                f"the n_restarts={restarts} sweep ran out of device "
-                f"memory: every lane holds its own (n_hidden, "
-                f"n_variables) solver state. Measured single-chip "
-                f"ceiling at p=100k/m=512: 4 int8 lanes (6 OOM — "
-                f"benchmarks/RESULTS.md multi-restart note). Reduce "
-                f"n_restarts, run seeded single fits sequentially "
-                f"(seed+r), or shard the lanes over more chips: "
-                f"fit(mesh=make_mesh((('restarts', d),))) or the "
-                f"combined restarts x data layout.") from e
-        self.best_restart_ = int(best)
+            best = int(best)  # first host fetch, inside the scope
+        self.best_restart_ = best
         # combined layout: the caller's sample plan is a valid serving
         # layout on this mesh — record it like fit(mesh=...) does, so
         # fit_transform / later mesh serving calls default to it. A

@@ -71,9 +71,10 @@ def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
         # is the fixed-n_hidden estimator knob and CorexConfig would
         # reject it with an unhelpful TypeError
         raise TypeError(
-            "pick_n_hidden runs its own restart lanes — pass repeat=k "
-            "(the sweep's per-candidate restart count), not "
-            "n_restarts= (the fixed-n_hidden Corex knob).")
+            "the selection sweep (pick_n_hidden / warmup_sweep) runs "
+            "its own restart lanes — pass repeat=k (the per-candidate "
+            "restart count), not n_restarts= (the fixed-n_hidden Corex "
+            "knob).")
     probe = CorexConfig(n_hidden=1, dtype=dtype, record_history=False,
                         **corex_kwargs)
     if probe.init == "spectral":
@@ -82,12 +83,13 @@ def _sweep_cfg_and_strategy(n: int, p: int, max_n_hidden: int, dtype: str,
         # W0 here — honoring the repo rule (raise by name, never
         # silently ignore a requested knob)
         raise ValueError(
-            "init='spectral' is not supported by pick_n_hidden: the "
-            "selection sweep draws its own seeded random init per "
-            "(candidate, restart) lane, so the spectral init would be "
-            "silently ignored. Drop init from the sweep kwargs, or run "
-            "Corex(init='spectral', n_restarts=k) at a fixed n_hidden "
-            "(spectral restart lanes are supported there).")
+            "init='spectral' is not supported by the selection sweep "
+            "(pick_n_hidden / warmup_sweep): it draws its own seeded "
+            "random init per (candidate, restart) lane, so the spectral "
+            "init would be silently ignored. Drop init from the sweep "
+            "kwargs, or run Corex(init='spectral', n_restarts=k) at a "
+            "fixed n_hidden (spectral restart lanes are supported "
+            "there).")
     plan = None
     if data_axis is not None:
         if probe.moment_strategy == "gram":
@@ -297,10 +299,25 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         raise ValueError(_DATA_AXIS_NEEDS_MESH)
     n, p = np.shape(data)
     dt = jnp.dtype(dtype)
+    if max_n_hidden is None:
+        max_n_hidden = min(p, 16)
+    gaussianize = corex_kwargs.pop("gaussianize", "standard")
+    missing_values = corex_kwargs.pop("missing_values", None)
+    # sweeps always disable the TC history (it would cost
+    # batch x stages x max_iter memory); accept-and-drop a user-passed
+    # record_history instead of colliding with the forced kwarg
+    corex_kwargs.pop("record_history", None)
+    n_train, n_val = n, 0
+    if criterion == "heldout":
+        n_train, n_val = _heldout_split_sizes(n, val_fraction, gaussianize)
+    # kwargs/config validation BEFORE the heldout split: the split's
+    # device gathers move the full operand (GBs at scale), and a pure
+    # argument error must not cost that
+    cfg, strategy = _sweep_cfg_and_strategy(n_train, p, max_n_hidden,
+                                            dtype, data_axis,
+                                            corex_kwargs)
     xv = None
     if criterion == "heldout":
-        _, n_val = _heldout_split_sizes(
-            n, val_fraction, corex_kwargs.get("gaussianize", "standard"))
         perm = np.random.RandomState(seed_base(seed)).permutation(n)
         if isinstance(data, jax.Array):
             # split with a device row gather: np.asarray on a device-
@@ -320,16 +337,6 @@ def pick_n_hidden(data, repeat: int = 1, max_n_hidden: Optional[int] = None,
         n = x.shape[0]
     else:
         x = jnp.asarray(data, dtype=dt)
-    if max_n_hidden is None:
-        max_n_hidden = min(p, 16)
-    gaussianize = corex_kwargs.pop("gaussianize", "standard")
-    missing_values = corex_kwargs.pop("missing_values", None)
-    # sweeps always disable the TC history (it would cost
-    # batch x stages x max_iter memory); accept-and-drop a user-passed
-    # record_history instead of colliding with the forced kwarg
-    corex_kwargs.pop("record_history", None)
-    cfg, strategy = _sweep_cfg_and_strategy(n, p, max_n_hidden, dtype,
-                                            data_axis, corex_kwargs)
     # Preprocess once (training rows only under 'heldout') → operand
     # (Gram / int8 quantize) as the fit's ONE fused prepare program
     # (models.corex._prepare_program) — the previous eager unfused chain

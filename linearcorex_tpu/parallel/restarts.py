@@ -24,7 +24,7 @@ from linearcorex_tpu.models.corex import _make_obj_grad
 from linearcorex_tpu.ops import moments as M
 
 __all__ = ["init_restarts", "fit_restarts", "best_restart",
-           "restart_batch_runner"]
+           "restart_batch_runner", "padded_lanes", "lane_oom_guidance"]
 
 
 def seed_base(seed: Optional[int]) -> int:
@@ -169,6 +169,35 @@ def fit_restarts_sharded(data, w0_batch, cfg: CorexConfig, strategy: str,
         return _fit_restarts_program(data, w0_batch, cfg, strategy)
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def lane_oom_guidance(lanes):
+    """Scope that re-raises a device RESOURCE_EXHAUSTED from a restart
+    sweep with the measured lane-memory model and the remedies (the raw
+    XLA error names no knob). Callers must allocate the lane batch AND
+    consume (host-sync) the results INSIDE the scope — under JAX async
+    dispatch the OOM can surface at first consumption, not at
+    enqueue."""
+    try:
+        yield
+    except jax.errors.JaxRuntimeError as e:
+        if "RESOURCE_EXHAUSTED" not in str(e):
+            raise
+        raise type(e)(
+            f"the {lanes}-lane restart sweep ran out of device memory: "
+            f"every lane holds its own (n_hidden, n_variables) solver "
+            f"state. Measured single-chip ceiling at p=100k/m=512: 4 "
+            f"int8 lanes (6 OOM — benchmarks/RESULTS.md multi-restart "
+            f"note). Use fewer lanes (Corex n_restarts= / pick_n_hidden "
+            f"repeat=), run the fits sequentially (seeded single fits; "
+            f"pick_n_hidden(padded_sweep=False)), or shard the lane "
+            f"axis over more chips (a mesh with a 'restarts' axis, "
+            f"data_axis= for the combined restarts x data "
+            f"layout).") from e
+
+
 def padded_lanes(batch: int, axis_size: int) -> int:
     """Lane count after padding `batch` up to a multiple of the restart
     axis (GSPMD sharding needs divisibility) — the single definition
@@ -190,11 +219,18 @@ def restart_batch_runner(mesh, restart_axis: str = "restarts",
     is padded by repeating the last init (GSPMD sharding needs
     divisibility) and the padded lanes are dropped from every result
     before selection/scoring. Shared by `pick_n_hidden` (candidate x
-    restart lanes) and `Corex(n_restarts=k).fit(mesh=...)` (seeded
-    restart lanes)."""
+    restart lanes) and `Corex(n_restarts=k)` (seeded restart lanes).
+    Both paths run under `lane_oom_guidance` with the results synced
+    inside it, so a lane-memory OOM names the remedies instead of
+    surfacing as a raw XLA error at some later consumption point."""
     if mesh is None:
-        return lambda data, w0, cfg, strategy, n: fit_restarts(
-            data, w0, cfg, strategy, n_samples=n)
+        def run_single(data, w0, cfg, strategy, n):
+            with lane_oom_guidance(w0.shape[0]):
+                out = fit_restarts(data, w0, cfg, strategy, n_samples=n)
+                jax.block_until_ready(out)
+            return out
+
+        return run_single
     if restart_axis not in mesh.axis_names:
         raise ValueError(
             f"mesh has axes {mesh.axis_names}; the restart batch shards "
@@ -205,16 +241,19 @@ def restart_batch_runner(mesh, restart_axis: str = "restarts",
 
     def run(data, w0, cfg, strategy, n):
         pad = padded_lanes(w0.shape[0], d) - w0.shape[0]
-        if pad:
-            w0 = jnp.concatenate(
-                [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
-        # check_overflow=False: every caller's prepare path already ran
-        # the eager int8 wrap guard on this exact operand
-        # (Corex._prepare_fit / pick_n_hidden's fused sweep prepare)
-        out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
-                                   axis_name=restart_axis, n_samples=n,
-                                   check_overflow=False,
-                                   data_axis=data_axis)
+        with lane_oom_guidance(w0.shape[0] + pad):
+            if pad:
+                w0 = jnp.concatenate(
+                    [w0, jnp.repeat(w0[-1:], pad, axis=0)], axis=0)
+            # check_overflow=False: every caller's prepare path already
+            # ran the eager int8 wrap guard on this exact operand
+            # (Corex._prepare_fit / pick_n_hidden's fused sweep prepare)
+            out = fit_restarts_sharded(data, w0, cfg, strategy, mesh,
+                                       axis_name=restart_axis,
+                                       n_samples=n,
+                                       check_overflow=False,
+                                       data_axis=data_axis)
+            jax.block_until_ready(out)
         if pad:
             out = jax.tree_util.tree_map(lambda a: a[:-pad], out)
         return out

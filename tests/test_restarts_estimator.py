@@ -331,10 +331,13 @@ def test_save_load_roundtrips_restart_state(tmp_path):
 
 
 def test_sweep_oom_raises_with_guidance(monkeypatch):
-    """A device OOM inside the sweep (measured: 6 lanes at cfg5) must
-    surface the lane-memory model and the remedies (fewer lanes,
-    sequential seeds, restart-axis sharding) instead of a raw XLA
-    RESOURCE_EXHAUSTED; other runtime errors pass through untouched."""
+    """A device OOM inside a restart sweep (measured: 6 lanes at cfg5)
+    must surface the lane-memory model and the remedies (fewer lanes,
+    sequential fits, restart-axis sharding) instead of a raw XLA
+    RESOURCE_EXHAUSTED — on the estimator path AND the selection sweep
+    (the guidance lives on the shared restart_batch_runner, with the
+    results synced inside the scope so async-dispatch delivery cannot
+    escape it); other runtime errors pass through untouched."""
     import jax
     import linearcorex_tpu.parallel.restarts as R
     x = _data()
@@ -344,9 +347,11 @@ def test_sweep_oom_raises_with_guidance(monkeypatch):
             "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted).")
 
     monkeypatch.setattr(R, "_fit_restarts_program", boom)
-    with pytest.raises(jax.errors.JaxRuntimeError,
-                       match="Reduce n_restarts"):
+    with pytest.raises(jax.errors.JaxRuntimeError, match="fewer lanes"):
         lc.Corex(n_restarts=3, seed=0, **KW).fit(x)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="fewer lanes"):
+        lc.pick_n_hidden(np.asarray(x), repeat=2, max_n_hidden=3,
+                         max_iter=50, seed=0)
 
     def other(*a, **k):
         raise jax.errors.JaxRuntimeError("INTERNAL: something else")
